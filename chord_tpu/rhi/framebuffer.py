@@ -1,0 +1,91 @@
+"""Render targets and frame history.
+
+TPU-native equivalent of the reference's pooled render textures
+(reference: source/renderer/render_textures.h:10-62 — visibility R32_UINT,
+color RGBA16F, depth D32, thin gbuffer, half-res set) and the renderer
+history (reference: renderer/renderer.h DeferredRendererHistory — HZB,
+TSR color, exposure, shadow masks, with clearHistory/bCameraCut
+invalidation, renderer.cpp:95-105).
+
+On TPU a "render target" is just an array in the frame function; this module
+defines the canonical dtypes/packing and the History pytree threaded through
+frames (`frame(scene, view, history) -> (image, history)`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import chex
+import jax.numpy as jnp
+
+
+# Visibility packing (reference: shader/base.h:410-413 — triangleId:7 |
+# instanceId+1:25; 0 = empty sky pixel).
+TRI_BITS = 7
+TRI_MASK = (1 << TRI_BITS) - 1
+
+
+def pack_visibility(instance_id: jnp.ndarray, tri_id: jnp.ndarray) -> jnp.ndarray:
+    """(instanceId+1):25 | triangleId:7 → uint32; instance_id==-1 → 0."""
+    packed = ((instance_id + 1).astype(jnp.uint32) << TRI_BITS) | (
+        tri_id.astype(jnp.uint32) & TRI_MASK)
+    return jnp.where(instance_id >= 0, packed, jnp.uint32(0))
+
+
+def unpack_visibility(vis: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """→ (instance_id with -1 = empty, tri_id)."""
+    inst = (vis >> TRI_BITS).astype(jnp.int32) - 1
+    tri = (vis & TRI_MASK).astype(jnp.int32)
+    return inst, tri
+
+
+@chex.dataclass(frozen=True)
+class RenderTargets:
+    """The thin gbuffer written by raster + lighting."""
+
+    visibility: jnp.ndarray      # (H,W) uint32 packed
+    depth: jnp.ndarray           # (H,W) f32 reverse-Z (0 = far/empty)
+    color: jnp.ndarray           # (H,W,3) f32 HDR ACEScg
+    normal: jnp.ndarray          # (H,W,3) f32 pixel normal (translated world)
+    motion: jnp.ndarray          # (H,W,2) f32 NDC motion vector
+    ao_rough_metal: jnp.ndarray  # (H,W,3) f32
+
+    @classmethod
+    def empty(cls, h: int, w: int) -> "RenderTargets":
+        return cls(
+            visibility=jnp.zeros((h, w), jnp.uint32),
+            depth=jnp.zeros((h, w), jnp.float32),
+            color=jnp.zeros((h, w, 3), jnp.float32),
+            normal=jnp.zeros((h, w, 3), jnp.float32),
+            motion=jnp.zeros((h, w, 2), jnp.float32),
+            ao_rough_metal=jnp.zeros((h, w, 3), jnp.float32),
+        )
+
+
+@chex.dataclass(frozen=True)
+class FrameHistory:
+    """State carried frame→frame (temporal passes). `valid` gates all
+    history reads; a camera cut sets valid=0 (reference clearHistory)."""
+
+    valid: jnp.ndarray           # () f32 0/1
+    hzb_far: jnp.ndarray         # (H/2,W/2) f32 mip0 of the far (min-depth) pyramid
+    depth: jnp.ndarray           # (H,W) f32 previous depth
+    exposure: jnp.ndarray        # () f32 adapted exposure
+    tsr_color: jnp.ndarray       # (Hp,Wp,3) f32 accumulated TSR color
+    gi_diffuse: jnp.ndarray      # (H,W,3) f32 temporal GI accumulation
+    gi_samples: jnp.ndarray      # (H,W) f32 accumulated sample counts
+
+    @classmethod
+    def empty(cls, h: int, w: int, post_h: Optional[int] = None,
+              post_w: Optional[int] = None) -> "FrameHistory":
+        ph, pw = post_h or h, post_w or w
+        return cls(
+            valid=jnp.zeros((), jnp.float32),
+            hzb_far=jnp.zeros((h // 2, w // 2), jnp.float32),
+            depth=jnp.zeros((h, w), jnp.float32),
+            exposure=jnp.ones((), jnp.float32),
+            tsr_color=jnp.zeros((ph, pw, 3), jnp.float32),
+            gi_diffuse=jnp.zeros((h, w, 3), jnp.float32),
+            gi_samples=jnp.zeros((h, w), jnp.float32),
+        )

@@ -1,0 +1,167 @@
+"""Rasterizer vs NumPy oracle (SURVEY §4: unit tests for Pallas kernels
+(cull/compaction/raster) vs NumPy oracles)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chord_tpu.ops.raster import (RasterConfig, rasterize, rasterize_oracle,
+                                  setup_triangles, bin_triangles)
+
+W, H = 128, 32
+CFG = RasterConfig(width=W, height=H, tile_h=8, tile_w=128, bin_capacity=64,
+                   chunk=32, big_capacity=32, interpret=True)
+
+
+def make_random_tris(n, rng, depth_range=(0.1, 0.9), size=0.4, center_range=1.1):
+    """Random small CCW-facing triangles in clip space (w=1 → no perspective)."""
+    clip = np.zeros((n * 3, 4), np.float32)
+    centers = rng.uniform(-center_range, center_range, (n, 2))
+    for t in range(n):
+        # random triangle, force consistent CCW NDC winding
+        pts = centers[t] + rng.uniform(-size, size, (3, 2))
+        # signed area in NDC (y up): positive = CCW
+        a2 = (pts[1, 0] - pts[0, 0]) * (pts[2, 1] - pts[0, 1]) - \
+             (pts[1, 1] - pts[0, 1]) * (pts[2, 0] - pts[0, 0])
+        if a2 < 0:
+            pts = pts[::-1]
+        z = rng.uniform(*depth_range)
+        clip[t * 3:t * 3 + 3, 0:2] = pts
+        clip[t * 3:t * 3 + 3, 2] = z
+        clip[t * 3:t * 3 + 3, 3] = 1.0
+    indices = np.arange(n * 3, dtype=np.int32).reshape(n, 3)
+    valid = np.ones(n, bool)
+    payload = (np.arange(n, dtype=np.uint32) + 1) << 7
+    return clip, indices, valid, payload
+
+
+def run_both(clip, indices, valid, payload, cfg=CFG, backface_cull=True):
+    depth, vis, stats = rasterize(jnp.asarray(clip), jnp.asarray(indices),
+                                  jnp.asarray(valid), jnp.asarray(payload),
+                                  cfg, backface_cull=backface_cull)
+    d_ref, v_ref = rasterize_oracle(clip, indices, valid, payload,
+                                    cfg.width, cfg.height,
+                                    backface_cull=backface_cull)
+    return np.asarray(depth), np.asarray(vis), d_ref, v_ref, stats
+
+
+def assert_images_close(d, v, d_ref, v_ref, max_mismatch_frac=0.01):
+    """Allow a tiny fraction of differing pixels (float rounding at edges)."""
+    vis_mismatch = np.mean(v != v_ref)
+    depth_err = np.abs(d - d_ref)
+    assert vis_mismatch <= max_mismatch_frac, f"vis mismatch {vis_mismatch:.4f}"
+    assert np.percentile(depth_err, 99) < 1e-3
+
+
+def test_single_triangle():
+    rng = np.random.default_rng(0)
+    clip, idx, valid, payload = make_random_tris(1, rng)
+    d, v, d_ref, v_ref, _ = run_both(clip, idx, valid, payload)
+    assert (v_ref != 0).sum() > 0, "oracle drew nothing — bad test"
+    assert_images_close(d, v, d_ref, v_ref)
+
+
+def test_many_overlapping_triangles_depth_order():
+    rng = np.random.default_rng(1)
+    clip, idx, valid, payload = make_random_tris(30, rng)
+    d, v, d_ref, v_ref, _ = run_both(clip, idx, valid, payload)
+    assert (v_ref != 0).sum() > 100
+    assert_images_close(d, v, d_ref, v_ref)
+
+
+def test_big_triangle_path():
+    """A screen-covering triangle must take the big-triangle path."""
+    clip = np.array([
+        [-4.0, -4.0, 0.5, 1.0],
+        [4.0, -4.0, 0.5, 1.0],
+        [0.0, 4.0, 0.5, 1.0],
+    ], np.float32)
+    idx = np.array([[0, 1, 2]], np.int32)
+    valid = np.ones(1, bool)
+    payload = np.array([123 << 7], np.uint32)
+    d, v, d_ref, v_ref, _ = run_both(clip, idx, valid, payload)
+    assert (v == (123 << 7)).mean() > 0.95  # covers whole screen
+    assert_images_close(d, v, d_ref, v_ref)
+
+
+def test_mixed_small_and_big():
+    rng = np.random.default_rng(2)
+    clip_s, idx_s, val_s, pay_s = make_random_tris(20, rng)
+    clip_b = np.array([
+        [-4.0, -4.0, 0.05, 1.0],
+        [4.0, -4.0, 0.05, 1.0],
+        [0.0, 4.0, 0.05, 1.0],
+    ], np.float32)
+    clip = np.concatenate([clip_s, clip_b])
+    idx = np.concatenate([idx_s, np.array([[60, 61, 62]], np.int32)])
+    valid = np.ones(21, bool)
+    payload = np.concatenate([pay_s, np.array([999 << 7], np.uint32)])
+    d, v, d_ref, v_ref, _ = run_both(clip, idx, valid, payload)
+    # background must be the big tri (it's behind everything)
+    assert (v_ref == (999 << 7)).mean() > 0.5
+    assert_images_close(d, v, d_ref, v_ref)
+
+
+def test_backface_culling():
+    rng = np.random.default_rng(3)
+    clip, idx, valid, payload = make_random_tris(10, rng)
+    idx_flipped = idx[:, ::-1].copy()
+    d, v, *_ = run_both(clip, idx_flipped, valid, payload)
+    assert (v != 0).sum() == 0, "backfaces must be culled"
+    # two-sided: flipped winding still draws
+    d2, v2, d_ref, v_ref, _ = run_both(clip, idx_flipped, valid, payload,
+                                       backface_cull=False)
+    assert (v2 != 0).sum() > 0
+    assert_images_close(d2, v2, d_ref, v_ref)
+
+
+def test_fully_behind_rejected():
+    clip = np.array([
+        [0.0, 0.0, 0.5, -0.5],   # all vertices behind the eye plane
+        [0.5, 0.0, 0.5, -1.0],
+        [0.0, 0.5, 0.5, -0.7],
+    ], np.float32)
+    idx = np.array([[0, 1, 2]], np.int32)
+    d, v, *_ = run_both(clip, idx, np.ones(1, bool),
+                        np.array([1 << 7], np.uint32))
+    assert (v != 0).sum() == 0
+
+
+def test_eye_plane_crossing_renders():
+    """Homogeneous raster: a triangle with one vertex behind the eye must
+    still rasterize its in-front part (no near clipping stage)."""
+    # big triangle straddling the eye plane, wound to face the camera
+    clip = np.array([
+        [-2.0, -1.0, 0.01, 2.0],
+        [2.0, -1.0, 0.01, 2.0],
+        [0.0, 1.0, 0.01, -0.5],   # behind the eye
+    ], np.float32)
+    idx = np.array([[0, 1, 2]], np.int32)
+    payload = np.array([77 << 7], np.uint32)
+    d, v, d_ref, v_ref, _ = run_both(clip, idx, np.ones(1, bool), payload,
+                                     backface_cull=False)
+    assert (v_ref != 0).sum() > 50, "oracle should draw the in-front part"
+    assert_images_close(d, v, d_ref, v_ref)
+
+
+def test_invalid_triangles_ignored():
+    rng = np.random.default_rng(4)
+    clip, idx, valid, payload = make_random_tris(10, rng)
+    valid[::2] = False
+    d, v, d_ref, v_ref, _ = run_both(clip, idx, valid, payload)
+    assert_images_close(d, v, d_ref, v_ref)
+    drawn = set(np.unique(v)) - {0}
+    culled = {int(p) for p in payload[::2]}
+    assert not (drawn & culled)
+
+
+def test_bin_overflow_counted():
+    rng = np.random.default_rng(5)
+    # 200 sizable tris clustered at screen center, capacity 64 → overflow
+    clip, idx, valid, payload = make_random_tris(200, rng, size=0.3,
+                                                 center_range=0.1)
+    setup = setup_triangles(jnp.asarray(clip), jnp.asarray(idx),
+                            jnp.asarray(valid), jnp.asarray(payload), CFG)
+    bins, counts, overflow = bin_triangles(setup, CFG)
+    assert int(overflow) > 0
+    assert int(counts.max()) == CFG.bin_capacity
