@@ -30,3 +30,11 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Geometry math (vertex transforms, color matrices, barycentrics) needs true
+# f32: TPU matmuls default to bf16 MXU passes, which is visibly wrong for
+# edge equations and depth planes. Hot kernels opt into lower precision
+# explicitly where it is safe.
+_jax.config.update("jax_default_matmul_precision", "highest")

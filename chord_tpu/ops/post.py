@@ -1,0 +1,236 @@
+"""Post-processing chain: auto-exposure, bloom, TSR.
+
+TPU-native equivalents of the reference post passes:
+- Auto exposure: log-luminance histogram (128 bins) + percentile-clipped
+  average + temporal adaptation with separate up/down speeds (reference:
+  install/resource/shader/histogram.hlsl:44-54, auto_exposure.hlsl:116,
+  renderer/postprocessing/renderer_postprocessing.cpp:18-20; config
+  renderer/render_helper.h:516-526).
+- Bloom: downsample/upsample pyramid with threshold + soft knee
+  (reference: renderer/postprocessing/bloom.cpp:25-35).
+- TSR: temporal super resolution — prepare (closest-depth motion dilation),
+  reprojection (history resample), rectify (3x3 neighborhood clamp),
+  sharpen (reference: renderer/postprocessing/tsr.cpp:25-28,
+  shader/tsr_*.hlsl; SURVEY.md §8.8).
+
+Shader atomics (histogram shared-mem adds) become one-hot segment sums; the
+compute-pass chain becomes plain function composition that XLA fuses.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import colorspace
+
+
+# --- Auto exposure ---------------------------------------------------------
+
+HISTOGRAM_BINS = 128  # reference: shader/base.h:426 kHistogramBinCount
+
+
+class ExposureConfig(NamedTuple):
+    """reference: render_helper.h:516-526 PostprocessConfig."""
+
+    min_log_lum: float = -10.0
+    max_log_lum: float = 6.0
+    low_percent: float = 0.5
+    high_percent: float = 0.95
+    speed_up: float = 3.0
+    speed_down: float = 1.0
+    exposure_compensation: float = 1.0
+    fix_exposure: float = -1.0      # > 0 -> bypass (reference bAutoExposure off)
+
+
+def luminance_histogram(color_ap1: jnp.ndarray, cfg: ExposureConfig
+                        ) -> jnp.ndarray:
+    """(H,W,3) AP1 -> (BINS,) normalized histogram of log2 luminance.
+
+    The HLSL shared-memory atomic adds (histogram.hlsl:44-54) become a
+    one-hot segment-sum, which XLA lowers to an efficient reduction.
+    Bin 0 collects near-black pixels, exactly like the reference's
+    `luma < epsilon -> bin 0` path.
+    """
+    luma = colorspace.luminance_ap1(color_ap1)
+    scale = 1.0 / (cfg.max_log_lum - cfg.min_log_lum)
+    t = (jnp.log2(jnp.maximum(luma, 1e-10)) - cfg.min_log_lum) * scale
+    is_black = luma < 1e-5
+    binf = jnp.where(is_black, 0.0, 1.0 + t * (HISTOGRAM_BINS - 2))
+    bins = jnp.clip(binf.astype(jnp.int32), 0, HISTOGRAM_BINS - 1)
+    hist = jnp.zeros((HISTOGRAM_BINS,), jnp.float32).at[bins.reshape(-1)].add(
+        1.0, mode="drop")
+    return hist / jnp.maximum(jnp.sum(hist), 1.0)
+
+
+def adapt_exposure(
+    hist: jnp.ndarray,           # (BINS,) normalized
+    prev_exposure: jnp.ndarray,  # () f32
+    dt: float,
+    cfg: ExposureConfig,
+) -> jnp.ndarray:
+    """-> new adapted exposure scalar (reference: auto_exposure.hlsl —
+    percentile-clipped mean luminance, key value
+    `1.03 - 2/(2+log2(avg+1))`, exponential up/down adaptation)."""
+    cum = jnp.cumsum(hist)
+    lo, hi = cfg.low_percent, cfg.high_percent
+    # weight of each bin inside the [lo, hi] percentile band
+    prev_cum = jnp.concatenate([jnp.zeros(1), cum[:-1]])
+    band = jnp.clip(jnp.minimum(cum, hi) - jnp.maximum(prev_cum, lo), 0.0, 1.0)
+    centers = (jnp.arange(HISTOGRAM_BINS, dtype=jnp.float32) - 1.0 + 0.5) / \
+        (HISTOGRAM_BINS - 2) * (cfg.max_log_lum - cfg.min_log_lum) + cfg.min_log_lum
+    band = band.at[0].set(0.0)   # black bin excluded from the average
+    avg_log = jnp.sum(band * centers) / jnp.maximum(jnp.sum(band), 1e-6)
+    avg_lum = jnp.exp2(avg_log)
+
+    key = 1.03 - 2.0 / (2.0 + jnp.log2(avg_lum + 1.0))
+    target = key / jnp.maximum(avg_lum, 1e-6) * cfg.exposure_compensation
+
+    speed = jnp.where(target > prev_exposure, cfg.speed_up, cfg.speed_down)
+    blend = 1.0 - jnp.exp(-dt * speed)
+    adapted = prev_exposure + (target - prev_exposure) * blend
+    if cfg.fix_exposure > 0.0:
+        return jnp.asarray(cfg.fix_exposure, jnp.float32)
+    return adapted
+
+
+# --- Bloom -----------------------------------------------------------------
+
+class BloomConfig(NamedTuple):
+    """reference: render_helper.h:527-536 + bloom.cpp:25-35."""
+
+    threshold: float = 1.0
+    soft_knee: float = 0.5
+    intensity: float = 0.06
+    radius: float = 0.75
+    levels: int = 5
+
+
+def _downsample2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x box downsample, (H,W,3); odd dims are edge-padded to even."""
+    h, w, c = x.shape
+    if h % 2 or w % 2:
+        x = jnp.pad(x, ((0, h % 2), (0, w % 2), (0, 0)), mode="edge")
+        h, w = h + h % 2, w + w % 2
+    return x.reshape(h // 2, 2, w // 2, 2, c).mean(axis=(1, 3))
+
+
+def _upsample2(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """2x bilinear-ish upsample via nearest + 3x3 tent filter."""
+    up = jnp.repeat(jnp.repeat(x, 2, axis=0), 2, axis=1)[:out_h, :out_w]
+    # tent blur: separable [1,2,1]/4
+    k = jnp.array([0.25, 0.5, 0.25])
+    up = (jnp.roll(up, 1, 0) * k[0] + up * k[1] + jnp.roll(up, -1, 0) * k[2])
+    up = (jnp.roll(up, 1, 1) * k[0] + up * k[1] + jnp.roll(up, -1, 1) * k[2])
+    return up
+
+
+def compute_bloom(color: jnp.ndarray, cfg: BloomConfig) -> jnp.ndarray:
+    """(H,W,3) HDR AP1 -> bloom contribution (H,W,3). Pyramid down +
+    accumulate up (reference bloom.cpp pyramid)."""
+    # Quadratic soft-knee threshold (standard; reference uses the same
+    # threshold+knee curve family).
+    luma = colorspace.luminance_ap1(color)[..., None]
+    knee = cfg.threshold * cfg.soft_knee + 1e-5
+    soft = jnp.clip(luma - cfg.threshold + knee, 0.0, 2.0 * knee)
+    soft = soft * soft / (4.0 * knee)
+    contrib = jnp.maximum(luma - cfg.threshold, soft) / jnp.maximum(luma, 1e-5)
+    seed = color * contrib
+
+    # Down chain
+    mips = [seed]
+    for _ in range(cfg.levels):
+        h, w, _ = mips[-1].shape
+        if h < 8 or w < 8:
+            break
+        mips.append(_downsample2(mips[-1]))
+
+    # Up chain with radius-weighted accumulation
+    acc = mips[-1]
+    for i in range(len(mips) - 2, -1, -1):
+        h, w, _ = mips[i].shape
+        acc = mips[i] + _upsample2(acc, h, w) * cfg.radius
+    return acc * cfg.intensity
+
+
+# --- TSR (temporal super resolution) --------------------------------------
+
+class TSRConfig(NamedTuple):
+    """reference: tsr.cpp:17-28 (+ cvar r.tsr.sharpeness)."""
+
+    blend: float = 0.1           # new-frame weight when history valid
+    sharpness: float = 0.25
+
+
+def _sample_bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """img (H,W,C), x/y pixel coords (HW grids) -> (H,W,C)."""
+    h, w = img.shape[0], img.shape[1]
+    x0 = jnp.floor(x - 0.5)
+    y0 = jnp.floor(y - 0.5)
+    fx = (x - 0.5) - x0
+    fy = (y - 0.5) - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    c00 = img[y0i, x0i]
+    c01 = img[y0i, x1i]
+    c10 = img[y1i, x0i]
+    c11 = img[y1i, x1i]
+    fx = fx[..., None]
+    fy = fy[..., None]
+    return (c00 * (1 - fx) * (1 - fy) + c01 * fx * (1 - fy) +
+            c10 * (1 - fx) * fy + c11 * fx * fy)
+
+
+def _neighborhood_minmax(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """3x3 min/max over (H,W,C) via shifted mins (edge-clamped)."""
+    lo = img
+    hi = img
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            sh = jnp.roll(jnp.roll(img, dy, axis=0), dx, axis=1)
+            lo = jnp.minimum(lo, sh)
+            hi = jnp.maximum(hi, sh)
+    return lo, hi
+
+
+def temporal_resolve(
+    color: jnp.ndarray,        # (H,W,3) current frame HDR AP1 (jittered)
+    motion_ndc: jnp.ndarray,   # (H,W,2) NDC motion (curr - prev)
+    history: jnp.ndarray,      # (H,W,3) accumulated history
+    history_valid: jnp.ndarray,  # () f32 0/1
+    cfg: TSRConfig,
+) -> jnp.ndarray:
+    """TAA-style temporal accumulation at render res (the TSR upscale path
+    adds the render->post resolution change on top; reference tsr_*.hlsl:
+    reprojection + rectify + sharpen)."""
+    h, w = color.shape[:2]
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
+    xs = jnp.broadcast_to(xs, (h, w))
+    ys = jnp.broadcast_to(ys, (h, w))
+    # motion is NDC (x right, y up); pixels are y-down
+    px_prev = xs - motion_ndc[..., 0] * (w * 0.5)
+    py_prev = ys + motion_ndc[..., 1] * (h * 0.5)
+
+    hist = _sample_bilinear(history, px_prev, py_prev)
+
+    # Rectify: clamp history into the 3x3 neighborhood color AABB
+    lo, hi = _neighborhood_minmax(color)
+    hist = jnp.clip(hist, lo, hi)
+
+    offscreen = ((px_prev < 0) | (px_prev > w) |
+                 (py_prev < 0) | (py_prev > h)).astype(jnp.float32)[..., None]
+    alpha = jnp.maximum(cfg.blend, jnp.maximum(1.0 - history_valid, offscreen))
+    out = color * alpha + hist * (1.0 - alpha)
+
+    # Sharpen (tsr_sharpen.hlsl): unsharp mask against the 4-neighbor mean.
+    blur = (jnp.roll(out, 1, 0) + jnp.roll(out, -1, 0) +
+            jnp.roll(out, 1, 1) + jnp.roll(out, -1, 1)) * 0.25
+    return jnp.maximum(out + (out - blur) * cfg.sharpness, 0.0)

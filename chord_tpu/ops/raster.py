@@ -69,8 +69,18 @@ class RasterConfig(NamedTuple):
         return self.tiles_x * self.tiles_y
 
     @property
+    def chunk_eff(self) -> int:
+        """Triangles per kernel step, clamped to the bin capacity (a chunk
+        larger than the bin would make the per-tile block index collapse to
+        0 and alias every tile onto tile 0's bin)."""
+        c = min(self.chunk, self.bin_capacity)
+        assert self.bin_capacity % c == 0, \
+            f"bin_capacity {self.bin_capacity} not a multiple of chunk {c}"
+        return c
+
+    @property
     def n_chunks(self) -> int:
-        return -(-self.bin_capacity // self.chunk)
+        return self.bin_capacity // self.chunk_eff
 
 
 @chex.dataclass(frozen=True)
@@ -328,7 +338,7 @@ def _raster_kernel(counts_ref, coef_ref, depth_ref, vis_ref,
 
     count = counts_ref[tile]
 
-    @pl.when(chunk * c.chunk < count)
+    @pl.when(chunk * c.chunk_eff < count)
     def _work():
         tile_ty = tile // c.tiles_x
         tile_tx = tile % c.tiles_x
@@ -400,8 +410,8 @@ def raster_tiles(
         num_scalar_prefetch=1,   # counts (n_tiles,) in SMEM
         grid=(c.n_tiles, c.n_chunks),
         in_specs=[
-            pl.BlockSpec((16, c.chunk),
-                         lambda t, k, counts: (0, t * (c.bin_capacity // c.chunk) + k),
+            pl.BlockSpec((16, c.chunk_eff),
+                         lambda t, k, counts: (0, t * c.n_chunks + k),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -422,7 +432,9 @@ def raster_tiles(
             jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
             jax.ShapeDtypeStruct((h_pad, w_pad), jnp.uint32),
         ],
-        interpret=c.interpret,
+        # CPU has no Mosaic backend — fall back to the interpreter so the
+        # same code runs under tests / virtual-device dry runs.
+        interpret=c.interpret or jax.default_backend() == "cpu",
     )(counts, coef_k)
     return depth[:c.height, :c.width], vis[:c.height, :c.width]
 

@@ -1,0 +1,273 @@
+"""Deferred shading from the visibility buffer.
+
+TPU-native equivalent of the reference's tile-indirect lighting pass
+(reference: install/resource/shader/lighting.hlsl:270-385 — decode
+visibility, re-fetch the hit triangle, recompute perspective-correct
+barycentrics with analytic derivatives, interpolate attributes, GLTF
+metallic-roughness BRDF with sun + sky; barycentric math in
+install/resource/shader/base.hlsli:449-497).
+
+On TPU there is no need for material-bucketed indirect dispatches
+(reference: visibility_tile.hlsl) in the *uniform-material-model* case: all
+pixels run the same metallic-roughness BRDF as one dense fused pass over the
+(H, W) grid, and XLA fuses the decode->interpolate->BRDF chain. Sky pixels
+(visibility == 0) take the sky radiance branch via `jnp.where` — branchless,
+exactly how an 8x128 vreg machine wants it. The visibility-tile machinery
+still exists for passes that genuinely diverge (see ops/visibility_tile.py).
+
+All radiometric quantities are linear ACEScg (AP1); see ops/colorspace.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import colorspace
+from ..rhi.framebuffer import unpack_visibility
+
+
+class SunLight(NamedTuple):
+    """Directional sun. Direction points *from* the surface *toward* the sun
+    (translated world). Radiance in AP1."""
+
+    direction: jnp.ndarray    # (3,) f32, normalized
+    radiance: jnp.ndarray     # (3,) f32 AP1
+    # Sky ambient used before the atmosphere pass exists / as leak term.
+    sky_ambient: jnp.ndarray  # (3,) f32 AP1
+
+
+class GBuffer(NamedTuple):
+    """Decoded per-pixel surface attributes (the reference's thin gbuffer,
+    render_textures.h:10-62, produced here directly from the visibility
+    buffer instead of being rasterized)."""
+
+    valid: jnp.ndarray        # (H,W) bool — hit something
+    position_tw: jnp.ndarray  # (H,W,3) translated-world position
+    normal: jnp.ndarray       # (H,W,3) shading normal (translated world)
+    base_color: jnp.ndarray   # (H,W,3) AP1 linear albedo
+    metallic: jnp.ndarray     # (H,W)
+    roughness: jnp.ndarray    # (H,W)
+    emissive: jnp.ndarray     # (H,W,3) AP1
+    uv: jnp.ndarray           # (H,W,2)
+    motion: jnp.ndarray       # (H,W,2) NDC motion vector (curr - prev)
+
+
+def _barycentrics_from_clip(
+    c0: jnp.ndarray, c1: jnp.ndarray, c2: jnp.ndarray,  # (...,4) clip
+    px_ndc: jnp.ndarray, py_ndc: jnp.ndarray,            # (...,) pixel NDC
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Perspective-correct barycentrics at an NDC point from clip-space
+    vertices (reference: base.hlsli:457-497 calculateTriangleBarycentrics,
+    UE5-style). Returns (b0, b1, b2) with b0+b1+b2 = 1.
+
+    Derivation: the 2D homogeneous cofactor weights lambda_i evaluated at
+    the pixel give screen-space (non-perspective) weights proportional to
+    sub-triangle areas times w products; dividing each by w_i and
+    renormalizing yields attribute-correct barycentrics.
+    """
+    def ndc_xy(c):
+        return c[..., 0], c[..., 1], c[..., 3]
+
+    x0, y0, w0 = ndc_xy(c0)
+    x1, y1, w1 = ndc_xy(c1)
+    x2, y2, w2 = ndc_xy(c2)
+    # Homogeneous 2D cross products: lambda_i(p) for p = (px, py, 1) against
+    # the projected homogeneous verts (x, y, w).
+    def edge(ax, ay, aw, bx, by, bw):
+        return ((ay * bw - aw * by) * px_ndc +
+                (aw * bx - ax * bw) * py_ndc +
+                (ax * by - ay * bx))
+
+    l0 = edge(x1, y1, w1, x2, y2, w2)
+    l1 = edge(x2, y2, w2, x0, y0, w0)
+    l2 = edge(x0, y0, w0, x1, y1, w1)
+    # Perspective correction: b_i ∝ l_i (already includes the 1/w_i factor
+    # through the homogeneous formulation when normalized by the sum).
+    s = l0 + l1 + l2
+    inv = 1.0 / jnp.where(jnp.abs(s) > 1e-20, s, 1.0)
+    return l0 * inv, l1 * inv, l2 * inv
+
+
+def resolve_gbuffer(
+    vis: jnp.ndarray,            # (H,W) uint32 — payload = global_tri_id + 1
+    pools,                       # rhi.ScenePools
+    instances,                   # rhi.FrameInstances
+    view_tw_to_clip: jnp.ndarray,        # (4,4) f32 (no jitter)
+    prev_tw_to_clip: jnp.ndarray,        # (4,4) f32 previous frame
+) -> GBuffer:
+    """Visibility buffer -> full-res gbuffer (flat-triangle path: the
+    payload is the global pool triangle id + 1; the meshlet path decodes
+    (draw, tri:7) in ops/meshlet_shading.py)."""
+    h, w = vis.shape
+    tri = vis.astype(jnp.int32) - 1                  # -1 = sky
+    valid = tri >= 0
+    tri_safe = jnp.maximum(tri, 0)
+
+    idx = pools.indices[tri_safe]                    # (H,W,3)
+    obj = pools.tri_object[tri_safe]                 # (H,W)
+
+    p0 = pools.positions[idx[..., 0]]                # (H,W,3) local
+    p1 = pools.positions[idx[..., 1]]
+    p2 = pools.positions[idx[..., 2]]
+    n0 = pools.normals[idx[..., 0]]
+    n1 = pools.normals[idx[..., 1]]
+    n2 = pools.normals[idx[..., 2]]
+    uv0 = pools.uv0[idx[..., 0]]
+    uv1 = pools.uv0[idx[..., 1]]
+    uv2 = pools.uv0[idx[..., 2]]
+
+    m = instances.object_to_tw[obj]                  # (H,W,4,4)
+    mp = instances.object_prev_to_tw[obj]
+    nm = instances.object_normal_mat[obj]            # (H,W,3,3)
+
+    def xf(p, mat):
+        # row-vector: p' = p @ mat (homogeneous, w row added)
+        return (p[..., 0:1] * mat[..., 0, :] + p[..., 1:2] * mat[..., 1, :] +
+                p[..., 2:3] * mat[..., 2, :] + mat[..., 3, :])
+
+    tw0 = xf(p0, m)                                  # (H,W,4) but w==1 col
+    tw1 = xf(p1, m)
+    tw2 = xf(p2, m)
+
+    def clip_of(twp, vp):
+        return (twp[..., 0:1] * vp[0] + twp[..., 1:2] * vp[1] +
+                twp[..., 2:3] * vp[2] + twp[..., 3:4] * vp[3])
+
+    c0 = clip_of(tw0, view_tw_to_clip)
+    c1 = clip_of(tw1, view_tw_to_clip)
+    c2 = clip_of(tw2, view_tw_to_clip)
+
+    # Pixel center NDC coordinates (y up in NDC, y down in pixels).
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
+    ys = 1.0 - (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0
+    px = jnp.broadcast_to(xs[None, :], (h, w))
+    py = jnp.broadcast_to(ys[:, None], (h, w))
+
+    b0, b1, b2 = _barycentrics_from_clip(c0, c1, c2, px, py)
+    bexp = lambda b: b[..., None]
+
+    pos_tw = (bexp(b0) * tw0[..., :3] + bexp(b1) * tw1[..., :3] +
+              bexp(b2) * tw2[..., :3])
+    nrm_local = bexp(b0) * n0 + bexp(b1) * n1 + bexp(b2) * n2
+    nrm = (nrm_local[..., 0:1] * nm[..., 0, :] +
+           nrm_local[..., 1:2] * nm[..., 1, :] +
+           nrm_local[..., 2:3] * nm[..., 2, :])
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-8)
+    uv = bexp(b0) * uv0 + bexp(b1) * uv1 + bexp(b2) * uv2
+
+    # Motion vector: NDC delta of the interpolated surface point between
+    # frames (reference: mesh_raster writes no-jitter HS positions for this,
+    # SURVEY.md §8.3).
+    prev_tw0 = xf(p0, mp)
+    prev_tw1 = xf(p1, mp)
+    prev_tw2 = xf(p2, mp)
+    prev_pos = (bexp(b0) * prev_tw0[..., :3] + bexp(b1) * prev_tw1[..., :3] +
+                bexp(b2) * prev_tw2[..., :3])
+
+    def project_ndc(p3, vp):
+        c = (p3[..., 0:1] * vp[0] + p3[..., 1:2] * vp[1] +
+             p3[..., 2:3] * vp[2] + vp[3])
+        return c[..., :2] / jnp.maximum(jnp.abs(c[..., 3:4]), 1e-8) * \
+            jnp.sign(c[..., 3:4])
+
+    ndc_now = project_ndc(pos_tw, view_tw_to_clip)
+    ndc_prev = project_ndc(prev_pos, prev_tw_to_clip)
+    motion = ndc_now - ndc_prev
+
+    mat_id = instances.object_material[obj]
+    base_srgb = pools.mat_base_color[mat_id][..., :3]
+    base = colorspace.srgb_to_acescg(base_srgb)
+    metal_rough = pools.mat_metal_rough[mat_id]
+    emissive = colorspace.srgb_to_acescg(pools.mat_emissive[mat_id])
+
+    vz = valid[..., None]
+    return GBuffer(
+        valid=valid,
+        position_tw=jnp.where(vz, pos_tw, 0.0),
+        normal=jnp.where(vz, nrm, 0.0),
+        base_color=jnp.where(vz, base, 0.0),
+        metallic=jnp.where(valid, metal_rough[..., 0], 0.0),
+        roughness=jnp.where(valid, metal_rough[..., 1], 1.0),
+        emissive=jnp.where(vz, emissive, 0.0),
+        uv=jnp.where(vz, uv, 0.0),
+        motion=jnp.where(vz, motion, 0.0),
+    )
+
+
+# --- BRDF ------------------------------------------------------------------
+# GLTF metallic-roughness GGX, matching the reference's BRDF
+# (install/resource/shader/material.hlsli / lighting.hlsl:75-135).
+
+def _d_ggx(noh: jnp.ndarray, a2: jnp.ndarray) -> jnp.ndarray:
+    d = noh * noh * (a2 - 1.0) + 1.0
+    return a2 / jnp.maximum(jnp.pi * d * d, 1e-8)
+
+
+def _v_smith_ggx_correlated(nov, nol, a2):
+    # Height-correlated Smith visibility (includes the 1/(4 NoV NoL)).
+    ggx_v = nol * jnp.sqrt(jnp.maximum(nov * nov * (1.0 - a2) + a2, 1e-8))
+    ggx_l = nov * jnp.sqrt(jnp.maximum(nol * nol * (1.0 - a2) + a2, 1e-8))
+    return 0.5 / jnp.maximum(ggx_v + ggx_l, 1e-8)
+
+
+def _f_schlick(voh, f0):
+    return f0 + (1.0 - f0) * jnp.power(jnp.clip(1.0 - voh, 0.0, 1.0), 5.0)
+
+
+def shade_pixels(
+    gbuffer: GBuffer,
+    sun: SunLight,
+    view_pos_tw: Optional[jnp.ndarray] = None,  # camera at origin in TW
+    sun_shadow: Optional[jnp.ndarray] = None,   # (H,W) [0,1] visibility
+    sky_radiance: Optional[jnp.ndarray] = None, # (H,W,3) AP1 for sky pixels
+    ambient: Optional[jnp.ndarray] = None,      # (H,W,3) or None -> flat sky
+) -> jnp.ndarray:
+    """Per-pixel direct lighting -> (H,W,3) HDR AP1.
+
+    Sun (with optional shadow mask) + hemispherical ambient. Indirect
+    diffuse/specular GI are composited separately (ops/gi.py).
+    """
+    g = gbuffer
+    n = g.normal
+    # View ray: camera sits at the origin of translated world.
+    v = -g.position_tw
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-8)
+    l = jnp.broadcast_to(sun.direction, n.shape)
+    h = v + l
+    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-8)
+
+    nol = jnp.clip(jnp.sum(n * l, -1), 0.0, 1.0)
+    nov = jnp.clip(jnp.sum(n * v, -1), 1e-4, 1.0)
+    noh = jnp.clip(jnp.sum(n * h, -1), 0.0, 1.0)
+    voh = jnp.clip(jnp.sum(v * h, -1), 0.0, 1.0)
+
+    a = jnp.maximum(g.roughness * g.roughness, 1e-3)
+    a2 = a * a
+    f0 = 0.04 * (1.0 - g.metallic[..., None]) + \
+        g.base_color * g.metallic[..., None]
+    diffuse_color = g.base_color * (1.0 - g.metallic[..., None])
+
+    d = _d_ggx(noh, a2)
+    vis = _v_smith_ggx_correlated(nov, nol, a2)
+    f = _f_schlick(voh[..., None], f0)
+    specular = (d * vis)[..., None] * f
+    diffuse = diffuse_color / jnp.pi
+
+    shadow = sun_shadow if sun_shadow is not None else 1.0
+    direct = (diffuse + specular) * (nol * shadow)[..., None] * sun.radiance
+
+    if ambient is None:
+        # Flat hemispherical ambient from the sky color (pre-atmosphere
+        # bootstrap; replaced by GI + atmosphere when enabled).
+        up_wrap = jnp.clip(n[..., 1] * 0.5 + 0.5, 0.0, 1.0)[..., None]
+        ambient = sun.sky_ambient * up_wrap
+    indirect = diffuse_color * ambient
+
+    lit = direct + indirect + g.emissive
+
+    if sky_radiance is None:
+        sky_radiance = jnp.broadcast_to(sun.sky_ambient, lit.shape)
+    return jnp.where(g.valid[..., None], lit, sky_radiance)

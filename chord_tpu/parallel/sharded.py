@@ -1,0 +1,158 @@
+"""Multi-chip rendering: sort-first screen-strip parallelism over an ICI mesh.
+
+The reference is strictly single-GPU (SURVEY.md §2.10 — its only
+"communication fabric" is Vulkan queue timeline semaphores). The TPU build
+scales past one chip the TPU way: `shard_map` over a `jax.sharding.Mesh`,
+with the frame decomposed **sort-first** — each device owns a horizontal
+strip of the screen and runs the complete pipeline (cull -> raster ->
+shade -> post) for its strip:
+
+- Scene pools + instance tables are **replicated** (they are read-only
+  per frame and gathered randomly — sharding them would turn every gather
+  into an all-to-all).
+- Each device gets a *strip view*: the full-frame projection composed with
+  an off-center crop that maps its strip's NDC y-range onto [-1, 1]. Strip
+  frustum culling then automatically discards geometry outside the strip,
+  so per-device raster work scales down with 1/n (sort-first load balance).
+- Cross-strip communication is tiny and rides ICI: one psum of the 128-bin
+  exposure histogram (auto-exposure must see the whole frame); the final
+  image is just the sharded (H, W) array (device_get concatenates).
+
+This is the honest analog of multi-queue GPU parallelism for a renderer —
+embarrassingly parallel over screen space with one global reduction.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..renderer.deferred import DeviceView, RendererConfig, render_frame_flat
+from ..rhi.framebuffer import FrameHistory
+from ..utils.camera import ViewUniform
+from ..utils import math as cmath
+
+AXIS = "strips"
+
+
+def _strip_matrix(k: int, n: int) -> np.ndarray:
+    """Row-vector postmultiply matrix A with clip' = clip @ A mapping strip
+    k's NDC y-range [1-2k/n, 1-2(k+1)/n] to [-1, 1]. (NDC y is up; strip 0
+    is the TOP of the image.)"""
+    s = float(n)
+    c = 1.0 - (2.0 * k + 1.0) / n     # strip center in full-frame NDC
+    a = np.eye(4, dtype=np.float64)
+    a[1, 1] = s
+    a[3, 1] = -c * s
+    return a
+
+
+def strip_device_views(u: ViewUniform, n: int, **light_kwargs):
+    """Full-frame ViewUniform -> stacked per-strip DeviceView (leaf arrays
+    gain a leading (n,) axis, sharded over the mesh)."""
+    views = []
+    for k in range(n):
+        a = _strip_matrix(k, n)
+        su = ViewUniform(
+            translated_world_to_view=u.translated_world_to_view,
+            view_to_clip=np.float32(u.view_to_clip.astype(np.float64) @ a),
+            translated_world_to_clip=np.float32(
+                u.translated_world_to_clip.astype(np.float64) @ a),
+            translated_world_to_clip_nojitter=np.float32(
+                u.translated_world_to_clip_nojitter.astype(np.float64) @ a),
+            prev_translated_world_to_clip_nojitter=np.float32(
+                u.prev_translated_world_to_clip_nojitter.astype(np.float64) @ a),
+            frustum_planes=np.float32(cmath.frustum_planes(
+                u.translated_world_to_clip_nojitter.astype(np.float64) @ a)),
+            camera_world_pos=u.camera_world_pos,
+            render_size=(u.render_size[0], u.render_size[1] // n),
+            z_near=u.z_near, fovy=u.fovy, jitter=u.jitter,
+            frame_index=u.frame_index,
+        )
+        views.append(DeviceView.from_uniform(su, **light_kwargs))
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *views)
+
+
+class ShardedRenderer:
+    """Drives the strip-parallel frame over a 1-D device mesh."""
+
+    def __init__(self, config: RendererConfig, mesh: Optional[Mesh] = None):
+        devices = mesh.devices.reshape(-1) if mesh else np.array(jax.devices())
+        self.n = len(devices)
+        assert config.height % self.n == 0, \
+            f"height {config.height} not divisible by {self.n} devices"
+        self.mesh = mesh or Mesh(devices, (AXIS,))
+        self.config = config
+        self.strip_config = config._replace(height=config.height // self.n)
+        self.history = None
+
+        strip_fn = functools.partial(render_frame_flat,
+                                     config=self.strip_config,
+                                     axis_name=AXIS)
+
+        def sharded_step(pools, instances, views, history):
+            def body(pools, instances, view, hist):
+                view = jax.tree.map(lambda x: x[0], view)
+                hist = jax.tree.map(lambda x: x[0], hist)
+                image, new_hist, stats = strip_fn(pools, instances, view, hist)
+                stats = {k: jax.lax.psum(v, AXIS) for k, v in stats.items()}
+                return (image, jax.tree.map(lambda x: x[None], new_hist),
+                        stats)
+
+            return shard_map(
+                body, mesh=self.mesh,
+                in_specs=(P(), P(), P(AXIS), P(AXIS)),
+                out_specs=(P(AXIS), P(AXIS), P()),
+                check_rep=False,
+            )(pools, instances, views, history)
+
+        self._step = jax.jit(sharded_step)
+
+    def reset_history(self):
+        self.history = None
+
+    def render(self, pools, instances, view_uniform: ViewUniform,
+               **light_kwargs):
+        if self.history is None:
+            one = FrameHistory.empty(self.strip_config.height,
+                                     self.config.width)
+            self.history = jax.tree.map(
+                lambda x: jnp.stack([x] * self.n), one)
+        views = strip_device_views(view_uniform, self.n, **light_kwargs)
+        image, self.history, stats = self._step(
+            pools, instances, views, self.history)
+        return image, stats
+
+
+def dryrun(n_devices: int) -> None:
+    """Driver hook: build an n-device mesh, jit the FULL sharded frame, run
+    one step on tiny shapes (called with xla_force_host_platform_device_count
+    virtual CPU devices)."""
+    devices = jax.devices()[:n_devices]
+    mesh = Mesh(np.array(devices), (AXIS,))
+
+    from ..asset.procedural import build_sponza_like
+    from ..utils.camera import Camera
+
+    b = build_sponza_like(detail=1)
+    pools = b.build_pools()
+    h = 16 * n_devices
+    cam = Camera(width=128, height=h)
+    cam.position = np.array([-15.0, 4.0, 0.0])   # inside the atrium
+    cam.look_at(np.array([10.0, 2.0, 0.0]))
+
+    config = RendererConfig(width=128, height=h, bin_capacity=256,
+                            big_capacity=128, interpret=True)
+    r = ShardedRenderer(config, mesh)
+    inst = b.frame_instances(cam)
+    image, stats = r.render(pools, inst, cam.view_uniform(0))
+    image.block_until_ready()
+    assert image.shape == (h, 128, 3) if image.ndim == 3 else True
+    print(f"dryrun_multichip({n_devices}): image {image.shape}, "
+          f"stats {jax.tree.map(lambda x: np.asarray(x).item(), stats)}")

@@ -3,7 +3,7 @@ tests run without TPU hardware; Pallas kernels run in interpret mode."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,4 +11,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU backend and sets
+# jax_platforms="axon,cpu", overriding the env var — override it back.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,98 @@
+"""Deferred shading: barycentric reconstruction + BRDF sanity
+(reference: lighting.hlsl:270-385, base.hlsli:449-497)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from chord_tpu.ops import shading
+from chord_tpu.ops.raster import RasterConfig, rasterize
+from chord_tpu.rhi.scene_arrays import (MaterialData, MeshData, SceneBuilder)
+from chord_tpu.utils.camera import Camera
+
+
+def _quad_scene():
+    """One unit quad at z=-5 facing the camera."""
+    b = SceneBuilder()
+    quad = MeshData(
+        positions=np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]],
+                           np.float32),
+        indices=np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+        normals=np.tile([0, 0, 1], (4, 1)).astype(np.float32),
+        uv0=np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32))
+    mid = b.add_mesh(quad)
+    mat = b.add_material(MaterialData(base_color=(1.0, 0.0, 0.0, 1.0),
+                                      metallic=0.0, roughness=0.5))
+    m = np.eye(4)
+    m[3, 2] = -5.0
+    b.add_instance(mid, mat, m)
+    return b
+
+
+def test_gbuffer_reconstruction():
+    b = _quad_scene()
+    pools = b.build_pools()
+    cam = Camera(width=64, height=64, fovy_deg=60.0)
+    inst = b.frame_instances(cam)
+    u = cam.view_uniform(0)
+
+    from chord_tpu.ops.transform import transform_to_clip
+    clip = transform_to_clip(pools.positions, pools.vertex_object,
+                             inst.object_to_tw,
+                             jnp.asarray(u.translated_world_to_clip))
+    payload = jnp.arange(pools.indices.shape[0], dtype=jnp.uint32) + 1
+    cfg = RasterConfig(width=64, height=64, bin_capacity=64, big_capacity=16,
+                       interpret=True)
+    depth, vis, _ = rasterize(clip, pools.indices, pools.tri_valid, payload,
+                              cfg)
+    vis = np.asarray(vis)
+    assert (vis > 0).sum() > 100, "quad should cover pixels"
+
+    g = shading.resolve_gbuffer(
+        jnp.asarray(vis), pools, inst,
+        jnp.asarray(u.translated_world_to_clip_nojitter),
+        jnp.asarray(u.prev_translated_world_to_clip_nojitter))
+
+    valid = np.asarray(g.valid)
+    pos = np.asarray(g.position_tw)
+    nrm = np.asarray(g.normal)
+    # Hit points lie on the quad plane z = -5 (camera at origin).
+    assert np.allclose(pos[valid][:, 2], -5.0, atol=1e-3)
+    assert np.allclose(np.abs(pos[valid][:, 0]) <= 1.01, True)
+    # Normal is +Z toward the camera.
+    assert np.allclose(nrm[valid], [0, 0, 1], atol=1e-4)
+    # Base color converted to AP1 still mostly red.
+    bc = np.asarray(g.base_color)[valid]
+    assert (bc[:, 0] > bc[:, 1]).all() and (bc[:, 0] > bc[:, 2]).all()
+    # Static scene: zero motion.
+    assert np.abs(np.asarray(g.motion)[valid]).max() < 1e-4
+
+    # Center pixel UV ~ (0.5, 0.5)
+    uv = np.asarray(g.uv)
+    assert np.allclose(uv[32, 32], [0.5, 0.5], atol=0.05)
+
+
+def test_brdf_energy_sanity():
+    h = w = 8
+    g = shading.GBuffer(
+        valid=jnp.ones((h, w), bool),
+        position_tw=jnp.tile(jnp.asarray([0.0, 0.0, -5.0]), (h, w, 1)),
+        normal=jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (h, w, 1)),
+        base_color=jnp.full((h, w, 3), 0.5),
+        metallic=jnp.zeros((h, w)),
+        roughness=jnp.full((h, w), 0.7),
+        emissive=jnp.zeros((h, w, 3)),
+        uv=jnp.zeros((h, w, 2)),
+        motion=jnp.zeros((h, w, 2)),
+    )
+    sun = shading.SunLight(
+        direction=jnp.asarray([0.0, 0.0, 1.0]),
+        radiance=jnp.asarray([1.0, 1.0, 1.0]),
+        sky_ambient=jnp.zeros(3))
+    out = np.asarray(shading.shade_pixels(g, sun))
+    assert (out >= 0).all()
+    # Lambertian bound: diffuse-only albedo 0.5 head-on < 0.5/pi + small spec
+    assert out.max() < 0.5, f"energy blowup: {out.max()}"
+    # Shadowed sun -> black
+    out_sh = np.asarray(shading.shade_pixels(
+        g, sun, sun_shadow=jnp.zeros((h, w))))
+    assert out_sh.max() < 1e-6
