@@ -39,7 +39,7 @@ def bench_frame(width=1920, height=1080, detail=3, frames=20, warmup=3,
     cam.look_at(np.array([20.0, 2.0, -5.0]))
 
     config = RendererConfig(width=width, height=height,
-                            bin_capacity=4096, big_capacity=1024)
+                            pair_capacity=32768, big_capacity=1024)
     r = DeferredRenderer(config)
 
     inst = b.frame_instances(cam)

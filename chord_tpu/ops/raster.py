@@ -3,28 +3,30 @@
 The TPU replacement for the reference's hardware mesh-shader raster pass
 (reference: install/resource/shader/mesh_raster.hlsl:51-209 — vertex
 transform, per-triangle culls, SV_CullPrimitive, PS writes packed
-`(instanceId+1):25|triangleId:7` into an R32_UINT visibility target + depth).
+`(instanceId+1):25|triangleId:7` into an R32_UINT visibility target +
+depth). TPUs have no ROPs and no atomics usable from XLA, so depth-correct
+raster is restructured as three data-parallel stages with static shapes:
 
-TPUs have no ROPs and no atomics usable from XLA, so depth-correct raster is
-restructured as three data-parallel stages with static shapes:
+1. **setup**: per-triangle homogeneous edge equations + depth plane
+   (Olano-Greer clipless rasterization — see TriangleSetup). Triangles are
+   grouped into **windows of 128** — one window == one meshlet on the
+   meshlet path == one dense (16,128) coefficient block, the kernel's unit
+   of work.
+2. **bin**: windows -> screen tiles (8x128 px). The output is a *work
+   queue*: the sorted list of (tile, window) pairs, NOT a dense per-tile
+   matrix. Small windows expand to static candidate slots; rare
+   tile-spanning windows take a big path. Overflow is counted, not silent.
+3. **raster** (Pallas kernel): grid = the work queue. Scalar-prefetched
+   pair arrays drive the BlockSpec index maps, so each grid step DMAs
+   exactly one window's coefficient block and the depth/visibility tile it
+   touches — work is proportional to binned pairs, with zero empty-tile or
+   empty-chunk steps. Depth/vis are carried via input/output aliasing, so
+   the pass can be seeded from a previous phase (two-phase HZB occlusion
+   re-raster, reference mesh_raster.cpp:269-330).
 
-1. **setup**: per-triangle screen-space edge equations + affine depth plane,
-   normalized by twice the signed area so `edge >= 0` means inside for
-   front faces. Backface/near-plane/degenerate/zero-area culls happen here
-   (the same trivial rejections mesh_raster.hlsl does per-primitive).
-2. **bin**: triangles → screen tiles (TH×TW pixels). Small triangles expand
-   to at most KY×KX tile slots; rare tile-spanning "big" triangles are
-   compacted into a separate list and expanded against the whole tile grid.
-   All (tile, tri) pairs are sorted by tile id (lax.sort_key_val) and
-   gathered into a dense (n_tiles, capacity) bin matrix. Overflow is
-   *counted and reported*, never silent.
-3. **tile raster** (Pallas kernel): grid over (tiles, capacity chunks); each
-   step evaluates edges+depth for a chunk of C triangles over all TH*TW
-   pixels with ONE MXU matmul `pix(P,3) @ coef(3,4C)`, resolves cover/depth,
-   and folds a running (max-depth, payload) pair into the output block.
-   Reverse-Z: larger depth wins; exact depth ties resolve to the larger
-   payload, which makes the output deterministic (the Vulkan reference's
-   depth-test races are *not* deterministic — we beat it there).
+Reverse-Z: larger depth wins; exact ties resolve to the larger payload —
+the output is deterministic (the Vulkan reference's depth-test races are
+not).
 
 Coordinate conventions are documented in chord_tpu.utils.math.
 """
@@ -32,7 +34,7 @@ Coordinate conventions are documented in chord_tpu.utils.math.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import chex
 import jax
@@ -40,6 +42,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+WINDOW = 128   # triangles per window == meshlet max tris == kernel block
 
 
 class RasterConfig(NamedTuple):
@@ -49,11 +53,10 @@ class RasterConfig(NamedTuple):
     height: int
     tile_h: int = 8
     tile_w: int = 128
-    bin_capacity: int = 1024      # max triangles per tile
-    chunk: int = 128              # triangles per kernel step
-    small_ky: int = 4             # small-path tile rows
+    pair_capacity: int = 8192     # work-queue length: max (tile,window) pairs
+    small_ky: int = 8             # small-path tile rows (window bbox height)
     small_kx: int = 2             # small-path tile cols
-    big_capacity: int = 256      # max tile-spanning triangles
+    big_capacity: int = 256       # max tile-spanning windows
     interpret: bool = False       # pallas interpreter (CPU tests)
 
     @property
@@ -68,20 +71,6 @@ class RasterConfig(NamedTuple):
     def n_tiles(self) -> int:
         return self.tiles_x * self.tiles_y
 
-    @property
-    def chunk_eff(self) -> int:
-        """Triangles per kernel step, clamped to the bin capacity (a chunk
-        larger than the bin would make the per-tile block index collapse to
-        0 and alias every tile onto tile 0's bin)."""
-        c = min(self.chunk, self.bin_capacity)
-        assert self.bin_capacity % c == 0, \
-            f"bin_capacity {self.bin_capacity} not a multiple of chunk {c}"
-        return c
-
-    @property
-    def n_chunks(self) -> int:
-        return self.bin_capacity // self.chunk_eff
-
 
 @chex.dataclass(frozen=True)
 class TriangleSetup:
@@ -94,39 +83,49 @@ class TriangleSetup:
     so triangles crossing the eye plane (w<=0 vertices) rasterize
     correctly — there is NO near clipping stage anywhere. Depth is the
     per-pixel ratio z_ndc(p) = N(p)/D(p) of two more linear functions.
-    Coverage: λ0>=0 & λ1>=0 & λ2>=0 & D>0 & N<=D (the near plane becomes a
-    pixel test).
+    Coverage: λ0>=0 & λ1>=0 & λ2>=0 & D>0 & 0<N<=D (the near plane becomes
+    a pixel test).
 
-    coef16 row layout (one row per triangle, poison row at index T):
+    coef16 row layout (one row per triangle):
     [λ0a,λ1a,λ2a,Na,Da, λ0b,λ1b,λ2b,Nb,Db, λ0c,λ1c,λ2c,Nc,Dc, payload]
     where each linear function evaluates as f(p) = fa*px + fb*py + fc.
-    Rows are uint32 (f32 bit patterns + raw payload bits — payload would
-    be denormal-flushed if it ever existed as f32). Row gathers of (N,16)
-    are the fast gather path on TPU (element gathers are ~50x slower).
+    Rows are uint32 (f32 bit patterns + raw payload bits — payload bits
+    would be denormal-flushed if they ever existed as f32). The kernel
+    consumes the TRANSPOSE (16, T+pad) so one window = one (16,128) block.
+
+    Windows: triangle i belongs to window i // 128. window_bbox is the
+    union pixel bbox of the window's valid triangles.
     """
 
-    coef16: jnp.ndarray    # (T+1,16) uint32 (f32 bit patterns + raw payload)
-    payload: jnp.ndarray   # (T,) uint32, 0 = never written
-    bbox: jnp.ndarray      # (4,T) i32 pixel bbox [x0,y0,x1,y1] inclusive, clamped
-    valid: jnp.ndarray     # (T,) bool
+    coef16: jnp.ndarray        # ((D+1)*128, 16) u32 rows, + poison window
+    window_bbox: jnp.ndarray   # (4, D) i32 [x0,y0,x1,y1] inclusive
+    window_valid: jnp.ndarray  # (D,) bool — any valid triangle
+    valid: jnp.ndarray         # (T,) bool per-triangle
+
+    @property
+    def num_windows(self) -> int:   # D (static, from shape)
+        return self.window_valid.shape[0]
 
 
 def setup_triangles(
-    clip: jnp.ndarray,        # (V,4) f32 clip positions (row-vector convention)
-    indices: jnp.ndarray,     # (T,3) i32
+    clip: jnp.ndarray,        # (V,4) f32 clip positions (row-vector)
+    indices: jnp.ndarray,     # (T,3) i32, T % 128 == 0
     tri_valid: jnp.ndarray,   # (T,) bool
     payload: jnp.ndarray,     # (T,) uint32
     config: RasterConfig,
     backface_cull: bool = True,
 ) -> TriangleSetup:
-    """Stage 1: clip positions → homogeneous coverage/depth functions.
+    """Stage 1: clip positions -> homogeneous coverage/depth functions.
 
     No near clipping: triangles with w<=0 vertices get full-screen bboxes
-    (routed to the big-triangle bin path) and rasterize correctly through
-    the cofactor formulation. (The reference relies on hardware clipping,
+    (routed to the big-window path) and rasterize correctly through the
+    cofactor formulation. (The reference relies on hardware clipping;
     mesh_raster.hlsl culls only fully-behind triangles.)
     """
     w, h = config.width, config.height
+    t = indices.shape[0]
+    assert t % WINDOW == 0, f"triangle count {t} not a multiple of {WINDOW}"
+    d = t // WINDOW
     eps_w = 1e-6
 
     def fold_viewport(v):
@@ -154,8 +153,6 @@ def setup_triangles(
     X2, Y2, w2, z2 = X2 * s2, Y2 * s2, w2 * s2, z2 * s2
 
     def cross3(ax, ay, aw, bx, by, bw):
-        # cross((ax,ay,aw),(bx,by,bw)) → coefficients (ca, cb, cc) of the
-        # linear function ca*px + cb*py + cc.
         return ay * bw - aw * by, aw * bx - ax * bw, ax * by - ay * bx
 
     l0 = cross3(X1, Y1, w1, X2, Y2, w2)   # λ0: weight of v0
@@ -176,14 +173,14 @@ def setup_triangles(
     N = tuple(l0[i] * z0 + l1[i] * z1 + l2[i] * z2 for i in range(3))
     D = tuple(l0[i] * w0 + l1[i] * w1 + l2[i] * w2 for i in range(3))
 
-    # Sample at pixel centers: fold the +0.5 offsets into the c coefficient.
+    # Sample at pixel centers: fold the +0.5 offsets into c.
     def center(f):
         return (f[0], f[1], f[2] + 0.5 * f[0] + 0.5 * f[1])
 
     l0, l1, l2, N, D = center(l0), center(l1), center(l2), center(N), center(D)
 
     # Pixel bbox. Fully-in-front triangles get their projected bbox;
-    # eye-plane-crossing triangles are unbounded → full screen (big path).
+    # eye-plane-crossing triangles are unbounded -> full screen (big path).
     all_front = (w0 > eps_w) & (w1 > eps_w) & (w2 > eps_w)
     iw0 = 1.0 / jnp.where(all_front, w0, 1.0)
     iw1 = 1.0 / jnp.where(all_front, w1, 1.0)
@@ -202,169 +199,195 @@ def setup_triangles(
     onscreen = (xmax >= 0) & (xmin < w) & (ymax >= 0) & (ymin < h)
     # Small-primitive cull: bbox encloses no pixel center (centers at i+0.5)
     # (reference mesh_raster.hlsl small-primitive `round(min)==round(max)`).
-    # Only safe when the bbox is exact (all vertices in front).
     covers_center = jnp.where(
         all_front,
         (jnp.ceil(xmin - 0.5) <= jnp.floor(xmax - 0.5)) &
         (jnp.ceil(ymin - 0.5) <= jnp.floor(ymax - 0.5)),
         True)
-    # A triangle entirely behind the eye never covers (D(p) <= 0 everywhere);
-    # cull it here to keep it out of the bins.
+    # A triangle entirely behind the eye never covers (D(p) <= 0).
     any_front = (w0 > eps_w) | (w1 > eps_w) | (w2 > eps_w)
 
     valid = (tri_valid & front & (~degenerate) & onscreen & covers_center &
              any_front)
 
     payload = jnp.where(valid, payload, jnp.uint32(0))
-    # The packed row is uint32: f32 coefficient bits + raw payload bits.
-    # Payload bit patterns are usually denormal as floats and TPU f32
-    # data movement can flush denormals — so the row NEVER exists as f32.
     bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)
     coef16 = jnp.stack(
         [bc(l0[0]), bc(l1[0]), bc(l2[0]), bc(N[0]), bc(D[0]),
          bc(l0[1]), bc(l1[1]), bc(l2[1]), bc(N[1]), bc(D[1]),
          bc(l0[2]), bc(l1[2]), bc(l2[2]), bc(N[2]), bc(D[2]),
          payload], axis=1)                                      # (T,16) u32
-    # Invalid triangles: poison coverage (λ c = -1, a = b = 0 → λ < 0).
+    # Invalid triangles: poison coverage (λ c = -1, a = b = 0 -> λ < 0).
     neg1 = np.float32(-1.0).view(np.uint32)
     poison = jnp.array([0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
                         neg1, neg1, neg1, 0, 0, 0], jnp.uint32)
     coef16 = jnp.where(valid[:, None], coef16, poison[None, :])
-    coef16 = jnp.concatenate([coef16, poison[None, :]], axis=0)  # (T+1,16)
-    bbox = jnp.stack([ix0, iy0, ix1, iy1], axis=0)
-    return TriangleSetup(coef16=coef16, payload=payload, bbox=bbox, valid=valid)
+    # Poison window D appended; slack grid steps point at it.
+    coef16 = jnp.concatenate(
+        [coef16, jnp.broadcast_to(poison[None, :], (WINDOW, 16))], axis=0)
+    # Window bbox = union over valid triangles (invalid -> empty bbox).
+    big_i = jnp.int32(1 << 29)
+    wx0 = jnp.where(valid, ix0, big_i).reshape(d, WINDOW).min(1)
+    wy0 = jnp.where(valid, iy0, big_i).reshape(d, WINDOW).min(1)
+    wx1 = jnp.where(valid, ix1, -1).reshape(d, WINDOW).max(1)
+    wy1 = jnp.where(valid, iy1, -1).reshape(d, WINDOW).max(1)
+    window_valid = valid.reshape(d, WINDOW).any(1)
+    window_bbox = jnp.stack([wx0, wy0, wx1, wy1], axis=0)
+    return TriangleSetup(coef16=coef16, window_bbox=window_bbox,
+                         window_valid=window_valid, valid=valid)
 
 
-def bin_triangles(
-    setup: TriangleSetup, config: RasterConfig
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Stage 2: → (bins (n_tiles, cap) i32 tri ids (T = empty/poison),
-    counts (n_tiles,) i32, overflow () i32 dropped pair count)."""
+class WorkQueue(NamedTuple):
+    """Tile-grouped window lists: sorted pair array + per-tile segments."""
+
+    pair_win: jnp.ndarray     # (P,) i32 window ids sorted by tile; slack -> D
+    starts: jnp.ndarray       # (n_tiles,) i32 segment start per tile
+    counts: jnp.ndarray       # (n_tiles,) i32 windows per tile (capped)
+    n_pairs: jnp.ndarray      # () i32 actual pair count
+    overflow: jnp.ndarray     # () i32 dropped pairs (capacity exceeded)
+
+
+def bin_windows(setup: TriangleSetup, config: RasterConfig) -> WorkQueue:
+    """Stage 2: windows -> sorted (tile, window) work queue."""
     c = config
-    t = setup.bbox.shape[1]
-    tx0 = setup.bbox[0] // c.tile_w
-    ty0 = setup.bbox[1] // c.tile_h
-    tx1 = setup.bbox[2] // c.tile_w
-    ty1 = setup.bbox[3] // c.tile_h
+    d = setup.num_windows
+    bx0, by0, bx1, by1 = (setup.window_bbox[i] for i in range(4))
+    tx0 = bx0 // c.tile_w
+    ty0 = by0 // c.tile_h
+    tx1 = bx1 // c.tile_w
+    ty1 = by1 // c.tile_h
     span_x = tx1 - tx0 + 1
     span_y = ty1 - ty0 + 1
-    small = setup.valid & (span_x <= c.small_kx) & (span_y <= c.small_ky)
-    big = setup.valid & ~small
+    ok = setup.window_valid & (bx1 >= bx0)
+    small = ok & (span_x <= c.small_kx) & (span_y <= c.small_ky)
+    big = ok & ~small
 
     invalid_key = jnp.int32(c.n_tiles)  # sorts to the end
 
-    # Small path: static KY×KX slot expansion.
-    keys_small = []
-    vals_small = []
-    tri_ids = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)[:, 0]
+    win_ids = jax.lax.broadcasted_iota(jnp.int32, (d, 1), 0)[:, 0]
+    keys_l, vals_l = [], []
     for ky in range(c.small_ky):
         for kx in range(c.small_kx):
             tyk = ty0 + ky
             txk = tx0 + kx
-            ok = small & (tyk <= ty1) & (txk <= tx1)
-            key = jnp.where(ok, tyk * c.tiles_x + txk, invalid_key)
-            keys_small.append(key)
-            vals_small.append(tri_ids)
+            hit = small & (tyk <= ty1) & (txk <= tx1)
+            keys_l.append(jnp.where(hit, tyk * c.tiles_x + txk, invalid_key))
+            vals_l.append(win_ids)
 
-    # Big path: compact big triangles to a fixed-capacity list, then expand
-    # against every tile (bbox overlap test). Big triangles are rare (floors,
-    # walls); overflow beyond big_capacity is counted and dropped.
+    # Big path: compact big windows to a fixed list, expand vs all tiles.
     big_rank = jnp.cumsum(big.astype(jnp.int32)) - 1
     n_big = jnp.sum(big.astype(jnp.int32))
-    big_overflow_tris = jnp.maximum(n_big - c.big_capacity, 0)
-    big_slot = jnp.where(big & (big_rank < c.big_capacity), big_rank, -1)
-    big_list = jnp.full((c.big_capacity,), -1, jnp.int32)
-    scatter_idx = jnp.where(big_slot >= 0, big_slot, c.big_capacity)
-    big_list = jnp.zeros((c.big_capacity + 1,), jnp.int32).at[scatter_idx].set(
-        tri_ids, mode="drop")[:c.big_capacity]
-    big_count_mask = jax.lax.broadcasted_iota(
-        jnp.int32, (c.big_capacity, 1), 0)[:, 0] < jnp.minimum(n_big, c.big_capacity)
+    big_overflow = jnp.maximum(n_big - c.big_capacity, 0)
+    slot = jnp.where(big & (big_rank < c.big_capacity), big_rank,
+                     c.big_capacity)
+    big_list = jnp.zeros((c.big_capacity + 1,), jnp.int32).at[slot].set(
+        win_ids, mode="drop")[:c.big_capacity]
+    have = jax.lax.broadcasted_iota(
+        jnp.int32, (c.big_capacity, 1), 0)[:, 0] < jnp.minimum(
+            n_big, c.big_capacity)
+    bl = jnp.where(have, big_list, 0)
+    btx0 = jnp.where(have, tx0[bl], c.tiles_x + 1)
+    bty0 = jnp.where(have, ty0[bl], c.tiles_y + 1)
+    btx1 = jnp.where(have, tx1[bl], -1)
+    bty1 = jnp.where(have, ty1[bl], -1)
+    tile_ix = jax.lax.broadcasted_iota(jnp.int32,
+                                       (c.big_capacity, c.n_tiles), 1)
+    ttx = tile_ix % c.tiles_x
+    tty = tile_ix // c.tiles_x
+    overlap = ((ttx >= btx0[:, None]) & (ttx <= btx1[:, None]) &
+               (tty >= bty0[:, None]) & (tty <= bty1[:, None]))
+    keys_l.append(jnp.where(overlap, tile_ix, invalid_key).reshape(-1))
+    vals_l.append(jnp.broadcast_to(
+        bl[:, None], (c.big_capacity, c.n_tiles)).reshape(-1))
 
-    bl = jnp.where(big_count_mask, big_list, 0)
-    btx0 = jnp.where(big_count_mask, tx0[bl], c.tiles_x + 1)
-    bty0 = jnp.where(big_count_mask, ty0[bl], c.tiles_y + 1)
-    btx1 = jnp.where(big_count_mask, tx1[bl], -1)
-    bty1 = jnp.where(big_count_mask, ty1[bl], -1)
-    tile_ix = jax.lax.broadcasted_iota(jnp.int32, (c.big_capacity, c.n_tiles), 1)
-    tile_tx = tile_ix % c.tiles_x
-    tile_ty = tile_ix // c.tiles_x
-    overlap = (tile_tx >= btx0[:, None]) & (tile_tx <= btx1[:, None]) & \
-              (tile_ty >= bty0[:, None]) & (tile_ty <= bty1[:, None])
-    keys_big = jnp.where(overlap, tile_ix, invalid_key).reshape(-1)
-    vals_big = jnp.broadcast_to(bl[:, None],
-                                (c.big_capacity, c.n_tiles)).reshape(-1)
+    keys = jnp.concatenate(keys_l)
+    vals = jnp.concatenate(vals_l)
+    keys_s, vals_s = jax.lax.sort_key_val(keys, vals)
 
-    # 1D concat (pair order is irrelevant — the sort normalizes it).
-    keys = jnp.concatenate(keys_small + [keys_big])
-    vals = jnp.concatenate(vals_small + [vals_big])
+    total = jnp.sum((keys_s < c.n_tiles).astype(jnp.int32))
+    cap = c.pair_capacity
+    if keys_s.shape[0] < cap:   # fewer candidate slots than capacity
+        pad = cap - keys_s.shape[0]
+        keys_s = jnp.concatenate([keys_s, jnp.full((pad,), invalid_key)])
+        vals_s = jnp.concatenate([vals_s, jnp.full((pad,), d, jnp.int32)])
+    n_pairs = jnp.minimum(total, cap)
+    overflow = jnp.maximum(total - cap, 0) + big_overflow * 8
 
-    keys_sorted, vals_sorted = jax.lax.sort_key_val(keys, vals)
-
-    # Per-tile segment boundaries.
+    pk = keys_s[:cap]
+    pv = vals_s[:cap]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+    live = idx < n_pairs
+    pair_win = jnp.where(live, pv, d)          # poison window
+    # Per-tile segments over the sorted keys (clipped to capacity).
     tile_ids = jax.lax.broadcasted_iota(jnp.int32, (c.n_tiles, 1), 0)[:, 0]
-    starts = jnp.searchsorted(keys_sorted, tile_ids, side="left")
-    ends = jnp.searchsorted(keys_sorted, tile_ids, side="right")
-    counts = ends - starts
-    overflow = jnp.sum(jnp.maximum(counts - c.bin_capacity, 0)) + \
-        big_overflow_tris * 8  # big tris can shade many tiles; weight it
-    counts_c = jnp.minimum(counts, c.bin_capacity)
-
-    slot = jax.lax.broadcasted_iota(jnp.int32, (c.n_tiles, c.bin_capacity), 1)
-    pos = starts[:, None] + slot
-    in_range = slot < counts_c[:, None]
-    pos = jnp.clip(pos, 0, keys.shape[0] - 1)
-    bins = jnp.where(in_range, vals_sorted[pos], t)   # t = poison slot
-    return bins, counts_c, overflow
+    starts = jnp.minimum(
+        jnp.searchsorted(pk, tile_ids, side="left").astype(jnp.int32), cap)
+    ends = jnp.minimum(
+        jnp.searchsorted(pk, tile_ids, side="right").astype(jnp.int32),
+        n_pairs)
+    counts = jnp.maximum(ends - starts, 0)
+    return WorkQueue(pair_win=pair_win, starts=starts, counts=counts,
+                     n_pairs=n_pairs, overflow=overflow)
 
 
-def _raster_kernel(counts_ref, coef_ref, depth_ref, vis_ref,
-                   *, config: RasterConfig):
-    """Pallas kernel: one (tile, chunk) grid step.
+def _raster_tile_kernel(win_ref, start_ref, count_ref,   # scalar prefetch
+                        coef_hbm,                         # ((D+1)*128,16) ANY
+                        seed_d_ref, seed_v_ref,           # (TH,TW) blocks
+                        depth_ref, vis_ref,               # out blocks
+                        scratch, sems,                    # (2,128,16) + DMA(2)
+                        *, config: RasterConfig):
+    """One grid step = one screen tile: loop over the tile's binned windows
+    with double-buffered HBM->VMEM coefficient DMA, accumulating
+    (depth, payload) in registers; one write per tile.
 
-    coef block (C, 16): per-triangle rows; lanes 0-3 = a-coeffs
-    [e0,e1,e2,z], 4-7 = b-coeffs, 8-11 = c-coeffs, 12 = payload bits
-    (int32 bitcast to f32). Triangles live on sublanes; pixels are
-    processed one tile row (TW lanes) at a time — no cross-layout
-    reshapes anywhere.
+    coef window (128, 16): sublanes = triangles, lanes = coefficients
+    [λ0a,λ1a,λ2a,Na,Da | *b | *c | pad | payload@15]. All f32 VPU math —
+    edge functions cannot survive the MXU's bf16 decomposition. Triangles
+    live on sublanes; pixels are processed one tile row (tile_w lanes) at
+    a time — no cross-layout reshapes anywhere.
     """
     c = config
     tile = pl.program_id(0)
-    chunk = pl.program_id(1)
+    start = start_ref[tile]
+    count = count_ref[tile]
+    tile_ty = tile // c.tiles_x
+    tile_tx = tile % c.tiles_x
 
-    @pl.when(chunk == 0)
-    def _init():
-        depth_ref[:] = jnp.zeros_like(depth_ref)
-        vis_ref[:] = jnp.zeros_like(vis_ref)
+    def dma(j, slot):
+        win = win_ref[start + j]
+        return pltpu.make_async_copy(
+            coef_hbm.at[pl.ds(win * WINDOW, WINDOW), :],
+            scratch.at[slot], sems.at[slot])
 
-    count = counts_ref[tile]
+    @pl.when(count > 0)
+    def _warmup():
+        dma(0, 0).start()
 
-    @pl.when(chunk * c.chunk_eff < count)
-    def _work():
-        tile_ty = tile // c.tiles_x
-        tile_tx = tile % c.tiles_x
+    px = jax.lax.broadcasted_iota(jnp.int32, (1, c.tile_w), 1).astype(
+        jnp.float32) + (tile_tx * c.tile_w).astype(jnp.float32)   # (1, TW)
 
-        blk = jnp.transpose(coef_ref[:])         # (16, C) → (C, 16) u32
-        f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
-        a = [f32(blk[:, j:j + 1]) for j in range(5)]     # (C,1) each
-        b = [f32(blk[:, 5 + j:6 + j]) for j in range(5)]
-        cc = [f32(blk[:, 10 + j:11 + j]) for j in range(5)]
-        pay = jax.lax.bitcast_convert_type(blk[:, 15:16], jnp.int32)  # (C,1)
+    f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
 
-        # Pixel x coordinates for this tile: one row of TW lanes.
-        px = jax.lax.broadcasted_iota(jnp.int32, (1, c.tile_w), 1).astype(
-            jnp.float32) + (tile_tx * c.tile_w).astype(jnp.float32)  # (1, TW)
+    def body(j, carry):
+        acc_d, acc_v = carry
+        slot = j % 2
 
-        # All f32 VPU math — edge functions cannot survive the MXU's bf16
-        # input decomposition.
-        ex = [a[j] * px for j in range(5)]   # (C, TW) x terms, reused per row
+        @pl.when(j + 1 < count)
+        def _prefetch():
+            dma(j + 1, (j + 1) % 2).start()
 
-        cur_d = depth_ref[:]
-        cur_v = vis_ref[:]
+        dma(j, slot).wait()
+        blk = scratch[slot]                               # (128,16) u32
+        a = [f32(blk[:, k:k + 1]) for k in range(5)]      # (C,1) each
+        b = [f32(blk[:, 5 + k:6 + k]) for k in range(5)]
+        cc = [f32(blk[:, 10 + k:11 + k]) for k in range(5)]
+        pay = jax.lax.bitcast_convert_type(blk[:, 15:16], jnp.int32)
+
+        ex = [a[k] * px for k in range(5)]                # (C, TW)
         rows_d = []
         rows_v = []
         for row in range(c.tile_h):
-            y = (tile_ty * c.tile_h + row)
-            yf = jnp.float32(y)
+            yf = jnp.float32(1.0) * (tile_ty * c.tile_h + row)
             l0 = ex[0] + (b[0] * yf + cc[0])
             l1 = ex[1] + (b[1] * yf + cc[1])
             l2 = ex[2] + (b[2] * yf + cc[2])
@@ -373,69 +396,85 @@ def _raster_kernel(counts_ref, coef_ref, depth_ref, vis_ref,
             covered = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0) & \
                       (zd > 0.0) & (zn > 0.0) & (zn <= zd)
             z = zn / jnp.where(covered, zd, 1.0)
-            cand = jnp.where(covered, z, 0.0)               # (C, TW)
-            best = jnp.max(cand, axis=0, keepdims=True)     # (1, TW)
+            cand = jnp.where(covered, z, 0.0)             # (C, TW)
+            best = jnp.max(cand, axis=0, keepdims=True)   # (1, TW)
             winner = (cand == best) & (cand > 0.0)
             pay_sel = jnp.max(jnp.where(winner, pay, 0), axis=0,
-                              keepdims=True)                # (1, TW)
+                              keepdims=True)              # (1, TW)
             rows_d.append(best)
             rows_v.append(pay_sel)
 
-        best2 = jnp.concatenate(rows_d, axis=0)             # (TH, TW)
-        pay2 = jnp.concatenate(rows_v, axis=0).astype(jnp.uint32)
-        better = best2 > cur_d
-        tie = (best2 == cur_d) & (pay2 > cur_v)
+        best2 = jnp.concatenate(rows_d, axis=0)           # (TH, TW)
+        pay2 = jnp.concatenate(rows_v, axis=0)
+        better = best2 > acc_d
+        tie = (best2 == acc_d) & (pay2 > acc_v)
         take = better | tie
-        depth_ref[:] = jnp.where(take, best2, cur_d)
-        vis_ref[:] = jnp.where(take, pay2, cur_v)
+        return (jnp.where(take, best2, acc_d),
+                jnp.where(take, pay2, acc_v))
+
+    seed_d = seed_d_ref[:]
+    seed_v = jax.lax.bitcast_convert_type(seed_v_ref[:], jnp.int32)
+    acc_d, acc_v = jax.lax.fori_loop(0, count, body, (seed_d, seed_v))
+    depth_ref[:] = acc_d
+    vis_ref[:] = jax.lax.bitcast_convert_type(acc_v, jnp.uint32)
 
 
-def raster_tiles(
-    bins: jnp.ndarray,       # (n_tiles, cap) i32
-    counts: jnp.ndarray,     # (n_tiles,) i32
+def raster_queue(
+    queue: WorkQueue,
     setup: TriangleSetup,
     config: RasterConfig,
+    init_depth: Optional[jnp.ndarray] = None,   # (H,W) f32 seed (phase 2)
+    init_vis: Optional[jnp.ndarray] = None,     # (H,W) u32
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Stage 3: → (depth (H,W) f32 reverse-Z, visibility (H,W) u32)."""
+    """Stage 3: -> (depth (H,W) f32 reverse-Z, visibility (H,W) u32)."""
     c = config
-    flat = bins.reshape(-1)     # (n_tiles*cap,), poison index = T
-    # One row-gather (the fast TPU gather path) + fused transpose →
-    # kernel layout (16, n_tiles*cap) with (16, chunk) blocks.
-    coef_k = setup.coef16[flat].T
-
     h_pad = c.tiles_y * c.tile_h
     w_pad = c.tiles_x * c.tile_w
 
+    def padded(x, fill, dtype):
+        if x is None:
+            return jnp.full((h_pad, w_pad), fill, dtype)
+        return jnp.pad(x.astype(dtype),
+                       ((0, h_pad - x.shape[0]), (0, w_pad - x.shape[1])))
+
+    seed_d = padded(init_depth, 0.0, jnp.float32)
+    seed_v = padded(init_vis, 0, jnp.uint32)
+
+    def tile_block(i, pw, st, ct):
+        return (i // c.tiles_x, i % c.tiles_x)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,   # counts (n_tiles,) in SMEM
-        grid=(c.n_tiles, c.n_chunks),
+        num_scalar_prefetch=3,   # pair_win, starts, counts
+        grid=(c.n_tiles,),
         in_specs=[
-            pl.BlockSpec((16, c.chunk_eff),
-                         lambda t, k, counts: (0, t * c.n_chunks + k),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # coef16 stays in HBM
+            pl.BlockSpec((c.tile_h, c.tile_w), tile_block,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c.tile_h, c.tile_w), tile_block,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (c.tile_h, c.tile_w),
-                lambda t, k, counts: (t // c.tiles_x, t % c.tiles_x),
-                memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (c.tile_h, c.tile_w),
-                lambda t, k, counts: (t // c.tiles_x, t % c.tiles_x),
-                memory_space=pltpu.VMEM),
+            pl.BlockSpec((c.tile_h, c.tile_w), tile_block,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c.tile_h, c.tile_w), tile_block,
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, WINDOW, 16), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     depth, vis = pl.pallas_call(
-        functools.partial(_raster_kernel, config=c),
+        functools.partial(_raster_tile_kernel, config=c),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
             jax.ShapeDtypeStruct((h_pad, w_pad), jnp.uint32),
         ],
-        # CPU has no Mosaic backend — fall back to the interpreter so the
-        # same code runs under tests / virtual-device dry runs.
+        # CPU has no Mosaic backend — interpret there (tests/dry runs).
         interpret=c.interpret or jax.default_backend() == "cpu",
-    )(counts, coef_k)
+    )(queue.pair_win, queue.starts, queue.counts,
+      setup.coef16, seed_d, seed_v)
     return depth[:c.height, :c.width], vis[:c.height, :c.width]
 
 
@@ -446,18 +485,33 @@ def rasterize(
     payload: jnp.ndarray,
     config: RasterConfig,
     backface_cull: bool = True,
+    init_depth: Optional[jnp.ndarray] = None,
+    init_vis: Optional[jnp.ndarray] = None,
 ):
-    """Full visibility raster: clip positions → (depth, visibility, stats)."""
+    """Full visibility raster: clip positions -> (depth, visibility, stats).
+
+    Triangle count is padded up to a multiple of 128 (window size).
+    """
+    t = indices.shape[0]
+    pad = (-t) % WINDOW
+    if pad:
+        indices = jnp.concatenate(
+            [indices, jnp.zeros((pad, 3), indices.dtype)], axis=0)
+        tri_valid = jnp.concatenate(
+            [tri_valid, jnp.zeros((pad,), tri_valid.dtype)], axis=0)
+        payload = jnp.concatenate(
+            [payload, jnp.zeros((pad,), payload.dtype)], axis=0)
     with jax.named_scope("raster.setup"):
         setup = setup_triangles(clip, indices, tri_valid, payload, config,
                                 backface_cull=backface_cull)
     with jax.named_scope("raster.bin"):
-        bins, counts, overflow = bin_triangles(setup, config)
+        queue = bin_windows(setup, config)
     with jax.named_scope("raster.tiles"):
-        depth, vis = raster_tiles(bins, counts, setup, config)
-    stats = {"bin_overflow": overflow,
+        depth, vis = raster_queue(queue, setup, config,
+                                  init_depth=init_depth, init_vis=init_vis)
+    stats = {"bin_overflow": queue.overflow,
              "drawn_tris": jnp.sum(setup.valid.astype(jnp.int32)),
-             "binned_pairs": jnp.sum(counts)}
+             "binned_pairs": queue.n_pairs}
     return depth, vis, stats
 
 
@@ -503,7 +557,6 @@ def rasterize_oracle(clip: np.ndarray, indices: np.ndarray, tri_valid: np.ndarra
             l = -l
         Nc = (l[0] * Z[0] + l[1] * Z[1] + l[2] * Z[2]).astype(f32)
         Dc = (l[0] * W[0] + l[1] * W[1] + l[2] * W[2]).astype(f32)
-        # fold pixel-center offset
         l[:, 2] += f32(0.5) * l[:, 0] + f32(0.5) * l[:, 1]
         Nc[2] += f32(0.5) * Nc[0] + f32(0.5) * Nc[1]
         Dc[2] += f32(0.5) * Dc[0] + f32(0.5) * Dc[1]

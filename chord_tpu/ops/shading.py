@@ -100,14 +100,50 @@ def resolve_gbuffer(
 ) -> GBuffer:
     """Visibility buffer -> full-res gbuffer (flat-triangle path: the
     payload is the global pool triangle id + 1; the meshlet path decodes
-    (draw, tri:7) in ops/meshlet_shading.py)."""
-    h, w = vis.shape
+    (draw:25, tri:7) in resolve_gbuffer_meshlet)."""
     tri = vis.astype(jnp.int32) - 1                  # -1 = sky
     valid = tri >= 0
     tri_safe = jnp.maximum(tri, 0)
-
     idx = pools.indices[tri_safe]                    # (H,W,3)
     obj = pools.tri_object[tri_safe]                 # (H,W)
+    return _resolve_from_ids(idx, obj, valid, pools, instances,
+                             view_tw_to_clip, prev_tw_to_clip)
+
+
+def resolve_gbuffer_meshlet(
+    vis: jnp.ndarray,            # (H,W) u32 — packed (drawSlot+1):25|tri:7
+    draw_object: jnp.ndarray,    # (cap,) i32 combined draw table
+    draw_meshlet: jnp.ndarray,   # (cap,) i32
+    pools,                       # rhi.MeshletScenePools
+    instances,
+    view_tw_to_clip: jnp.ndarray,
+    prev_tw_to_clip: jnp.ndarray,
+) -> GBuffer:
+    """Meshlet-path gbuffer resolve: decode the packed visibility id via
+    the frame's compacted draw list (the reference's drawedMeshletCmdId
+    indirection, lighting.hlsl:270-310)."""
+    from ..rhi.framebuffer import unpack_visibility
+
+    slot, tri = unpack_visibility(vis)
+    valid = slot >= 0
+    slot_safe = jnp.maximum(slot, 0)
+    mesh = draw_meshlet[slot_safe]                   # (H,W)
+    obj = draw_object[slot_safe]
+    idx = pools.tri_indices[mesh * 128 + tri]        # (H,W,3)
+    return _resolve_from_ids(idx, obj, valid, pools, instances,
+                             view_tw_to_clip, prev_tw_to_clip)
+
+
+def _resolve_from_ids(
+    idx: jnp.ndarray,            # (H,W,3) pool-space vertex ids
+    obj: jnp.ndarray,            # (H,W) instance slots
+    valid: jnp.ndarray,          # (H,W) bool
+    pools,                       # needs positions/normals/uv0/mat_* tables
+    instances,
+    view_tw_to_clip: jnp.ndarray,
+    prev_tw_to_clip: jnp.ndarray,
+) -> GBuffer:
+    h, w = valid.shape
 
     p0 = pools.positions[idx[..., 0]]                # (H,W,3) local
     p1 = pools.positions[idx[..., 1]]

@@ -1,0 +1,199 @@
+"""Cascaded shadow maps with PCSS soft shadows.
+
+TPU-native equivalent of the reference shadow stack (reference:
+renderer/renderer.cpp:347-381 renderShadow + cascadeShadowEvaluate;
+cascade fitting CS install/resource/shader/cascade_setup.hlsl; config
+CascadeShadowMapConfig renderer/render_helper.h:463-510 — cascade count,
+PCSS sample counts, biases; PCSS blocker-search + penumbra estimation
+install/resource/shader/pcss.hlsl:33-92).
+
+Design: cascades are depth-only raster passes through the SAME software
+rasterizer as the main view (the reference reuses its meshlet raster with
+DIM_PASS_TYPE=PASS_TYPE_DEPTH, mesh_raster.hlsl) — one (R, R) reverse-Z
+depth map per cascade, stacked (N, R, R). Cascade fitting runs in numpy on
+the host (it is 4 tiny matrices; the reference does it in a 1-thread CS
+only to avoid a GPU->CPU roundtrip, which does not exist under jit).
+Evaluation is fully vectorized PCSS: Poisson-disk blocker search ->
+penumbra width -> variable-radius PCF, per screen pixel.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import math as cmath
+
+
+class ShadowConfig(NamedTuple):
+    """reference: render_helper.h:463-510 CascadeShadowMapConfig."""
+
+    cascade_count: int = 4
+    resolution: int = 1024
+    max_distance: float = 80.0       # view-space shadow range
+    split_lambda: float = 0.8        # log/uniform split blend
+    depth_bias: float = 2.0e-4       # constant receiver bias (reverse-Z)
+    slope_bias: float = 3.0
+    pcf_radius_px: float = 2.0       # base PCF radius (texels)
+    pcss_blocker_samples: int = 12
+    pcss_pcf_samples: int = 16
+    light_size_world: float = 0.5    # virtual sun disk size for penumbra
+
+
+# Poisson disk (unit radius) — fixed pattern like the reference's
+# (pcss.hlsl uses a fixed spiral/poisson set).
+_POISSON = np.array([
+    [-0.94201624, -0.39906216], [0.94558609, -0.76890725],
+    [-0.09418410, -0.92938870], [0.34495938, 0.29387760],
+    [-0.91588581, 0.45771432], [-0.81544232, -0.87912464],
+    [-0.38277543, 0.27676845], [0.97484398, 0.75648379],
+    [0.44323325, -0.97511554], [0.53742981, -0.47373420],
+    [-0.26496911, -0.41893023], [0.79197514, 0.19090188],
+    [-0.24188840, 0.99706507], [-0.81409955, 0.91437590],
+    [0.19984126, 0.78641367], [0.14383161, -0.14100790],
+], np.float32)
+
+
+def fit_cascades(view_forward: np.ndarray, sun_dir: np.ndarray,
+                 cam_fovy: float, aspect: float, cfg: ShadowConfig
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side cascade fitting (translated-world space, camera at origin).
+
+    -> (tw_to_light (N,4,4) f32 row-vector matrices mapping translated
+    world to each cascade's clip space, splits (N+1,) f32 view distances).
+    Practical split scheme (log/uniform blend, reference cascade_setup).
+    """
+    n = cfg.cascade_count
+    near, far = 0.1, cfg.max_distance
+    splits = [near]
+    for i in range(1, n + 1):
+        f = i / n
+        log_d = near * (far / near) ** f
+        uni_d = near + (far - near) * f
+        splits.append(cfg.split_lambda * log_d +
+                      (1 - cfg.split_lambda) * uni_d)
+    splits = np.asarray(splits, np.float64)
+
+    sun = cmath.normalize(np.asarray(sun_dir, np.float64))
+    up = np.array([0.0, 1.0, 0.0])
+    if abs(np.dot(sun, up)) > 0.95:
+        up = np.array([1.0, 0.0, 0.0])
+
+    fwd = cmath.normalize(np.asarray(view_forward, np.float64))
+    tan_y = np.tan(cam_fovy * 0.5)
+    tan_x = tan_y * aspect
+
+    mats = np.zeros((n, 4, 4), np.float32)
+    for i in range(n):
+        d0, d1 = splits[i], splits[i + 1]
+        # frustum-slice bounding sphere (camera at origin, forward fwd)
+        # 8 corner directions
+        corners = []
+        for d in (d0, d1):
+            for sx in (-1, 1):
+                for sy in (-1, 1):
+                    right = cmath.normalize(np.cross(fwd, up))
+                    upv = np.cross(right, fwd)
+                    corners.append(
+                        fwd * d + right * (sx * tan_x * d) +
+                        upv * (sy * tan_y * d))
+        corners = np.asarray(corners)
+        center = corners.mean(0)
+        radius = float(np.linalg.norm(corners - center, axis=1).max())
+        # texel snapping keeps cascades stable under camera motion
+        # (reference: cascade history caching relies on this)
+        texel = 2.0 * radius / cfg.resolution
+        # sun_dir points surface->sun; the light eye sits toward the sun
+        light_view = cmath.look_at(center + sun * radius * 2.0,
+                                   center, up)
+        snapped = light_view.copy()
+        snapped[3, 0] = np.floor(snapped[3, 0] / texel) * texel
+        snapped[3, 1] = np.floor(snapped[3, 1] / texel) * texel
+        proj = cmath.ortho_reverse_z(-radius, radius, -radius, radius,
+                                     0.0, 4.0 * radius)
+        mats[i] = np.float32(snapped @ proj)
+    return mats, splits.astype(np.float32)
+
+
+def evaluate_shadow(
+    position_tw: jnp.ndarray,     # (H,W,3) receiver positions
+    normal: jnp.ndarray,          # (H,W,3)
+    sun_dir: jnp.ndarray,         # (3,)
+    shadow_maps: jnp.ndarray,     # (N,R,R) f32 reverse-Z depth
+    tw_to_light: jnp.ndarray,     # (N,4,4)
+    splits: jnp.ndarray,          # (N+1,)
+    cfg: ShadowConfig,
+) -> jnp.ndarray:
+    """-> (H,W) sun visibility in [0,1] (PCSS: blocker search -> penumbra
+    -> variable-radius PCF; reference pcss.hlsl:33-92)."""
+    n, r, _ = shadow_maps.shape
+    h, w = position_tw.shape[:2]
+
+    # cascade select by distance (camera at origin)
+    dist = jnp.linalg.norm(position_tw, axis=-1)
+    cascade = jnp.zeros((h, w), jnp.int32)
+    for i in range(1, n):
+        cascade = jnp.where(dist > splits[i], i, cascade)
+
+    m = tw_to_light[cascade]                       # (H,W,4,4)
+    p = position_tw
+    lp = (p[..., 0:1] * m[..., 0, :] + p[..., 1:2] * m[..., 1, :] +
+          p[..., 2:3] * m[..., 2, :] + m[..., 3, :])          # (H,W,4)
+    # ortho: w == 1
+    u = (lp[..., 0] * 0.5 + 0.5) * r
+    v = (0.5 - lp[..., 1] * 0.5) * r
+    z_recv = lp[..., 2]
+
+    in_map = (u >= 1) & (u < r - 1) & (v >= 1) & (v < r - 1) & \
+        (z_recv > 0.0) & (z_recv <= 1.0)
+
+    # slope-scaled receiver bias (reverse-Z: receiver is lit if its depth
+    # >= map depth - bias  <=>  z_recv + bias >= z_map)
+    nol = jnp.clip(jnp.sum(normal * sun_dir, axis=-1), 0.05, 1.0)
+    bias = cfg.depth_bias * (1.0 + cfg.slope_bias * (1.0 - nol))
+    # cascade texel footprint shrinks with cascade index; scale bias down
+    z_cmp = z_recv + bias
+
+    flat = shadow_maps.reshape(n * r * r)
+    base = cascade * (r * r)
+
+    def sample_depth(du, dv):
+        x = jnp.clip((u + du).astype(jnp.int32), 0, r - 1)
+        y = jnp.clip((v + dv).astype(jnp.int32), 0, r - 1)
+        return flat[base + y * r + x]
+
+    disk = jnp.asarray(_POISSON)
+
+    # --- blocker search (pcss.hlsl blocker loop) ---
+    search_r = cfg.pcf_radius_px * 3.0
+    blocker_sum = jnp.zeros((h, w))
+    blocker_cnt = jnp.zeros((h, w))
+    for s in range(cfg.pcss_blocker_samples):
+        o = disk[s % len(_POISSON)] * search_r
+        zs = sample_depth(o[0], o[1])
+        is_blocker = zs > z_cmp          # reverse-Z: nearer to light
+        blocker_sum = blocker_sum + jnp.where(is_blocker, zs, 0.0)
+        blocker_cnt = blocker_cnt + is_blocker.astype(jnp.float32)
+    has_blocker = blocker_cnt > 0.0
+    avg_blocker = blocker_sum / jnp.maximum(blocker_cnt, 1.0)
+
+    # penumbra estimate: (z_blocker - z_recv) in NDC ~ distance ratio
+    penumbra = jnp.where(
+        has_blocker,
+        jnp.clip((avg_blocker - z_recv) / jnp.maximum(z_recv, 1e-4), 0.0,
+                 1.0) * cfg.light_size_world * r * 0.5,
+        0.0)
+    pcf_r = jnp.clip(cfg.pcf_radius_px + penumbra, 1.0, 16.0)
+
+    # --- variable-radius PCF ---
+    lit = jnp.zeros((h, w))
+    for s in range(cfg.pcss_pcf_samples):
+        o = disk[s % len(_POISSON)] * (1.0 + s / cfg.pcss_pcf_samples)
+        zs = sample_depth(o[0] * pcf_r, o[1] * pcf_r)
+        lit = lit + (z_cmp >= zs).astype(jnp.float32)
+    lit = lit / cfg.pcss_pcf_samples
+
+    return jnp.where(in_map, lit, 1.0)

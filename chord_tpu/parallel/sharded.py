@@ -147,7 +147,7 @@ def dryrun(n_devices: int) -> None:
     cam.position = np.array([-15.0, 4.0, 0.0])   # inside the atrium
     cam.look_at(np.array([10.0, 2.0, 0.0]))
 
-    config = RendererConfig(width=128, height=h, bin_capacity=256,
+    config = RendererConfig(width=128, height=h, pair_capacity=2048,
                             big_capacity=128, interpret=True)
     r = ShardedRenderer(config, mesh)
     inst = b.frame_instances(cam)

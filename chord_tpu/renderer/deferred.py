@@ -56,15 +56,39 @@ class DeviceView:
     sun_radiance: jnp.ndarray          # (3,) AP1
     sky_ambient: jnp.ndarray           # (3,) AP1
     dt: jnp.ndarray                    # () seconds
+    # Shadow cascades (None when shadows are off; reference: GPU cascade
+    # setup cascade_setup.hlsl — here fit on host, SURVEY.md §2.6)
+    shadow_tw_to_light: Optional[jnp.ndarray] = None   # (N,4,4)
+    shadow_frustum_planes: Optional[jnp.ndarray] = None  # (N,6,4)
+    shadow_splits: Optional[jnp.ndarray] = None        # (N+1,)
 
     @classmethod
     def from_uniform(cls, u: ViewUniform, sun_direction=(0.3, 0.8, 0.5),
                      sun_radiance=(8.0, 7.6, 7.0), sky_ambient=(0.3, 0.4, 0.6),
-                     dt: float = 1.0 / 60.0) -> "DeviceView":
+                     dt: float = 1.0 / 60.0,
+                     shadow_cfg=None) -> "DeviceView":
         d = np.asarray(sun_direction, np.float32)
         d = d / np.linalg.norm(d)
         sun_ap1 = np.asarray(sun_radiance, np.float32) @ colorspace.SRGB_TO_AP1
         sky_ap1 = np.asarray(sky_ambient, np.float32) @ colorspace.SRGB_TO_AP1
+
+        shadow_mats = shadow_planes = shadow_splits = None
+        if shadow_cfg is not None:
+            from ..ops.shadow import fit_cascades
+            from ..utils import math as cmath
+
+            # view forward from the view matrix's third rotation column
+            view = u.translated_world_to_view.astype(np.float64)
+            fwd = -view[:3, 2]
+            aspect = u.render_size[0] / u.render_size[1]
+            mats, splits = fit_cascades(fwd, d.astype(np.float64), u.fovy,
+                                        aspect, shadow_cfg)
+            planes = np.stack([cmath.frustum_planes(m.astype(np.float64))
+                               for m in mats]).astype(np.float32)
+            shadow_mats = jnp.asarray(mats)
+            shadow_planes = jnp.asarray(planes)
+            shadow_splits = jnp.asarray(splits)
+
         return cls(
             tw_to_clip=jnp.asarray(u.translated_world_to_clip),
             tw_to_clip_nj=jnp.asarray(u.translated_world_to_clip_nojitter),
@@ -75,6 +99,9 @@ class DeviceView:
             sun_radiance=jnp.asarray(sun_ap1),
             sky_ambient=jnp.asarray(sky_ap1),
             dt=jnp.asarray(dt, jnp.float32),
+            shadow_tw_to_light=shadow_mats,
+            shadow_frustum_planes=shadow_planes,
+            shadow_splits=shadow_splits,
         )
 
 
@@ -83,9 +110,8 @@ class RendererConfig(NamedTuple):
 
     width: int = 1920
     height: int = 1080
-    bin_capacity: int = 2048
+    pair_capacity: int = 8192
     big_capacity: int = 512
-    chunk: int = 128
     enable_bloom: bool = True
     enable_tsr: bool = True
     output: str = "srgb8"            # or "hdr10"
@@ -94,8 +120,8 @@ class RendererConfig(NamedTuple):
     def raster_config(self) -> RasterConfig:
         return RasterConfig(
             width=self.width, height=self.height,
-            bin_capacity=self.bin_capacity, big_capacity=self.big_capacity,
-            chunk=self.chunk, interpret=self.interpret)
+            pair_capacity=self.pair_capacity,
+            big_capacity=self.big_capacity, interpret=self.interpret)
 
 
 def render_frame_flat(
@@ -168,7 +194,7 @@ def render_frame_flat(
 
     new_history = FrameHistory(
         valid=jnp.ones((), jnp.float32),
-        hzb_far=history.hzb_far,        # filled by the HZB pass (meshlet path)
+        hzb_flat=history.hzb_flat,      # filled by the HZB pass (meshlet path)
         depth=depth,
         exposure=exposure,
         tsr_color=tsr_color,

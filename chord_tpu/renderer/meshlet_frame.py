@@ -1,0 +1,271 @@
+"""Meshlet-path frame: GPU-driven cull -> two-phase HZB -> visbuffer raster.
+
+TPU-native equivalent of the reference's GPU-driven geometry pipeline
+(reference: renderer/renderer.cpp:316-343 — instanceCulling -> stage 0
+raster vs last-frame HZB -> HZB rebuild -> stage 1 retest+raster -> final
+HZB; renderer/mesh/mesh_raster.cpp:269-330). All of it is one jitted XLA
+program; "indirect draws" are the compacted DrawList consumed by the
+work-queue raster (ops/raster.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import colorspace, post, shading, shadow as shadow_ops
+from ..ops.cull import DrawList, cull_pairs
+from ..ops.hzb import HZBPyramid, build_hzb, hzb_layout
+from ..ops.raster import RasterConfig, rasterize
+from ..rhi.framebuffer import FrameHistory, pack_visibility
+from .deferred import DeviceView, RendererConfig
+
+
+def expand_draws(
+    draws: DrawList,
+    pools,                      # MeshletScenePools
+    instances,
+    tw_to_clip: jnp.ndarray,    # (4,4)
+    capacity: int,
+    payload_base: int = 0,      # slot offset for phase-2 draw lists
+):
+    """DrawList -> clip-space triangle stream for the rasterizer.
+
+    The TPU version of the mesh-shader vertex phase
+    (reference: mesh_raster.hlsl:51-120): per visible draw, transform its
+    meshlet's <=128 triangles into clip space. Vertices are transformed
+    per-corner (3 per triangle) — fully vectorized, no vertex cache needed
+    when the whole thing is one gather + fma chain on 8x128 vregs.
+    """
+    d = capacity
+    slot = jnp.arange(d, dtype=jnp.int32)
+    active = slot < draws.count
+    m = jnp.where(active, draws.meshlet_id, 0)
+    o = jnp.where(active, draws.object_id, 0)
+
+    tri_rows = pools.tri_indices.reshape(-1, 128, 3)[m]     # (D,128,3)
+    local_to_clip = jnp.einsum(
+        "dij,jk->dik", instances.object_to_tw[o], tw_to_clip)  # (D,4,4)
+
+    pos = pools.positions[tri_rows]                          # (D,128,3,3)
+    mm = local_to_clip[:, None, None]                        # (D,1,1,4,4)
+    clip = (pos[..., 0:1] * mm[..., 0, :] + pos[..., 1:2] * mm[..., 1, :] +
+            pos[..., 2:3] * mm[..., 2, :] + mm[..., 3, :])   # (D,128,3,4)
+    clip = clip.reshape(d * 128 * 3, 4)
+
+    indices = jnp.arange(d * 128 * 3, dtype=jnp.int32).reshape(-1, 3)
+    tri_j = jnp.broadcast_to(jnp.arange(128, dtype=jnp.int32)[None, :],
+                             (d, 128))
+    tri_valid = (active[:, None] &
+                 (tri_j < pools.meshlet_tri_count[m][:, None])).reshape(-1)
+    payload = pack_visibility(
+        (slot[:, None] + payload_base) * jnp.ones((1, 128), jnp.int32),
+        tri_j).reshape(-1)
+    payload = jnp.where(tri_valid, payload, jnp.uint32(0))
+    return clip, indices, tri_valid, payload
+
+
+class MeshletFrameConfig(NamedTuple):
+    draw_capacity: int = 4096      # visible draws per phase
+    occlusion: bool = True         # two-phase HZB
+    lod_threshold_px: float = 1.0
+    shadows: bool = False          # cascaded shadow maps + PCSS
+    shadow_cfg: shadow_ops.ShadowConfig = shadow_ops.ShadowConfig()
+    shadow_draw_capacity: int = 4096
+
+
+def render_shadow_cascades(
+    pools, instances, view: DeviceView, rc_main: RasterConfig,
+    mcfg: "MeshletFrameConfig",
+) -> jnp.ndarray:
+    """Depth-only raster of each cascade through the same software
+    rasterizer (reference: renderShadow renderer.cpp:350 — cascade setup
+    -> per-cascade cull -> depth-only meshlet raster,
+    mesh_raster.cpp:468-486). -> (N,R,R) reverse-Z depth maps."""
+    scfg = mcfg.shadow_cfg
+    r = scfg.resolution
+    rc = RasterConfig(width=r, height=r,
+                      pair_capacity=rc_main.pair_capacity,
+                      big_capacity=rc_main.big_capacity,
+                      interpret=rc_main.interpret)
+    maps = []
+    for i in range(scfg.cascade_count):
+        m = view.shadow_tw_to_light[i]
+        planes = view.shadow_frustum_planes[i]
+        with jax.named_scope(f"shadow.cascade{i}"):
+            res = cull_pairs(pools, instances, planes,
+                             jnp.float32(0.5 * r * m[1, 1]),
+                             mcfg.shadow_draw_capacity,
+                             lod_threshold=mcfg.lod_threshold_px,
+                             enable_cone=False)   # depth pass: no backface
+            clip, idx, tv, pay = expand_draws(res.draws, pools, instances,
+                                              m, mcfg.shadow_draw_capacity)
+            depth_i, _vis, _stats = rasterize(clip, idx, tv, pay, rc,
+                                              backface_cull=False)
+            maps.append(depth_i)
+    return jnp.stack(maps)
+
+
+def render_frame_meshlet(
+    pools, instances, view: DeviceView, history: FrameHistory,
+    config: RendererConfig, mcfg: MeshletFrameConfig,
+    axis_name: Optional[str] = None,
+) -> Tuple[jnp.ndarray, FrameHistory, dict]:
+    """The GPU-driven frame (BASELINE configs #2/#3 + full post chain)."""
+    rc = config.raster_config()
+    cap = mcfg.draw_capacity
+    h, w = config.height, config.width
+    # error projection scale: pixels per NDC unit at distance 1
+    proj_scale = 0.5 * h * view.tw_to_clip_nj[1, 1]
+
+    ws, hs, offs = hzb_layout(w, h)
+    hzb_total = offs[-1] + ws[-1] * hs[-1]
+
+    def make_hzb(flat):
+        return HZBPyramid(flat=flat, widths=ws, heights=hs, offsets=offs,
+                          mip0_w=w, mip0_h=h)
+
+    stats = {}
+
+    if mcfg.occlusion:
+        prev_hzb = make_hzb(history.hzb_flat)
+        # history invalid -> HZB all zeros -> everything passes (depth 0 =
+        # far; occluded requires z_near < hzb which never fires at 0).
+        with jax.named_scope("cull.phase0"):
+            res0 = cull_pairs(
+                pools, instances, view.frustum_planes, proj_scale, cap,
+                hzb=prev_hzb, hzb_tw_to_clip=view.prev_tw_to_clip_nj,
+                lod_threshold=mcfg.lod_threshold_px)
+        with jax.named_scope("raster.phase0"):
+            clip, idx, tv, pay = expand_draws(
+                res0.draws, pools, instances, view.tw_to_clip, cap)
+            depth0, vis0, rstats0 = rasterize(clip, idx, tv, pay, rc)
+        with jax.named_scope("hzb.mid"):
+            hzb_now = build_hzb(depth0)
+        with jax.named_scope("cull.phase1"):
+            res1 = cull_pairs(
+                pools, instances, view.frustum_planes, proj_scale, cap,
+                hzb=hzb_now, hzb_tw_to_clip=view.tw_to_clip_nj,
+                lod_threshold=mcfg.lod_threshold_px,
+                extra_mask=res0.occluded_mask)
+        with jax.named_scope("raster.phase1"):
+            clip1, idx1, tv1, pay1 = expand_draws(
+                res1.draws, pools, instances, view.tw_to_clip, cap,
+                payload_base=cap)
+            depth, vis, rstats1 = rasterize(
+                clip1, idx1, tv1, pay1, rc,
+                init_depth=depth0, init_vis=vis0)
+        draw_object = jnp.concatenate([res0.draws.object_id,
+                                       res1.draws.object_id])
+        draw_meshlet = jnp.concatenate([res0.draws.meshlet_id,
+                                        res1.draws.meshlet_id])
+        stats["drawn_tris"] = rstats0["drawn_tris"] + rstats1["drawn_tris"]
+        stats["bin_overflow"] = (rstats0["bin_overflow"] +
+                                 rstats1["bin_overflow"])
+        stats["draws_phase0"] = res0.draws.count
+        stats["draws_phase1"] = res1.draws.count
+        stats["draw_overflow"] = (res0.draws.overflow + res1.draws.overflow)
+    else:
+        with jax.named_scope("cull"):
+            res0 = cull_pairs(pools, instances, view.frustum_planes,
+                              proj_scale, cap,
+                              lod_threshold=mcfg.lod_threshold_px)
+        with jax.named_scope("raster"):
+            clip, idx, tv, pay = expand_draws(
+                res0.draws, pools, instances, view.tw_to_clip, cap)
+            depth, vis, rstats = rasterize(clip, idx, tv, pay, rc)
+        draw_object = res0.draws.object_id
+        draw_meshlet = res0.draws.meshlet_id
+        stats["drawn_tris"] = rstats["drawn_tris"]
+        stats["bin_overflow"] = rstats["bin_overflow"]
+        stats["draws_phase0"] = res0.draws.count
+        stats["draw_overflow"] = res0.draws.overflow
+
+    with jax.named_scope("hzb.final"):
+        hzb_final = build_hzb(depth)
+
+    with jax.named_scope("gbuffer_resolve"):
+        gbuf = shading.resolve_gbuffer_meshlet(
+            vis, draw_object, draw_meshlet, pools, instances,
+            view.tw_to_clip_nj, view.prev_tw_to_clip_nj)
+
+    sun_shadow = None
+    if mcfg.shadows:
+        with jax.named_scope("shadow.render"):
+            shadow_maps = render_shadow_cascades(pools, instances, view,
+                                                 rc, mcfg)
+        with jax.named_scope("shadow.evaluate"):
+            sun_shadow = shadow_ops.evaluate_shadow(
+                gbuf.position_tw, gbuf.normal, view.sun_direction,
+                shadow_maps, view.shadow_tw_to_light, view.shadow_splits,
+                mcfg.shadow_cfg)
+
+    with jax.named_scope("lighting"):
+        sun = shading.SunLight(direction=view.sun_direction,
+                               radiance=view.sun_radiance,
+                               sky_ambient=view.sky_ambient)
+        hdr = shading.shade_pixels(gbuf, sun, sun_shadow=sun_shadow)
+
+    with jax.named_scope("auto_exposure"):
+        ecfg = post.ExposureConfig()
+        hist_lum = post.luminance_histogram(hdr, ecfg)
+        if axis_name is not None:
+            hist_lum = jax.lax.psum(hist_lum, axis_name) / \
+                jax.lax.psum(jnp.float32(1.0), axis_name)
+        exposure = post.adapt_exposure(hist_lum, history.exposure,
+                                       1.0 / 60.0, ecfg)
+
+    if config.enable_tsr:
+        with jax.named_scope("tsr"):
+            hdr = post.temporal_resolve(hdr, gbuf.motion, history.tsr_color,
+                                        history.valid, post.TSRConfig())
+    tsr_color = hdr
+
+    if config.enable_bloom:
+        with jax.named_scope("bloom"):
+            hdr = hdr + post.compute_bloom(hdr, post.BloomConfig())
+
+    with jax.named_scope("tonemap"):
+        image = colorspace.to_u8(
+            colorspace.tonemap_display(hdr, exposure, config.output))
+
+    new_history = FrameHistory(
+        valid=jnp.ones((), jnp.float32),
+        hzb_flat=hzb_final.flat,
+        depth=depth,
+        exposure=exposure,
+        tsr_color=tsr_color,
+        gi_diffuse=history.gi_diffuse,
+        gi_samples=history.gi_samples,
+    )
+    return image, new_history, stats
+
+
+class MeshletRenderer:
+    """Host driver for the meshlet frame (mirrors DeferredRenderer)."""
+
+    def __init__(self, config: RendererConfig,
+                 mcfg: MeshletFrameConfig = MeshletFrameConfig()):
+        self.config = config
+        self.mcfg = mcfg
+        self.history: Optional[FrameHistory] = None
+        self._frame_fn = jax.jit(functools.partial(
+            render_frame_meshlet, config=config, mcfg=mcfg))
+
+    def reset_history(self) -> None:
+        self.history = None
+
+    def render(self, pools, instances, view_uniform, **light_kwargs):
+        c = self.config
+        if self.history is None:
+            self.history = FrameHistory.empty(c.height, c.width)
+        view = DeviceView.from_uniform(
+            view_uniform,
+            shadow_cfg=self.mcfg.shadow_cfg if self.mcfg.shadows else None,
+            **light_kwargs)
+        image, self.history, stats = self._frame_fn(
+            pools, instances, view, self.history)
+        return image, stats

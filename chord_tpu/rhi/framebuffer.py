@@ -69,7 +69,7 @@ class FrameHistory:
     history reads; a camera cut sets valid=0 (reference clearHistory)."""
 
     valid: jnp.ndarray           # () f32 0/1
-    hzb_far: jnp.ndarray         # (H/2,W/2) f32 mip0 of the far (min-depth) pyramid
+    hzb_flat: jnp.ndarray        # (total,) f32 flattened min-depth pyramid
     depth: jnp.ndarray           # (H,W) f32 previous depth
     exposure: jnp.ndarray        # () f32 adapted exposure
     tsr_color: jnp.ndarray       # (Hp,Wp,3) f32 accumulated TSR color
@@ -79,10 +79,14 @@ class FrameHistory:
     @classmethod
     def empty(cls, h: int, w: int, post_h: Optional[int] = None,
               post_w: Optional[int] = None) -> "FrameHistory":
+        from ..ops.hzb import hzb_layout
+
         ph, pw = post_h or h, post_w or w
+        ws, hs, offs = hzb_layout(w, h)
+        total = offs[-1] + ws[-1] * hs[-1]
         return cls(
             valid=jnp.zeros((), jnp.float32),
-            hzb_far=jnp.zeros((h // 2, w // 2), jnp.float32),
+            hzb_flat=jnp.zeros((total,), jnp.float32),
             depth=jnp.zeros((h, w), jnp.float32),
             exposure=jnp.ones((), jnp.float32),
             tsr_color=jnp.zeros((ph, pw, 3), jnp.float32),

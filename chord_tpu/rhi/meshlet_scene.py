@@ -1,0 +1,168 @@
+"""Meshlet-based GPU scene: shared geometry + instance-meshlet draw pairs.
+
+TPU-native equivalent of the reference GPUScene + GPU-driven draw stream
+(reference: renderer/gpu_scene.h:21-171 — persistent pools addressed by id;
+install/resource/shader/instance_culling.hlsl:48-208 — per-object cluster
+group append producing `uint3{objectId, meshletId, slot}` draw commands).
+
+Unlike the flat path (scene_arrays.py, which duplicates geometry per
+instance), this path stores each mesh's geometry ONCE and draws
+(instance, meshlet) pairs:
+
+- Geometry pools: positions/normals/uv0 stacked over meshes; indices
+  REORDERED so each meshlet's <=128 triangles are contiguous; triangle
+  index rows padded so every meshlet owns exactly a 128-triangle window
+  (degenerate padding rows reference vertex 0 and are masked by
+  tri_count) — one meshlet == one dense raster chunk.
+- Meshlet tables: per-meshlet sphere/cone/LOD data (gathered per frame by
+  the culling kernels).
+- Pair table: static (instance, meshlet) pairs for the whole scene — the
+  worst-case draw stream the cull kernels compact from.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import chex
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.meshlet import MeshletData, build_meshlets
+from ..utils.log import get_logger
+from .scene_arrays import (MaterialData, MeshData, SceneBuilder,
+                           compute_vertex_normals)
+
+log = get_logger("rhi.meshlet")
+
+MESHLET_TRIS = 128   # raster chunk width == meshlet max tris
+
+
+@chex.dataclass(frozen=True)
+class MeshletScenePools:
+    """Device pools for the meshlet path (jax pytree)."""
+
+    # geometry (stacked over meshes, shared across instances)
+    positions: jnp.ndarray       # (V,3) f32 local space
+    normals: jnp.ndarray         # (V,3) f32
+    uv0: jnp.ndarray             # (V,2) f32
+    # per-meshlet dense triangle windows: (M*128, 3) pool-space vertex ids,
+    # padded rows repeat the meshlet's first vertex (degenerate, masked).
+    tri_indices: jnp.ndarray     # (M*128,3) i32
+    # meshlet tables
+    meshlet_sphere: jnp.ndarray  # (M,4) f32 local bounding sphere
+    meshlet_cone: jnp.ndarray    # (M,4) f32 axis.xyz + cutoff
+    meshlet_tri_count: jnp.ndarray  # (M,) i32
+    meshlet_error: jnp.ndarray      # (M,) f32 cluster error (Nanite)
+    meshlet_parent_error: jnp.ndarray  # (M,) f32
+    meshlet_lod_sphere: jnp.ndarray    # (M,4) f32 error-projection sphere
+    # static draw-pair table
+    pair_object: jnp.ndarray     # (P,) i32 instance slot
+    pair_meshlet: jnp.ndarray    # (P,) i32 meshlet id
+    pair_valid: jnp.ndarray      # (P,) bool
+    # materials (same layout as the flat path)
+    mat_base_color: jnp.ndarray
+    mat_metal_rough: jnp.ndarray
+    mat_emissive: jnp.ndarray
+
+    @property
+    def num_meshlets(self) -> int:
+        return self.meshlet_sphere.shape[0]
+
+    @property
+    def num_pairs(self) -> int:
+        return self.pair_object.shape[0]
+
+
+def build_meshlet_pools(builder: SceneBuilder,
+                        meshlet_cache: Optional[Dict[int, tuple]] = None
+                        ) -> MeshletScenePools:
+    """SceneBuilder (meshes + instances) -> meshlet device pools.
+
+    Meshlets are built per MESH (not per instance) and shared; the pair
+    table expands instances × their mesh's meshlets.
+    """
+    v_base = 0
+    m_base = 0
+    mesh_vbase: List[int] = []
+    mesh_meshlets: List[Tuple[int, int]] = []   # (meshlet base, count)
+    pos_l, nrm_l, uv_l, tri_l = [], [], [], []
+    sph_l, cone_l, cnt_l, err_l, perr_l, lsph_l = [], [], [], [], [], []
+
+    cache = meshlet_cache if meshlet_cache is not None else {}
+    for mesh_id, mesh in enumerate(builder.meshes):
+        if mesh_id in cache:
+            md, reordered = cache[mesh_id]
+        else:
+            md, reordered = build_meshlets(mesh.positions, mesh.indices)
+            cache[mesh_id] = (md, reordered)
+        mesh_vbase.append(v_base)
+        mesh_meshlets.append((m_base, md.count))
+
+        pos_l.append(mesh.positions)
+        nrm_l.append(mesh.normals)
+        uv_l.append(mesh.uv0)
+
+        # dense per-meshlet 128-triangle windows
+        win = np.zeros((md.count, MESHLET_TRIS, 3), np.int64)
+        for k in range(md.count):
+            o, c = int(md.tri_offset[k]), int(md.tri_count[k])
+            tris = reordered[o:o + c]
+            win[k, :c] = tris
+            if c < MESHLET_TRIS:
+                win[k, c:] = tris[0, 0]      # degenerate padding
+        tri_l.append((win + v_base).reshape(-1, 3).astype(np.int32))
+
+        sph_l.append(md.sphere)
+        cone_l.append(np.concatenate([md.cone_axis,
+                                      md.cone_cutoff[:, None]], 1))
+        cnt_l.append(md.tri_count)
+        err_l.append(md.lod_error)
+        perr_l.append(md.parent_error)
+        lsph_l.append(md.lod_sphere)
+
+        v_base += mesh.num_vertices
+        m_base += md.count
+
+    # pair table
+    pair_obj, pair_mesh = [], []
+    for oid, (mesh_id, _mat, _m) in enumerate(builder.instances):
+        mb, mc = mesh_meshlets[mesh_id]
+        pair_obj.append(np.full(mc, oid, np.int32))
+        pair_mesh.append(np.arange(mb, mb + mc, dtype=np.int32))
+    pair_object = np.concatenate(pair_obj) if pair_obj else np.zeros(0, np.int32)
+    pair_meshlet = np.concatenate(pair_mesh) if pair_mesh else np.zeros(0, np.int32)
+    n_pairs = len(pair_object)
+    pad = (-n_pairs) % 128
+    if pad:
+        pair_object = np.concatenate([pair_object, np.zeros(pad, np.int32)])
+        pair_meshlet = np.concatenate([pair_meshlet, np.zeros(pad, np.int32)])
+    pair_valid = np.zeros(len(pair_object), bool)
+    pair_valid[:n_pairs] = True
+
+    mats = builder.materials
+    pools = MeshletScenePools(
+        positions=jnp.asarray(np.concatenate(pos_l)),
+        normals=jnp.asarray(np.concatenate(nrm_l)),
+        uv0=jnp.asarray(np.concatenate(uv_l)),
+        tri_indices=jnp.asarray(np.concatenate(tri_l)),
+        meshlet_sphere=jnp.asarray(np.concatenate(sph_l)),
+        meshlet_cone=jnp.asarray(np.concatenate(cone_l)),
+        meshlet_tri_count=jnp.asarray(np.concatenate(cnt_l)),
+        meshlet_error=jnp.asarray(np.concatenate(err_l)),
+        meshlet_parent_error=jnp.asarray(np.concatenate(perr_l)),
+        meshlet_lod_sphere=jnp.asarray(np.concatenate(lsph_l)),
+        pair_object=jnp.asarray(pair_object),
+        pair_meshlet=jnp.asarray(pair_meshlet),
+        pair_valid=jnp.asarray(pair_valid),
+        mat_base_color=jnp.asarray(
+            np.array([m.base_color for m in mats], np.float32)),
+        mat_metal_rough=jnp.asarray(
+            np.array([[m.metallic, m.roughness] for m in mats], np.float32)),
+        mat_emissive=jnp.asarray(
+            np.array([m.emissive for m in mats], np.float32)),
+    )
+    log.info("MeshletScenePools: %d meshes, %d meshlets, %d pairs, %d verts",
+             len(builder.meshes), m_base, n_pairs, v_base)
+    return pools

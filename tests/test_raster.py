@@ -6,11 +6,11 @@ import numpy as np
 import pytest
 
 from chord_tpu.ops.raster import (RasterConfig, rasterize, rasterize_oracle,
-                                  setup_triangles, bin_triangles)
+                                  setup_triangles, bin_windows)
 
 W, H = 128, 32
-CFG = RasterConfig(width=W, height=H, tile_h=8, tile_w=128, bin_capacity=64,
-                   chunk=32, big_capacity=32, interpret=True)
+CFG = RasterConfig(width=W, height=H, tile_h=8, tile_w=128,
+                   pair_capacity=512, big_capacity=32, interpret=True)
 
 
 def make_random_tris(n, rng, depth_range=(0.1, 0.9), size=0.4, center_range=1.1):
@@ -18,9 +18,7 @@ def make_random_tris(n, rng, depth_range=(0.1, 0.9), size=0.4, center_range=1.1)
     clip = np.zeros((n * 3, 4), np.float32)
     centers = rng.uniform(-center_range, center_range, (n, 2))
     for t in range(n):
-        # random triangle, force consistent CCW NDC winding
         pts = centers[t] + rng.uniform(-size, size, (3, 2))
-        # signed area in NDC (y up): positive = CCW
         a2 = (pts[1, 0] - pts[0, 0]) * (pts[2, 1] - pts[0, 1]) - \
              (pts[1, 1] - pts[0, 1]) * (pts[2, 0] - pts[0, 0])
         if a2 < 0:
@@ -69,8 +67,17 @@ def test_many_overlapping_triangles_depth_order():
     assert_images_close(d, v, d_ref, v_ref)
 
 
-def test_big_triangle_path():
-    """A screen-covering triangle must take the big-triangle path."""
+def test_multi_window_stream():
+    """>128 triangles exercises multiple windows per tile."""
+    rng = np.random.default_rng(6)
+    clip, idx, valid, payload = make_random_tris(300, rng, size=0.15)
+    d, v, d_ref, v_ref, _ = run_both(clip, idx, valid, payload)
+    assert (v_ref != 0).sum() > 100
+    assert_images_close(d, v, d_ref, v_ref)
+
+
+def test_big_window_path():
+    """A screen-covering triangle must take the big-window path."""
     clip = np.array([
         [-4.0, -4.0, 0.5, 1.0],
         [4.0, -4.0, 0.5, 1.0],
@@ -108,7 +115,6 @@ def test_backface_culling():
     idx_flipped = idx[:, ::-1].copy()
     d, v, *_ = run_both(clip, idx_flipped, valid, payload)
     assert (v != 0).sum() == 0, "backfaces must be culled"
-    # two-sided: flipped winding still draws
     d2, v2, d_ref, v_ref, _ = run_both(clip, idx_flipped, valid, payload,
                                        backface_cull=False)
     assert (v2 != 0).sum() > 0
@@ -117,7 +123,7 @@ def test_backface_culling():
 
 def test_fully_behind_rejected():
     clip = np.array([
-        [0.0, 0.0, 0.5, -0.5],   # all vertices behind the eye plane
+        [0.0, 0.0, 0.5, -0.5],
         [0.5, 0.0, 0.5, -1.0],
         [0.0, 0.5, 0.5, -0.7],
     ], np.float32)
@@ -130,7 +136,6 @@ def test_fully_behind_rejected():
 def test_eye_plane_crossing_renders():
     """Homogeneous raster: a triangle with one vertex behind the eye must
     still rasterize its in-front part (no near clipping stage)."""
-    # big triangle straddling the eye plane, wound to face the camera
     clip = np.array([
         [-2.0, -1.0, 0.01, 2.0],
         [2.0, -1.0, 0.01, 2.0],
@@ -155,13 +160,34 @@ def test_invalid_triangles_ignored():
     assert not (drawn & culled)
 
 
-def test_bin_overflow_counted():
+def test_raster_accumulate_seed():
+    """Seeding with a previous phase's depth/vis must keep closer seed
+    pixels (the two-phase HZB re-raster contract)."""
+    rng = np.random.default_rng(7)
+    clip, idx, valid, payload = make_random_tris(5, rng, depth_range=(0.3, 0.4))
+    d1, v1, _, _, _ = run_both(clip, idx, valid, payload)
+    # second phase: same geometry but farther depth and different payload
+    clip2 = clip.copy()
+    clip2[:, 2] = 0.1
+    payload2 = payload + 7
+    from chord_tpu.ops.raster import rasterize
+    d2, v2, _ = rasterize(jnp.asarray(clip2), jnp.asarray(idx),
+                          jnp.asarray(valid), jnp.asarray(payload2), CFG,
+                          init_depth=jnp.asarray(d1), init_vis=jnp.asarray(v1))
+    d2, v2 = np.asarray(d2), np.asarray(v2)
+    covered = v1 != 0
+    # phase-1 content must win everywhere it was closer
+    assert (v2[covered] == v1[covered]).all()
+
+
+def test_pair_overflow_counted():
     rng = np.random.default_rng(5)
-    # 200 sizable tris clustered at screen center, capacity 64 → overflow
-    clip, idx, valid, payload = make_random_tris(200, rng, size=0.3,
+    clip, idx, valid, payload = make_random_tris(600, rng, size=0.3,
                                                  center_range=0.1)
-    setup = setup_triangles(jnp.asarray(clip), jnp.asarray(idx),
-                            jnp.asarray(valid), jnp.asarray(payload), CFG)
-    bins, counts, overflow = bin_triangles(setup, CFG)
-    assert int(overflow) > 0
-    assert int(counts.max()) == CFG.bin_capacity
+    cfg = CFG._replace(pair_capacity=4)
+    setup = setup_triangles(jnp.asarray(clip), jnp.asarray(idx[:512 * 3 // 3]),
+                            jnp.asarray(valid[:512]),
+                            jnp.asarray(payload[:512]), cfg)
+    queue = bin_windows(setup, cfg)
+    assert int(queue.overflow) > 0
+    assert int(queue.n_pairs) == 4

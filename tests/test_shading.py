@@ -40,7 +40,7 @@ def test_gbuffer_reconstruction():
                              inst.object_to_tw,
                              jnp.asarray(u.translated_world_to_clip))
     payload = jnp.arange(pools.indices.shape[0], dtype=jnp.uint32) + 1
-    cfg = RasterConfig(width=64, height=64, bin_capacity=64, big_capacity=16,
+    cfg = RasterConfig(width=64, height=64, pair_capacity=256, big_capacity=16,
                        interpret=True)
     depth, vis, _ = rasterize(clip, pools.indices, pools.tri_valid, payload,
                               cfg)

@@ -1,0 +1,96 @@
+"""Cascaded shadow maps + PCSS (reference: pcss.hlsl, cascade_setup.hlsl)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from chord_tpu.asset.procedural import build_sponza_like
+from chord_tpu.ops.shadow import ShadowConfig, evaluate_shadow, fit_cascades
+from chord_tpu.renderer.deferred import RendererConfig
+from chord_tpu.renderer.meshlet_frame import (MeshletFrameConfig,
+                                              MeshletRenderer)
+from chord_tpu.rhi.meshlet_scene import build_meshlet_pools
+from chord_tpu.utils.camera import Camera
+
+
+def test_fit_cascades_monotonic():
+    cfg = ShadowConfig(cascade_count=4, resolution=256)
+    mats, splits = fit_cascades(np.array([0.0, 0.0, -1.0]),
+                                np.array([0.3, 0.8, 0.5]),
+                                np.radians(60.0), 16 / 9, cfg)
+    assert mats.shape == (4, 4, 4)
+    assert np.all(np.diff(splits) > 0), "splits must increase"
+    # each cascade's matrix maps the slice center near the light NDC origin
+    for i in range(4):
+        d = 0.5 * (splits[i] + splits[i + 1])
+        p = np.array([0.0, 0.0, -d, 1.0], np.float64)  # on the view axis
+        clip = p @ mats[i].astype(np.float64)
+        assert abs(clip[0]) < 1.0 and abs(clip[1]) < 1.0, \
+            f"cascade {i} slice center off-map: {clip}"
+        assert 0.0 < clip[2] <= 1.0, f"depth out of range {clip[2]}"
+
+
+def test_shadow_occluder_blocks_sun():
+    """A floor point under an occluder must be dark; an open point lit."""
+    cfg = ShadowConfig(cascade_count=1, resolution=256, max_distance=40.0,
+                       light_size_world=0.05)   # hard-ish shadow for test
+    sun = np.array([0.0, 1.0, 0.0])   # straight down sun for simplicity
+    mats, splits = fit_cascades(np.array([0.0, 0.0, -1.0]), sun,
+                                np.radians(60.0), 1.0, cfg)
+    m = jnp.asarray(mats)
+
+    # Build a synthetic shadow map: occluder quad above y=0 plane covering
+    # x,z in [-5,0] at height y=5. Project its depth into the map.
+    r = cfg.resolution
+    maps = np.zeros((1, r, r), np.float32)
+    # rasterize the occluder analytically: for every texel compute its
+    # world xz, if inside the quad store the quad's light-space depth
+    inv = np.linalg.inv(mats[0].astype(np.float64))
+    for ty in range(r):
+        for tx in range(0, r, 4):      # stride 4 to keep the test fast
+            ndc = np.array([(tx + 0.5) / r * 2 - 1,
+                            0.5 - (ty + 0.5) / r, 0.0, 1.0])
+    # instead of per-texel loop (slow), project quad corners to texels:
+    quad = np.array([[-5.0, 5.0, -5.0], [0.0, 5.0, -5.0],
+                     [0.0, 5.0, 0.0], [-5.0, 5.0, 0.0]])
+    clip = np.concatenate([quad, np.ones((4, 1))], 1) @ mats[0].astype(np.float64)
+    uv = np.stack([(clip[:, 0] * 0.5 + 0.5) * r,
+                   (0.5 - clip[:, 1] * 0.5) * r], 1)
+    z = clip[:, 2].mean()
+    x0, x1 = int(uv[:, 0].min()), int(np.ceil(uv[:, 0].max()))
+    y0, y1 = int(uv[:, 1].min()), int(np.ceil(uv[:, 1].max()))
+    maps[0, max(y0, 0):y1, max(x0, 0):x1] = z
+
+    pos = jnp.asarray(np.array([
+        [[-2.5, 0.0, -2.5], [10.0, 0.0, 10.0]],
+    ], np.float32))                                   # (1,2,3)
+    nrm = jnp.asarray(np.tile([0.0, 1.0, 0.0], (1, 2, 1)).astype(np.float32))
+    vis = evaluate_shadow(pos, nrm, jnp.asarray(sun, jnp.float32),
+                          jnp.asarray(maps), m, jnp.asarray(splits), cfg)
+    vis = np.asarray(vis)
+    assert vis[0, 0] < 0.2, f"under occluder should be dark, got {vis[0,0]}"
+    assert vis[0, 1] > 0.9, f"open point should be lit, got {vis[0,1]}"
+
+
+def test_meshlet_frame_with_shadows():
+    b = build_sponza_like(detail=1)
+    pools = build_meshlet_pools(b)
+    cam = Camera(width=128, height=64)
+    cam.position = np.array([-15.0, 4.0, 0.0])
+    cam.look_at(np.array([10.0, 2.0, 0.0]))
+    inst = b.frame_instances(cam)
+
+    r = MeshletRenderer(
+        RendererConfig(width=128, height=64, pair_capacity=4096,
+                       big_capacity=128, interpret=True,
+                       enable_bloom=False, enable_tsr=False),
+        MeshletFrameConfig(draw_capacity=1024, occlusion=False,
+                           shadows=True,
+                           shadow_cfg=ShadowConfig(cascade_count=2,
+                                                   resolution=256,
+                                                   pcss_blocker_samples=4,
+                                                   pcss_pcf_samples=4),
+                           shadow_draw_capacity=1024))
+    img, stats = r.render(pools, inst, cam.view_uniform(0))
+    img = np.asarray(img)
+    assert img.std() > 8.0
+    assert int(np.asarray(stats["bin_overflow"])) == 0
