@@ -97,7 +97,7 @@ class TriangleSetup:
     union pixel bbox of the window's valid triangles.
     """
 
-    coef16: jnp.ndarray        # ((D+1)*128, 16) u32 rows, + poison window
+    coefT: jnp.ndarray         # (16, (D+1)*128) u32 coefficient-major
     window_bbox: jnp.ndarray   # (4, D) i32 [x0,y0,x1,y1] inclusive
     window_valid: jnp.ndarray  # (D,) bool — any valid triangle
     valid: jnp.ndarray         # (T,) bool per-triangle
@@ -212,19 +212,23 @@ def setup_triangles(
 
     payload = jnp.where(valid, payload, jnp.uint32(0))
     bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)
-    coef16 = jnp.stack(
+    # Coefficient-major (16, T): each row is one coefficient over all
+    # triangles — a window is the ALIGNED (16, 128) column slice
+    # [:, w*128:(w+1)*128], DMA-able on TPU (minor dim 128-tiled; a
+    # triangle-major (T,16) layout is not sliceable by window).
+    coefT = jnp.stack(
         [bc(l0[0]), bc(l1[0]), bc(l2[0]), bc(N[0]), bc(D[0]),
          bc(l0[1]), bc(l1[1]), bc(l2[1]), bc(N[1]), bc(D[1]),
          bc(l0[2]), bc(l1[2]), bc(l2[2]), bc(N[2]), bc(D[2]),
-         payload], axis=1)                                      # (T,16) u32
+         payload], axis=0)                                      # (16,T) u32
     # Invalid triangles: poison coverage (λ c = -1, a = b = 0 -> λ < 0).
     neg1 = np.float32(-1.0).view(np.uint32)
     poison = jnp.array([0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
                         neg1, neg1, neg1, 0, 0, 0], jnp.uint32)
-    coef16 = jnp.where(valid[:, None], coef16, poison[None, :])
+    coefT = jnp.where(valid[None, :], coefT, poison[:, None])
     # Poison window D appended; slack grid steps point at it.
-    coef16 = jnp.concatenate(
-        [coef16, jnp.broadcast_to(poison[None, :], (WINDOW, 16))], axis=0)
+    coefT = jnp.concatenate(
+        [coefT, jnp.broadcast_to(poison[:, None], (16, WINDOW))], axis=1)
     # Window bbox = union over valid triangles (invalid -> empty bbox).
     big_i = jnp.int32(1 << 29)
     wx0 = jnp.where(valid, ix0, big_i).reshape(d, WINDOW).min(1)
@@ -233,7 +237,7 @@ def setup_triangles(
     wy1 = jnp.where(valid, iy1, -1).reshape(d, WINDOW).max(1)
     window_valid = valid.reshape(d, WINDOW).any(1)
     window_bbox = jnp.stack([wx0, wy0, wx1, wy1], axis=0)
-    return TriangleSetup(coef16=coef16, window_bbox=window_bbox,
+    return TriangleSetup(coefT=coefT, window_bbox=window_bbox,
                          window_valid=window_valid, valid=valid)
 
 
@@ -356,7 +360,7 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,   # scalar prefetch
     def dma(j, slot):
         win = win_ref[start + j]
         return pltpu.make_async_copy(
-            coef_hbm.at[pl.ds(win * WINDOW, WINDOW), :],
+            coef_hbm.at[:, pl.ds(win * WINDOW, WINDOW)],
             scratch.at[slot], sems.at[slot])
 
     @pl.when(count > 0)
@@ -377,7 +381,7 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,   # scalar prefetch
             dma(j + 1, (j + 1) % 2).start()
 
         dma(j, slot).wait()
-        blk = scratch[slot]                               # (128,16) u32
+        blk = jnp.transpose(scratch[slot])                # (16,128)->(128,16)
         a = [f32(blk[:, k:k + 1]) for k in range(5)]      # (C,1) each
         b = [f32(blk[:, 5 + k:6 + k]) for k in range(5)]
         cc = [f32(blk[:, 10 + k:11 + k]) for k in range(5)]
@@ -460,7 +464,7 @@ def raster_queue(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, WINDOW, 16), jnp.uint32),
+            pltpu.VMEM((2, 16, WINDOW), jnp.uint32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -474,7 +478,7 @@ def raster_queue(
         # CPU has no Mosaic backend — interpret there (tests/dry runs).
         interpret=c.interpret or jax.default_backend() == "cpu",
     )(queue.pair_win, queue.starts, queue.counts,
-      setup.coef16, seed_d, seed_v)
+      setup.coefT, seed_d, seed_v)
     return depth[:c.height, :c.width], vis[:c.height, :c.width]
 
 

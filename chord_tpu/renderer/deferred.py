@@ -56,6 +56,7 @@ class DeviceView:
     sun_radiance: jnp.ndarray          # (3,) AP1
     sky_ambient: jnp.ndarray           # (3,) AP1
     dt: jnp.ndarray                    # () seconds
+    clip_to_tw: Optional[jnp.ndarray] = None   # (4,4) inverse view-proj
     # Shadow cascades (None when shadows are off; reference: GPU cascade
     # setup cascade_setup.hlsl — here fit on host, SURVEY.md §2.6)
     shadow_tw_to_light: Optional[jnp.ndarray] = None   # (N,4,4)
@@ -99,6 +100,8 @@ class DeviceView:
             sun_radiance=jnp.asarray(sun_ap1),
             sky_ambient=jnp.asarray(sky_ap1),
             dt=jnp.asarray(dt, jnp.float32),
+            clip_to_tw=jnp.asarray(np.float32(np.linalg.inv(
+                u.translated_world_to_clip_nojitter.astype(np.float64)))),
             shadow_tw_to_light=shadow_mats,
             shadow_frustum_planes=shadow_planes,
             shadow_splits=shadow_splits,

@@ -75,6 +75,21 @@ class MeshletFrameConfig(NamedTuple):
     shadows: bool = False          # cascaded shadow maps + PCSS
     shadow_cfg: shadow_ops.ShadowConfig = shadow_ops.ShadowConfig()
     shadow_draw_capacity: int = 4096
+    atmosphere: bool = False       # physically-based sky / sun / ambient
+
+
+def pixel_view_dirs(h: int, w: int, clip_to_tw: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel view ray directions in translated world (camera at the
+    origin): unproject NDC (x, y, z=0.5) and normalize."""
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
+    ys = 1.0 - (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0
+    px = jnp.broadcast_to(xs[None, :], (h, w))
+    py = jnp.broadcast_to(ys[:, None], (h, w))
+    ndc = jnp.stack([px, py, jnp.full((h, w), 0.5), jnp.ones((h, w))], -1)
+    p = (ndc[..., 0:1] * clip_to_tw[0] + ndc[..., 1:2] * clip_to_tw[1] +
+         ndc[..., 2:3] * clip_to_tw[2] + ndc[..., 3:4] * clip_to_tw[3])
+    d = p[..., :3] / jnp.where(jnp.abs(p[..., 3:4]) > 1e-9, p[..., 3:4], 1.0)
+    return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
 
 
 def render_shadow_cascades(
@@ -192,6 +207,36 @@ def render_frame_meshlet(
             vis, draw_object, draw_meshlet, pools, instances,
             view.tw_to_clip_nj, view.prev_tw_to_clip_nj)
 
+    sky_radiance = None
+    ambient = None
+    sun_radiance = view.sun_radiance
+    if mcfg.atmosphere:
+        from ..ops import atmosphere as atm
+
+        p_atm = atm.AtmosphereParams()
+        with jax.named_scope("atmosphere.luts"):
+            # Transmittance/MS are sun-independent; the sky-view LUT is
+            # rebuilt per frame (reference: manager_atmosphere renders its
+            # LUT set each frame too, renderer.cpp:306).
+            t_lut = atm.build_transmittance_lut(p_atm)
+            ms_lut = atm.build_multiscatter_lut(p_atm, t_lut,
+                                                dir_samples=16, steps=12)
+            sky_lut = atm.build_sky_view_lut(p_atm, t_lut, ms_lut,
+                                             view.sun_direction)
+        with jax.named_scope("atmosphere.sky"):
+            dirs = pixel_view_dirs(h, w, view.clip_to_tw)
+            sky_srgb = atm.sample_sky(sky_lut, dirs) + \
+                atm.sun_disk_radiance(p_atm, t_lut, dirs, view.sun_direction)
+            sky_radiance = colorspace.srgb_to_acescg(sky_srgb)
+            amb_srgb = atm.sky_ambient_irradiance(sky_lut)
+            ambient = colorspace.srgb_to_acescg(amb_srgb)[None, None, :]
+            # sun tinted by atmospheric transmittance at the camera
+            t_sun = atm.sample_transmittance(
+                t_lut, p_atm, jnp.asarray(p_atm.ground_radius_km + 0.2),
+                view.sun_direction[1])
+            sun_radiance = colorspace.srgb_to_acescg(
+                t_sun * p_atm.sun_illuminance)
+
     sun_shadow = None
     if mcfg.shadows:
         with jax.named_scope("shadow.render"):
@@ -205,9 +250,11 @@ def render_frame_meshlet(
 
     with jax.named_scope("lighting"):
         sun = shading.SunLight(direction=view.sun_direction,
-                               radiance=view.sun_radiance,
+                               radiance=sun_radiance,
                                sky_ambient=view.sky_ambient)
-        hdr = shading.shade_pixels(gbuf, sun, sun_shadow=sun_shadow)
+        hdr = shading.shade_pixels(gbuf, sun, sun_shadow=sun_shadow,
+                                   sky_radiance=sky_radiance,
+                                   ambient=ambient)
 
     with jax.named_scope("auto_exposure"):
         ecfg = post.ExposureConfig()
@@ -242,6 +289,24 @@ def render_frame_meshlet(
         gi_samples=history.gi_samples,
     )
     return image, new_history, stats
+
+
+def render_sequence_meshlet(
+    pools, instances, views_stacked, history: FrameHistory,
+    config: RendererConfig, mcfg: MeshletFrameConfig,
+):
+    """Render a whole camera path in ONE XLA dispatch via lax.scan — the
+    honest throughput shape for benchmarking (amortizes host->device
+    dispatch) and for offline/animation rendering. views_stacked is a
+    DeviceView pytree with a leading (N,) axis; returns (N,H,W,3) u8."""
+
+    def step(hist, view):
+        image, new_hist, _stats = render_frame_meshlet(
+            pools, instances, view, hist, config, mcfg)
+        return new_hist, image
+
+    new_history, images = jax.lax.scan(step, history, views_stacked)
+    return images, new_history
 
 
 class MeshletRenderer:
