@@ -335,20 +335,27 @@ def bin_windows(setup: TriangleSetup, config: RasterConfig) -> WorkQueue:
 
 
 def _raster_tile_kernel(win_ref, start_ref, count_ref,   # scalar prefetch
-                        coef_hbm,                         # ((D+1)*128,16) ANY
+                        coef_hbm,                         # (16,(D+1)*128) ANY
                         seed_d_ref, seed_v_ref,           # (TH,TW) blocks
-                        depth_ref, vis_ref,               # out blocks
-                        scratch, sems,                    # (2,128,16) + DMA(2)
+                        seed_b0_ref, seed_b1_ref,
+                        depth_ref, vis_ref, b0_ref, b1_ref,  # out blocks
+                        scratch, sems,                    # (2,16,128) + DMA(2)
                         *, config: RasterConfig):
     """One grid step = one screen tile: loop over the tile's binned windows
     with double-buffered HBM->VMEM coefficient DMA, accumulating
-    (depth, payload) in registers; one write per tile.
+    (depth, payload, barycentrics) in registers; one write per tile.
 
-    coef window (128, 16): sublanes = triangles, lanes = coefficients
-    [λ0a,λ1a,λ2a,Na,Da | *b | *c | pad | payload@15]. All f32 VPU math —
-    edge functions cannot survive the MXU's bf16 decomposition. Triangles
-    live on sublanes; pixels are processed one tile row (tile_w lanes) at
-    a time — no cross-layout reshapes anywhere.
+    The winner's perspective-correct barycentrics (b0, b1) are emitted as
+    extra render targets so deferred shading needs NO clip-space
+    reconstruction (the reference recomputes them per pixel in
+    lighting.hlsl via base.hlsli:457-497 — on TPU that costs per-pixel
+    gathers, so we resolve them where they are already computed).
+
+    coef window (16, 128): sublanes = coefficients
+    [λ0a,λ1a,λ2a,Na,Da | *b | *c | pad | payload@15], lanes = triangles;
+    transposed in-kernel to (128,16). All f32 VPU math — edge functions
+    cannot survive the MXU's bf16 decomposition. Pixels are processed one
+    tile row (tile_w lanes) at a time — no cross-layout reshapes.
     """
     c = config
     tile = pl.program_id(0)
@@ -373,7 +380,7 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,   # scalar prefetch
     f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
 
     def body(j, carry):
-        acc_d, acc_v = carry
+        acc_d, acc_v, acc_b0, acc_b1 = carry
         slot = j % 2
 
         @pl.when(j + 1 < count)
@@ -388,8 +395,7 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,   # scalar prefetch
         pay = jax.lax.bitcast_convert_type(blk[:, 15:16], jnp.int32)
 
         ex = [a[k] * px for k in range(5)]                # (C, TW)
-        rows_d = []
-        rows_v = []
+        rows_d, rows_v, rows_b0, rows_b1 = [], [], [], []
         for row in range(c.tile_h):
             yf = jnp.float32(1.0) * (tile_ty * c.tile_h + row)
             l0 = ex[0] + (b[0] * yf + cc[0])
@@ -405,22 +411,37 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,   # scalar prefetch
             winner = (cand == best) & (cand > 0.0)
             pay_sel = jnp.max(jnp.where(winner, pay, 0), axis=0,
                               keepdims=True)              # (1, TW)
+            s = l0 + l1 + l2
+            inv_s = 1.0 / jnp.where(covered, s, 1.0)
+            b0_sel = jnp.max(jnp.where(winner, l0 * inv_s, 0.0), axis=0,
+                             keepdims=True)
+            b1_sel = jnp.max(jnp.where(winner, l1 * inv_s, 0.0), axis=0,
+                             keepdims=True)
             rows_d.append(best)
             rows_v.append(pay_sel)
+            rows_b0.append(b0_sel)
+            rows_b1.append(b1_sel)
 
         best2 = jnp.concatenate(rows_d, axis=0)           # (TH, TW)
         pay2 = jnp.concatenate(rows_v, axis=0)
+        b02 = jnp.concatenate(rows_b0, axis=0)
+        b12 = jnp.concatenate(rows_b1, axis=0)
         better = best2 > acc_d
         tie = (best2 == acc_d) & (pay2 > acc_v)
         take = better | tie
         return (jnp.where(take, best2, acc_d),
-                jnp.where(take, pay2, acc_v))
+                jnp.where(take, pay2, acc_v),
+                jnp.where(take, b02, acc_b0),
+                jnp.where(take, b12, acc_b1))
 
     seed_d = seed_d_ref[:]
     seed_v = jax.lax.bitcast_convert_type(seed_v_ref[:], jnp.int32)
-    acc_d, acc_v = jax.lax.fori_loop(0, count, body, (seed_d, seed_v))
+    acc_d, acc_v, acc_b0, acc_b1 = jax.lax.fori_loop(
+        0, count, body, (seed_d, seed_v, seed_b0_ref[:], seed_b1_ref[:]))
     depth_ref[:] = acc_d
     vis_ref[:] = jax.lax.bitcast_convert_type(acc_v, jnp.uint32)
+    b0_ref[:] = acc_b0
+    b1_ref[:] = acc_b1
 
 
 def raster_queue(
@@ -429,8 +450,11 @@ def raster_queue(
     config: RasterConfig,
     init_depth: Optional[jnp.ndarray] = None,   # (H,W) f32 seed (phase 2)
     init_vis: Optional[jnp.ndarray] = None,     # (H,W) u32
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Stage 3: -> (depth (H,W) f32 reverse-Z, visibility (H,W) u32)."""
+    init_b0: Optional[jnp.ndarray] = None,      # (H,W) f32
+    init_b1: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Stage 3: -> (depth (H,W) f32 reverse-Z, visibility (H,W) u32,
+    b0, b1 (H,W) f32 winner barycentrics)."""
     c = config
     h_pad = c.tiles_y * c.tile_h
     w_pad = c.tiles_x * c.tile_w
@@ -443,43 +467,42 @@ def raster_queue(
 
     seed_d = padded(init_depth, 0.0, jnp.float32)
     seed_v = padded(init_vis, 0, jnp.uint32)
+    seed_b0 = padded(init_b0, 0.0, jnp.float32)
+    seed_b1 = padded(init_b1, 0.0, jnp.float32)
 
     def tile_block(i, pw, st, ct):
         return (i // c.tiles_x, i % c.tiles_x)
 
+    vmem_tile = pl.BlockSpec((c.tile_h, c.tile_w), tile_block,
+                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,   # pair_win, starts, counts
         grid=(c.n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # coef16 stays in HBM
-            pl.BlockSpec((c.tile_h, c.tile_w), tile_block,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c.tile_h, c.tile_w), tile_block,
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # coefT stays in HBM
+            vmem_tile, vmem_tile, vmem_tile, vmem_tile,
         ],
-        out_specs=[
-            pl.BlockSpec((c.tile_h, c.tile_w), tile_block,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c.tile_h, c.tile_w), tile_block,
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[vmem_tile, vmem_tile, vmem_tile, vmem_tile],
         scratch_shapes=[
             pltpu.VMEM((2, 16, WINDOW), jnp.uint32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    depth, vis = pl.pallas_call(
+    depth, vis, b0, b1 = pl.pallas_call(
         functools.partial(_raster_tile_kernel, config=c),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
             jax.ShapeDtypeStruct((h_pad, w_pad), jnp.uint32),
+            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
         ],
         # CPU has no Mosaic backend — interpret there (tests/dry runs).
         interpret=c.interpret or jax.default_backend() == "cpu",
     )(queue.pair_win, queue.starts, queue.counts,
-      setup.coefT, seed_d, seed_v)
-    return depth[:c.height, :c.width], vis[:c.height, :c.width]
+      setup.coefT, seed_d, seed_v, seed_b0, seed_b1)
+    crop = lambda x: x[:c.height, :c.width]
+    return crop(depth), crop(vis), crop(b0), crop(b1)
 
 
 def rasterize(
@@ -491,6 +514,9 @@ def rasterize(
     backface_cull: bool = True,
     init_depth: Optional[jnp.ndarray] = None,
     init_vis: Optional[jnp.ndarray] = None,
+    init_b0: Optional[jnp.ndarray] = None,
+    init_b1: Optional[jnp.ndarray] = None,
+    with_bary: bool = False,
 ):
     """Full visibility raster: clip positions -> (depth, visibility, stats).
 
@@ -511,11 +537,14 @@ def rasterize(
     with jax.named_scope("raster.bin"):
         queue = bin_windows(setup, config)
     with jax.named_scope("raster.tiles"):
-        depth, vis = raster_queue(queue, setup, config,
-                                  init_depth=init_depth, init_vis=init_vis)
+        depth, vis, b0, b1 = raster_queue(
+            queue, setup, config, init_depth=init_depth, init_vis=init_vis,
+            init_b0=init_b0, init_b1=init_b1)
     stats = {"bin_overflow": queue.overflow,
              "drawn_tris": jnp.sum(setup.valid.astype(jnp.int32)),
              "binned_pairs": queue.n_pairs}
+    if with_bary:
+        return depth, vis, b0, b1, stats
     return depth, vis, stats
 
 

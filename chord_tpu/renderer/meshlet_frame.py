@@ -24,6 +24,23 @@ from ..rhi.framebuffer import FrameHistory, pack_visibility
 from .deferred import DeviceView, RendererConfig
 
 
+class DrawStream(NamedTuple):
+    """Expanded per-draw triangle stream + shading attribute tables."""
+
+    clip: jnp.ndarray        # (D*384, 4) f32 clip positions
+    indices: jnp.ndarray     # (D*128, 3) i32 trivial triangle indices
+    tri_valid: jnp.ndarray   # (D*128,) bool
+    payload: jnp.ndarray     # (D*128,) u32 packed (slot+1):25|tri:7
+    # SoA shading tables indexed by corner id = slot*384 + tri*3 + k —
+    # scalar/narrow bf16 gathers are ~3-25x cheaper than wide row gathers
+    # on TPU, so attributes are stored as separate planes.
+    nrm_x: jnp.ndarray       # (D*384,) bf16 translated-world normal
+    nrm_y: jnp.ndarray
+    nrm_z: jnp.ndarray
+    uv_u: jnp.ndarray        # (D*384,) bf16
+    uv_v: jnp.ndarray
+
+
 def expand_draws(
     draws: DrawList,
     pools,                      # MeshletScenePools
@@ -31,14 +48,14 @@ def expand_draws(
     tw_to_clip: jnp.ndarray,    # (4,4)
     capacity: int,
     payload_base: int = 0,      # slot offset for phase-2 draw lists
-):
-    """DrawList -> clip-space triangle stream for the rasterizer.
+) -> DrawStream:
+    """DrawList -> clip-space triangle stream + shading tables.
 
     The TPU version of the mesh-shader vertex phase
     (reference: mesh_raster.hlsl:51-120): per visible draw, transform its
-    meshlet's <=128 triangles into clip space. Vertices are transformed
-    per-corner (3 per triangle) — fully vectorized, no vertex cache needed
-    when the whole thing is one gather + fma chain on 8x128 vregs.
+    meshlet's <=128 triangles into clip space. Transforms are batched
+    einsums on the MXU; intermediates stay (D,384,4) — no broadcasted
+    per-vertex matrices.
     """
     d = capacity
     slot = jnp.arange(d, dtype=jnp.int32)
@@ -47,16 +64,27 @@ def expand_draws(
     o = jnp.where(active, draws.object_id, 0)
 
     tri_rows = pools.tri_indices.reshape(-1, 128, 3)[m]     # (D,128,3)
+    vid = tri_rows.reshape(d, 384)                          # (D,384)
+
     local_to_clip = jnp.einsum(
         "dij,jk->dik", instances.object_to_tw[o], tw_to_clip)  # (D,4,4)
 
-    pos = pools.positions[tri_rows]                          # (D,128,3,3)
-    mm = local_to_clip[:, None, None]                        # (D,1,1,4,4)
-    clip = (pos[..., 0:1] * mm[..., 0, :] + pos[..., 1:2] * mm[..., 1, :] +
-            pos[..., 2:3] * mm[..., 2, :] + mm[..., 3, :])   # (D,128,3,4)
-    clip = clip.reshape(d * 128 * 3, 4)
+    pos = pools.positions[vid]                               # (D,384,3)
+    pos_h = jnp.concatenate([pos, jnp.ones((d, 384, 1))], axis=-1)
+    clip = jnp.einsum("dvj,djk->dvk", pos_h, local_to_clip,
+                      precision=jax.lax.Precision.HIGHEST)   # (D,384,4)
+    clip = clip.reshape(d * 384, 4)
 
-    indices = jnp.arange(d * 128 * 3, dtype=jnp.int32).reshape(-1, 3)
+    # normals -> translated world (rotation+inverse-scale via normal mat)
+    nrm = pools.normals[vid]                                 # (D,384,3)
+    nm = instances.object_normal_mat[o]                      # (D,3,3)
+    nrm_tw = jnp.einsum("dvj,djk->dvk", nrm, nm,
+                        precision=jax.lax.Precision.HIGHEST)
+    nrm_tw = nrm_tw / jnp.maximum(
+        jnp.linalg.norm(nrm_tw, axis=-1, keepdims=True), 1e-8)
+    uv = pools.uv0[vid]                                      # (D,384,2)
+
+    indices = jnp.arange(d * 384, dtype=jnp.int32).reshape(-1, 3)
     tri_j = jnp.broadcast_to(jnp.arange(128, dtype=jnp.int32)[None, :],
                              (d, 128))
     tri_valid = (active[:, None] &
@@ -65,7 +93,12 @@ def expand_draws(
         (slot[:, None] + payload_base) * jnp.ones((1, 128), jnp.int32),
         tri_j).reshape(-1)
     payload = jnp.where(tri_valid, payload, jnp.uint32(0))
-    return clip, indices, tri_valid, payload
+    bf = lambda x: x.reshape(-1).astype(jnp.bfloat16)
+    return DrawStream(
+        clip=clip, indices=indices, tri_valid=tri_valid, payload=payload,
+        nrm_x=bf(nrm_tw[..., 0]), nrm_y=bf(nrm_tw[..., 1]),
+        nrm_z=bf(nrm_tw[..., 2]),
+        uv_u=bf(uv[..., 0]), uv_v=bf(uv[..., 1]))
 
 
 class MeshletFrameConfig(NamedTuple):
@@ -116,10 +149,11 @@ def render_shadow_cascades(
                              mcfg.shadow_draw_capacity,
                              lod_threshold=mcfg.lod_threshold_px,
                              enable_cone=False)   # depth pass: no backface
-            clip, idx, tv, pay = expand_draws(res.draws, pools, instances,
-                                              m, mcfg.shadow_draw_capacity)
-            depth_i, _vis, _stats = rasterize(clip, idx, tv, pay, rc,
-                                              backface_cull=False)
+            st = expand_draws(res.draws, pools, instances,
+                              m, mcfg.shadow_draw_capacity)
+            depth_i, _vis, _stats = rasterize(
+                st.clip, st.indices, st.tri_valid, st.payload, rc,
+                backface_cull=False)
             maps.append(depth_i)
     return jnp.stack(maps)
 
@@ -155,9 +189,11 @@ def render_frame_meshlet(
                 hzb=prev_hzb, hzb_tw_to_clip=view.prev_tw_to_clip_nj,
                 lod_threshold=mcfg.lod_threshold_px)
         with jax.named_scope("raster.phase0"):
-            clip, idx, tv, pay = expand_draws(
+            st0 = expand_draws(
                 res0.draws, pools, instances, view.tw_to_clip, cap)
-            depth0, vis0, rstats0 = rasterize(clip, idx, tv, pay, rc)
+            depth0, vis0, b00, b10, rstats0 = rasterize(
+                st0.clip, st0.indices, st0.tri_valid, st0.payload, rc,
+                with_bary=True)
         with jax.named_scope("hzb.mid"):
             hzb_now = build_hzb(depth0)
         with jax.named_scope("cull.phase1"):
@@ -167,16 +203,17 @@ def render_frame_meshlet(
                 lod_threshold=mcfg.lod_threshold_px,
                 extra_mask=res0.occluded_mask)
         with jax.named_scope("raster.phase1"):
-            clip1, idx1, tv1, pay1 = expand_draws(
+            st1 = expand_draws(
                 res1.draws, pools, instances, view.tw_to_clip, cap,
                 payload_base=cap)
-            depth, vis, rstats1 = rasterize(
-                clip1, idx1, tv1, pay1, rc,
-                init_depth=depth0, init_vis=vis0)
+            depth, vis, b0, b1, rstats1 = rasterize(
+                st1.clip, st1.indices, st1.tri_valid, st1.payload, rc,
+                init_depth=depth0, init_vis=vis0, init_b0=b00, init_b1=b10,
+                with_bary=True)
+        stream = jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
+                              st0, st1)
         draw_object = jnp.concatenate([res0.draws.object_id,
                                        res1.draws.object_id])
-        draw_meshlet = jnp.concatenate([res0.draws.meshlet_id,
-                                        res1.draws.meshlet_id])
         stats["drawn_tris"] = rstats0["drawn_tris"] + rstats1["drawn_tris"]
         stats["bin_overflow"] = (rstats0["bin_overflow"] +
                                  rstats1["bin_overflow"])
@@ -189,11 +226,12 @@ def render_frame_meshlet(
                               proj_scale, cap,
                               lod_threshold=mcfg.lod_threshold_px)
         with jax.named_scope("raster"):
-            clip, idx, tv, pay = expand_draws(
+            stream = expand_draws(
                 res0.draws, pools, instances, view.tw_to_clip, cap)
-            depth, vis, rstats = rasterize(clip, idx, tv, pay, rc)
+            depth, vis, b0, b1, rstats = rasterize(
+                stream.clip, stream.indices, stream.tri_valid,
+                stream.payload, rc, with_bary=True)
         draw_object = res0.draws.object_id
-        draw_meshlet = res0.draws.meshlet_id
         stats["drawn_tris"] = rstats["drawn_tris"]
         stats["bin_overflow"] = rstats["bin_overflow"]
         stats["draws_phase0"] = res0.draws.count
@@ -203,9 +241,9 @@ def render_frame_meshlet(
         hzb_final = build_hzb(depth)
 
     with jax.named_scope("gbuffer_resolve"):
-        gbuf = shading.resolve_gbuffer_meshlet(
-            vis, draw_object, draw_meshlet, pools, instances,
-            view.tw_to_clip_nj, view.prev_tw_to_clip_nj)
+        gbuf = shading.resolve_gbuffer_fast(
+            vis, depth, b0, b1, stream, draw_object, pools, instances,
+            view.clip_to_tw, view.tw_to_clip_nj, view.prev_tw_to_clip_nj)
 
     sky_radiance = None
     ambient = None
