@@ -1,0 +1,120 @@
+"""ctypes bindings for the native (C++) asset pipeline.
+
+The reference builds its offline geometry tooling in C++
+(source/asset/nanite_builder.cpp + vendored meshoptimizer); ours lives in
+native/nanite.cpp and is auto-built with make on first import. Falls back
+cleanly (raises ImportError from `load()`) so pure-Python paths keep
+working without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libchordnative.so"
+_lib: Optional[ctypes.CDLL] = None
+
+
+def load() -> ctypes.CDLL:
+    """Load (building if needed) the native library."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                       capture_output=True)
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.chord_nanite_build.restype = ctypes.c_int
+    lib.chord_vertex_normals.restype = None
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        load()
+        return True
+    except Exception:
+        return False
+
+
+def _ptr(a: np.ndarray, ty):
+    return a.ctypes.data_as(ctypes.POINTER(ty))
+
+
+def nanite_build(positions: np.ndarray, indices: np.ndarray,
+                 build_lods: bool = True):
+    """C++ cluster-LOD build -> dict of meshlet tables + index stream.
+
+    Returns {indices (T',3), tri_offset, tri_count, lod_level, sphere,
+    cone, lod_error, parent_error, lod_sphere, parent_sphere} — the DAG
+    over ALL LOD levels in one flat meshlet list (runtime picks the cut,
+    ops/cull.py lod_cut_visible).
+    """
+    lib = load()
+    positions = np.ascontiguousarray(positions, np.float32)
+    indices = np.ascontiguousarray(indices, np.int32).reshape(-1, 3)
+    n_verts = len(positions)
+    n_tris = len(indices)
+    # LOD chain sums to < 2x the base triangles (each level halves)
+    idx_cap = max(n_tris * 3, 1024)
+    mcap = max(idx_cap // 32, 256)
+
+    out_idx = np.zeros((idx_cap, 3), np.int32)
+    tri_offset = np.zeros(mcap, np.int32)
+    tri_count = np.zeros(mcap, np.int32)
+    lod_level = np.zeros(mcap, np.int32)
+    sphere = np.zeros((mcap, 4), np.float32)
+    cone = np.zeros((mcap, 4), np.float32)
+    lod_error = np.zeros(mcap, np.float32)
+    parent_error = np.zeros(mcap, np.float32)
+    lod_sphere = np.zeros((mcap, 4), np.float32)
+    parent_sphere = np.zeros((mcap, 4), np.float32)
+    n_meshlets = ctypes.c_int(0)
+    n_tris_total = ctypes.c_int(0)
+
+    rc = lib.chord_nanite_build(
+        _ptr(positions, ctypes.c_float), n_verts,
+        _ptr(indices, ctypes.c_int), n_tris,
+        1 if build_lods else 0,
+        _ptr(out_idx, ctypes.c_int), idx_cap,
+        _ptr(tri_offset, ctypes.c_int), _ptr(tri_count, ctypes.c_int),
+        _ptr(lod_level, ctypes.c_int),
+        _ptr(sphere, ctypes.c_float), _ptr(cone, ctypes.c_float),
+        _ptr(lod_error, ctypes.c_float), _ptr(parent_error, ctypes.c_float),
+        _ptr(lod_sphere, ctypes.c_float), _ptr(parent_sphere, ctypes.c_float),
+        mcap, ctypes.byref(n_meshlets), ctypes.byref(n_tris_total))
+    if rc != 0:
+        raise RuntimeError("chord_nanite_build: capacity exceeded")
+    m = n_meshlets.value
+    t = n_tris_total.value
+    return {
+        "indices": out_idx[:t].copy(),
+        "tri_offset": tri_offset[:m].copy(),
+        "tri_count": tri_count[:m].copy(),
+        "lod_level": lod_level[:m].copy(),
+        "sphere": sphere[:m].copy(),
+        "cone": cone[:m].copy(),
+        "lod_error": lod_error[:m].copy(),
+        "parent_error": parent_error[:m].copy(),
+        "lod_sphere": lod_sphere[:m].copy(),
+        "parent_sphere": parent_sphere[:m].copy(),
+    }
+
+
+def vertex_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    lib = load()
+    positions = np.ascontiguousarray(positions, np.float32)
+    indices = np.ascontiguousarray(indices, np.int32)
+    out = np.zeros_like(positions)
+    lib.chord_vertex_normals(
+        _ptr(positions, ctypes.c_float), len(positions),
+        _ptr(indices, ctypes.c_int), len(indices.reshape(-1, 3)),
+        _ptr(out, ctypes.c_float))
+    return out

@@ -104,15 +104,24 @@ def lod_cut_visible(pools, instances, view_proj_scale: jnp.ndarray,
     mesh = pools.pair_meshlet
     m = instances.object_to_tw[obj]
     ls = pools.meshlet_lod_sphere[mesh]
-    c = (ls[:, 0:1] * m[:, 0, :3] + ls[:, 1:2] * m[:, 1, :3] +
-         ls[:, 2:3] * m[:, 2, :3] + m[:, 3, :3])
+    ps = pools.meshlet_parent_sphere[mesh]
+
+    def to_tw(s4):
+        return (s4[:, 0:1] * m[:, 0, :3] + s4[:, 1:2] * m[:, 1, :3] +
+                s4[:, 2:3] * m[:, 2, :3] + m[:, 3, :3])
+
+    c = to_tw(ls)
+    cp = to_tw(ps)
     scale = jnp.sqrt(jnp.max(jnp.sum(m[:, :3, :3] ** 2, axis=2), axis=1))
     err = pools.meshlet_error[mesh] * scale
     perr = pools.meshlet_parent_error[mesh] * scale
     e_px = project_error_px(c, jnp.maximum(err, 1e-12), view_proj_scale)
+    # parent error projects through the PARENT group's sphere so parents
+    # and children evaluate the identical quantity (crack-free cut,
+    # reference nanite_shared.hlsli:15-49)
     p_px = jnp.where(pools.meshlet_parent_error[mesh] >= 1e37,
                      jnp.float32(1e9),
-                     project_error_px(c, jnp.maximum(perr, 1e-12),
+                     project_error_px(cp, jnp.maximum(perr, 1e-12),
                                       view_proj_scale))
     zero_err = pools.meshlet_error[mesh] <= 0.0
     e_ok = zero_err | (e_px <= error_px_threshold)

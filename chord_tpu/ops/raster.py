@@ -57,7 +57,12 @@ class RasterConfig(NamedTuple):
     small_ky: int = 8             # small-path tile rows (window bbox height)
     small_kx: int = 2             # small-path tile cols
     big_capacity: int = 256       # max tile-spanning windows
+    with_attrs: bool = False      # interpolate normal+uv planes in-kernel
     interpret: bool = False       # pallas interpreter (CPU tests)
+
+    @property
+    def coef_rows(self) -> int:
+        return 32 if self.with_attrs else 16
 
     @property
     def tiles_x(self) -> int:
@@ -114,6 +119,7 @@ def setup_triangles(
     payload: jnp.ndarray,     # (T,) uint32
     config: RasterConfig,
     backface_cull: bool = True,
+    attrs: 'Optional[jnp.ndarray]' = None,   # (V,A) per-vertex attributes
 ) -> TriangleSetup:
     """Stage 1: clip positions -> homogeneous coverage/depth functions.
 
@@ -212,23 +218,41 @@ def setup_triangles(
 
     payload = jnp.where(valid, payload, jnp.uint32(0))
     bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)
-    # Coefficient-major (16, T): each row is one coefficient over all
-    # triangles — a window is the ALIGNED (16, 128) column slice
+    # Coefficient-major (R, T): each row is one coefficient over all
+    # triangles — a window is the ALIGNED (R, 128) column slice
     # [:, w*128:(w+1)*128], DMA-able on TPU (minor dim 128-tiled; a
-    # triangle-major (T,16) layout is not sliceable by window).
-    coefT = jnp.stack(
-        [bc(l0[0]), bc(l1[0]), bc(l2[0]), bc(N[0]), bc(D[0]),
-         bc(l0[1]), bc(l1[1]), bc(l2[1]), bc(N[1]), bc(D[1]),
-         bc(l0[2]), bc(l1[2]), bc(l2[2]), bc(N[2]), bc(D[2]),
-         payload], axis=0)                                      # (16,T) u32
+    # triangle-major (T,R) layout is not sliceable by window).
+    rows = [bc(l0[0]), bc(l1[0]), bc(l2[0]), bc(N[0]), bc(D[0]),
+            bc(l0[1]), bc(l1[1]), bc(l2[1]), bc(N[1]), bc(D[1]),
+            bc(l0[2]), bc(l1[2]), bc(l2[2]), bc(N[2]), bc(D[2]),
+            payload]
+    n_rows = config.coef_rows
+    if config.with_attrs:
+        assert attrs is not None and attrs.shape[1] == 5, \
+            "with_attrs needs (V,5) attributes (nx,ny,nz,u,v)"
+        # Attribute numerator planes: attr(p) = (Σ λ_i a_i)(p) / Σ λ_i(p);
+        # each plane = a0*l0 + a1*l1 + a2*l2, componentwise over (a,b,c)
+        # (the in-rasterizer analog of the reference's attribute
+        # interpolation in lighting.hlsl:310-360).
+        a0 = attrs[indices[:, 0]]
+        a1 = attrs[indices[:, 1]]
+        a2 = attrs[indices[:, 2]]
+        for k in range(5):
+            for comp in range(3):
+                plane = (a0[:, k] * (l0[comp]) + a1[:, k] * (l1[comp]) +
+                         a2[:, k] * (l2[comp]))
+                rows.append(bc(plane))
+        rows.append(jnp.zeros_like(payload))   # pad to 32
+    coefT = jnp.stack(rows, axis=0)                              # (R,T) u32
     # Invalid triangles: poison coverage (λ c = -1, a = b = 0 -> λ < 0).
     neg1 = np.float32(-1.0).view(np.uint32)
-    poison = jnp.array([0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
-                        neg1, neg1, neg1, 0, 0, 0], jnp.uint32)
+    poison_np = np.zeros(n_rows, np.uint32)
+    poison_np[10:13] = neg1
+    poison = jnp.asarray(poison_np)
     coefT = jnp.where(valid[None, :], coefT, poison[:, None])
     # Poison window D appended; slack grid steps point at it.
     coefT = jnp.concatenate(
-        [coefT, jnp.broadcast_to(poison[:, None], (16, WINDOW))], axis=1)
+        [coefT, jnp.broadcast_to(poison[:, None], (n_rows, WINDOW))], axis=1)
     # Window bbox = union over valid triangles (invalid -> empty bbox).
     big_i = jnp.int32(1 << 29)
     wx0 = jnp.where(valid, ix0, big_i).reshape(d, WINDOW).min(1)
@@ -335,29 +359,33 @@ def bin_windows(setup: TriangleSetup, config: RasterConfig) -> WorkQueue:
 
 
 def _raster_tile_kernel(win_ref, start_ref, count_ref,   # scalar prefetch
-                        coef_hbm,                         # (16,(D+1)*128) ANY
-                        seed_d_ref, seed_v_ref,           # (TH,TW) blocks
-                        seed_b0_ref, seed_b1_ref,
-                        depth_ref, vis_ref, b0_ref, b1_ref,  # out blocks
-                        scratch, sems,                    # (2,16,128) + DMA(2)
-                        *, config: RasterConfig):
+                        coef_hbm,                         # (R,(D+1)*128) ANY
+                        *refs,                            # seeds, outs, scratch
+                        config: RasterConfig):
     """One grid step = one screen tile: loop over the tile's binned windows
-    with double-buffered HBM->VMEM coefficient DMA, accumulating
-    (depth, payload, barycentrics) in registers; one write per tile.
+    with double-buffered HBM->VMEM coefficient DMA, accumulating winner
+    state in registers; one write per tile.
 
-    The winner's perspective-correct barycentrics (b0, b1) are emitted as
-    extra render targets so deferred shading needs NO clip-space
-    reconstruction (the reference recomputes them per pixel in
-    lighting.hlsl via base.hlsli:457-497 — on TPU that costs per-pixel
-    gathers, so we resolve them where they are already computed).
+    Without attrs (R=16): carries (depth, payload); with attrs (R=32) also
+    interpolates 5 attribute planes (nx,ny,nz,u,v) for the winner — the
+    in-rasterizer replacement for per-pixel attribute gathers (the
+    reference re-fetches vertex data per pixel in lighting.hlsl:270-360;
+    on TPU random gathers cost more than recomputing planes here).
 
-    coef window (16, 128): sublanes = coefficients
-    [λ0a,λ1a,λ2a,Na,Da | *b | *c | pad | payload@15], lanes = triangles;
-    transposed in-kernel to (128,16). All f32 VPU math — edge functions
-    cannot survive the MXU's bf16 decomposition. Pixels are processed one
-    tile row (tile_w lanes) at a time — no cross-layout reshapes.
+    coef window (R, 128): sublanes = coefficients
+    [λ0a,λ1a,λ2a,Na,Da | *b | *c | payload@15 | 15 attr-plane coeffs...],
+    lanes = triangles; transposed in-kernel to (128,R). All f32 VPU math —
+    edge functions cannot survive the MXU's bf16 decomposition. Pixels are
+    processed one tile row (tile_w lanes) at a time.
     """
     c = config
+    n_attr = 5 if c.with_attrs else 0
+    n_seed = 2 + n_attr
+    n_out = 2 + n_attr
+    seeds = refs[:n_seed]
+    outs = refs[n_seed:n_seed + n_out]
+    scratch, sems = refs[n_seed + n_out:]
+
     tile = pl.program_id(0)
     start = start_ref[tile]
     count = count_ref[tile]
@@ -378,9 +406,9 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,   # scalar prefetch
         jnp.float32) + (tile_tx * c.tile_w).astype(jnp.float32)   # (1, TW)
 
     f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+    NEG = jnp.float32(-3e38)
 
     def body(j, carry):
-        acc_d, acc_v, acc_b0, acc_b1 = carry
         slot = j % 2
 
         @pl.when(j + 1 < count)
@@ -388,14 +416,22 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,   # scalar prefetch
             dma(j + 1, (j + 1) % 2).start()
 
         dma(j, slot).wait()
-        blk = jnp.transpose(scratch[slot])                # (16,128)->(128,16)
-        a = [f32(blk[:, k:k + 1]) for k in range(5)]      # (C,1) each
-        b = [f32(blk[:, 5 + k:6 + k]) for k in range(5)]
-        cc = [f32(blk[:, 10 + k:11 + k]) for k in range(5)]
+        blk = jnp.transpose(scratch[slot])                # (R,128)->(128,R)
+        col = lambda k: f32(blk[:, k:k + 1])              # (C,1)
+        a = [col(k) for k in range(5)]
+        b = [col(5 + k) for k in range(5)]
+        cc = [col(10 + k) for k in range(5)]
         pay = jax.lax.bitcast_convert_type(blk[:, 15:16], jnp.int32)
+        if n_attr:
+            # attr k plane: (a,b,c) at rows 16+3k .. 18+3k
+            aa = [col(16 + 3 * k) for k in range(n_attr)]
+            ab = [col(17 + 3 * k) for k in range(n_attr)]
+            ac = [col(18 + 3 * k) for k in range(n_attr)]
 
         ex = [a[k] * px for k in range(5)]                # (C, TW)
-        rows_d, rows_v, rows_b0, rows_b1 = [], [], [], []
+        if n_attr:
+            exa = [aa[k] * px for k in range(n_attr)]
+        out_rows = [[] for _ in range(2 + n_attr)]
         for row in range(c.tile_h):
             yf = jnp.float32(1.0) * (tile_ty * c.tile_h + row)
             l0 = ex[0] + (b[0] * yf + cc[0])
@@ -409,55 +445,56 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,   # scalar prefetch
             cand = jnp.where(covered, z, 0.0)             # (C, TW)
             best = jnp.max(cand, axis=0, keepdims=True)   # (1, TW)
             winner = (cand == best) & (cand > 0.0)
-            pay_sel = jnp.max(jnp.where(winner, pay, 0), axis=0,
-                              keepdims=True)              # (1, TW)
-            s = l0 + l1 + l2
-            inv_s = 1.0 / jnp.where(covered, s, 1.0)
-            b0_sel = jnp.max(jnp.where(winner, l0 * inv_s, 0.0), axis=0,
-                             keepdims=True)
-            b1_sel = jnp.max(jnp.where(winner, l1 * inv_s, 0.0), axis=0,
-                             keepdims=True)
-            rows_d.append(best)
-            rows_v.append(pay_sel)
-            rows_b0.append(b0_sel)
-            rows_b1.append(b1_sel)
+            out_rows[0].append(best)
+            out_rows[1].append(jnp.max(jnp.where(winner, pay, 0), axis=0,
+                                       keepdims=True))
+            if n_attr:
+                ssum = l0 + l1 + l2
+                inv_s = 1.0 / jnp.where(covered, ssum, 1.0)
+                for k in range(n_attr):
+                    val = (exa[k] + (ab[k] * yf + ac[k])) * inv_s
+                    out_rows[2 + k].append(jnp.max(
+                        jnp.where(winner, val, NEG), axis=0, keepdims=True))
 
-        best2 = jnp.concatenate(rows_d, axis=0)           # (TH, TW)
-        pay2 = jnp.concatenate(rows_v, axis=0)
-        b02 = jnp.concatenate(rows_b0, axis=0)
-        b12 = jnp.concatenate(rows_b1, axis=0)
-        better = best2 > acc_d
-        tie = (best2 == acc_d) & (pay2 > acc_v)
+        best2 = jnp.concatenate(out_rows[0], axis=0)      # (TH, TW)
+        pay2 = jnp.concatenate(out_rows[1], axis=0)
+        better = best2 > carry[0]
+        tie = (best2 == carry[0]) & (pay2 > carry[1])
         take = better | tie
-        return (jnp.where(take, best2, acc_d),
-                jnp.where(take, pay2, acc_v),
-                jnp.where(take, b02, acc_b0),
-                jnp.where(take, b12, acc_b1))
+        new = [jnp.where(take, best2, carry[0]),
+               jnp.where(take, pay2, carry[1])]
+        for k in range(n_attr):
+            new.append(jnp.where(
+                take, jnp.concatenate(out_rows[2 + k], axis=0),
+                carry[2 + k]))
+        return tuple(new)
 
-    seed_d = seed_d_ref[:]
-    seed_v = jax.lax.bitcast_convert_type(seed_v_ref[:], jnp.int32)
-    acc_d, acc_v, acc_b0, acc_b1 = jax.lax.fori_loop(
-        0, count, body, (seed_d, seed_v, seed_b0_ref[:], seed_b1_ref[:]))
-    depth_ref[:] = acc_d
-    vis_ref[:] = jax.lax.bitcast_convert_type(acc_v, jnp.uint32)
-    b0_ref[:] = acc_b0
-    b1_ref[:] = acc_b1
+    seed_d = seeds[0][:]
+    seed_v = jax.lax.bitcast_convert_type(seeds[1][:], jnp.int32)
+    init = [seed_d, seed_v] + [seeds[2 + k][:] for k in range(n_attr)]
+    final = jax.lax.fori_loop(0, count, body, tuple(init))
+    outs[0][:] = final[0]
+    outs[1][:] = jax.lax.bitcast_convert_type(final[1], jnp.uint32)
+    for k in range(n_attr):
+        outs[2 + k][:] = final[2 + k]
 
 
 def raster_queue(
     queue: WorkQueue,
     setup: TriangleSetup,
     config: RasterConfig,
-    init_depth: Optional[jnp.ndarray] = None,   # (H,W) f32 seed (phase 2)
-    init_vis: Optional[jnp.ndarray] = None,     # (H,W) u32
-    init_b0: Optional[jnp.ndarray] = None,      # (H,W) f32
-    init_b1: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Stage 3: -> (depth (H,W) f32 reverse-Z, visibility (H,W) u32,
-    b0, b1 (H,W) f32 winner barycentrics)."""
+    seeds: Optional[Tuple[jnp.ndarray, ...]] = None,
+):
+    """Stage 3 -> tuple of render targets (cropped to (H,W)):
+    (depth f32 reverse-Z, visibility u32[, nx, ny, nz, u, v f32]).
+
+    `seeds` (same tuple layout) carries a previous phase's targets through
+    a re-raster (two-phase HZB occlusion, reference mesh_raster.cpp:269)."""
     c = config
     h_pad = c.tiles_y * c.tile_h
     w_pad = c.tiles_x * c.tile_w
+    n_attr = 5 if c.with_attrs else 0
+    n_rt = 2 + n_attr
 
     def padded(x, fill, dtype):
         if x is None:
@@ -465,44 +502,43 @@ def raster_queue(
         return jnp.pad(x.astype(dtype),
                        ((0, h_pad - x.shape[0]), (0, w_pad - x.shape[1])))
 
-    seed_d = padded(init_depth, 0.0, jnp.float32)
-    seed_v = padded(init_vis, 0, jnp.uint32)
-    seed_b0 = padded(init_b0, 0.0, jnp.float32)
-    seed_b1 = padded(init_b1, 0.0, jnp.float32)
+    if seeds is None:
+        seeds = (None,) * n_rt
+    elif len(seeds) < n_rt:
+        seeds = tuple(seeds) + (None,) * (n_rt - len(seeds))
+    seed_arrays = [padded(seeds[0], 0.0, jnp.float32),
+                   padded(seeds[1], 0, jnp.uint32)]
+    for k in range(n_attr):
+        seed_arrays.append(padded(seeds[2 + k], 0.0, jnp.float32))
 
     def tile_block(i, pw, st, ct):
         return (i // c.tiles_x, i % c.tiles_x)
 
     vmem_tile = pl.BlockSpec((c.tile_h, c.tile_w), tile_block,
                              memory_space=pltpu.VMEM)
+    out_shapes = ([jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((h_pad, w_pad), jnp.uint32)] +
+                  [jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)] * n_attr)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,   # pair_win, starts, counts
         grid=(c.n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # coefT stays in HBM
-            vmem_tile, vmem_tile, vmem_tile, vmem_tile,
-        ],
-        out_specs=[vmem_tile, vmem_tile, vmem_tile, vmem_tile],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] +   # coefT in HBM
+                 [vmem_tile] * n_rt,
+        out_specs=[vmem_tile] * n_rt,
         scratch_shapes=[
-            pltpu.VMEM((2, 16, WINDOW), jnp.uint32),
+            pltpu.VMEM((2, c.coef_rows, WINDOW), jnp.uint32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    depth, vis, b0, b1 = pl.pallas_call(
+    rts = pl.pallas_call(
         functools.partial(_raster_tile_kernel, config=c),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
-            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.uint32),
-            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
-            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
-        ],
+        out_shape=out_shapes,
         # CPU has no Mosaic backend — interpret there (tests/dry runs).
         interpret=c.interpret or jax.default_backend() == "cpu",
     )(queue.pair_win, queue.starts, queue.counts,
-      setup.coefT, seed_d, seed_v, seed_b0, seed_b1)
-    crop = lambda x: x[:c.height, :c.width]
-    return crop(depth), crop(vis), crop(b0), crop(b1)
+      setup.coefT, *seed_arrays)
+    return tuple(rt[:c.height, :c.width] for rt in rts)
 
 
 def rasterize(
@@ -512,15 +548,15 @@ def rasterize(
     payload: jnp.ndarray,
     config: RasterConfig,
     backface_cull: bool = True,
-    init_depth: Optional[jnp.ndarray] = None,
+    seeds: Optional[Tuple[jnp.ndarray, ...]] = None,
+    attrs: Optional[jnp.ndarray] = None,
+    init_depth: Optional[jnp.ndarray] = None,   # legacy 2-target seeding
     init_vis: Optional[jnp.ndarray] = None,
-    init_b0: Optional[jnp.ndarray] = None,
-    init_b1: Optional[jnp.ndarray] = None,
-    with_bary: bool = False,
 ):
-    """Full visibility raster: clip positions -> (depth, visibility, stats).
+    """Full visibility raster: clip positions -> (render targets..., stats).
 
-    Triangle count is padded up to a multiple of 128 (window size).
+    Returns (depth, vis[, nx, ny, nz, u, v], stats). Triangle count is
+    padded up to a multiple of 128 (window size).
     """
     t = indices.shape[0]
     pad = (-t) % WINDOW
@@ -531,21 +567,19 @@ def rasterize(
             [tri_valid, jnp.zeros((pad,), tri_valid.dtype)], axis=0)
         payload = jnp.concatenate(
             [payload, jnp.zeros((pad,), payload.dtype)], axis=0)
+    if seeds is None and init_depth is not None:
+        seeds = (init_depth, init_vis)
     with jax.named_scope("raster.setup"):
         setup = setup_triangles(clip, indices, tri_valid, payload, config,
-                                backface_cull=backface_cull)
+                                backface_cull=backface_cull, attrs=attrs)
     with jax.named_scope("raster.bin"):
         queue = bin_windows(setup, config)
     with jax.named_scope("raster.tiles"):
-        depth, vis, b0, b1 = raster_queue(
-            queue, setup, config, init_depth=init_depth, init_vis=init_vis,
-            init_b0=init_b0, init_b1=init_b1)
+        rts = raster_queue(queue, setup, config, seeds=seeds)
     stats = {"bin_overflow": queue.overflow,
              "drawn_tris": jnp.sum(setup.valid.astype(jnp.int32)),
              "binned_pairs": queue.n_pairs}
-    if with_bary:
-        return depth, vis, b0, b1, stats
-    return depth, vis, stats
+    return (*rts, stats)
 
 
 # ---------------------------------------------------------------------------

@@ -134,6 +134,71 @@ def resolve_gbuffer_meshlet(
                              view_tw_to_clip, prev_tw_to_clip)
 
 
+def resolve_gbuffer_raster_rt(
+    vis: jnp.ndarray,            # (H,W) u32 packed (slot+1):25|tri:7
+    depth: jnp.ndarray,          # (H,W) f32 reverse-Z
+    nx: jnp.ndarray, ny: jnp.ndarray, nz: jnp.ndarray,   # (H,W) raster RTs
+    u: jnp.ndarray, v: jnp.ndarray,                       # (H,W)
+    draw_object: jnp.ndarray,    # (cap,) i32 combined draw table
+    pools,
+    instances,
+    clip_to_tw: jnp.ndarray,     # (4,4) inverse view-proj (no jitter)
+    tw_to_clip: jnp.ndarray,
+    prev_tw_to_clip: jnp.ndarray,
+) -> GBuffer:
+    """Zero-big-gather gbuffer resolve: normals/uv come straight from the
+    rasterizer's attribute-plane render targets, position from depth
+    unprojection; the only gathers are per-pixel lookups into the tiny
+    draw/material tables. Motion is camera-only reprojection (static
+    objects; per-object motion uses resolve_gbuffer_meshlet)."""
+    from ..rhi.framebuffer import unpack_visibility
+
+    h, w = vis.shape
+    slot, _tri = unpack_visibility(vis)
+    valid = slot >= 0
+
+    inv_len = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-12))
+    nrm = jnp.stack([nx * inv_len, ny * inv_len, nz * inv_len], axis=-1)
+    uv = jnp.stack([u, v], axis=-1)
+
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
+    ys = 1.0 - (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0
+    px = jnp.broadcast_to(xs[None, :], (h, w))
+    py = jnp.broadcast_to(ys[:, None], (h, w))
+    ph = (px[..., None] * clip_to_tw[0] + py[..., None] * clip_to_tw[1] +
+          depth[..., None] * clip_to_tw[2] + clip_to_tw[3])
+    pos_tw = ph[..., :3] / jnp.where(jnp.abs(ph[..., 3:4]) > 1e-12,
+                                     ph[..., 3:4], 1.0)
+
+    def project_xy(p3, vp):
+        c = (p3[..., 0:1] * vp[0] + p3[..., 1:2] * vp[1] +
+             p3[..., 2:3] * vp[2] + vp[3])
+        wc = jnp.where(jnp.abs(c[..., 3:4]) > 1e-8, c[..., 3:4], 1.0)
+        return c[..., :2] / wc
+
+    motion = project_xy(pos_tw, tw_to_clip) - \
+        project_xy(pos_tw, prev_tw_to_clip)
+
+    obj = draw_object[jnp.maximum(slot, 0)]
+    mat_id = instances.object_material[obj]
+    base = colorspace.srgb_to_acescg(pools.mat_base_color[mat_id][..., :3])
+    metal_rough = pools.mat_metal_rough[mat_id]
+    emissive = colorspace.srgb_to_acescg(pools.mat_emissive[mat_id])
+
+    vz = valid[..., None]
+    return GBuffer(
+        valid=valid,
+        position_tw=jnp.where(vz, pos_tw, 0.0),
+        normal=jnp.where(vz, nrm, 0.0),
+        base_color=jnp.where(vz, base, 0.0),
+        metallic=jnp.where(valid, metal_rough[..., 0], 0.0),
+        roughness=jnp.where(valid, metal_rough[..., 1], 1.0),
+        emissive=jnp.where(vz, emissive, 0.0),
+        uv=jnp.where(vz, uv, 0.0),
+        motion=jnp.where(vz, motion, 0.0),
+    )
+
+
 def resolve_gbuffer_fast(
     vis: jnp.ndarray,            # (H,W) u32 packed (slot+1):25|tri:7
     depth: jnp.ndarray,          # (H,W) f32 reverse-Z from the rasterizer

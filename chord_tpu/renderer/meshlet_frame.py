@@ -31,14 +31,9 @@ class DrawStream(NamedTuple):
     indices: jnp.ndarray     # (D*128, 3) i32 trivial triangle indices
     tri_valid: jnp.ndarray   # (D*128,) bool
     payload: jnp.ndarray     # (D*128,) u32 packed (slot+1):25|tri:7
-    # SoA shading tables indexed by corner id = slot*384 + tri*3 + k —
-    # scalar/narrow bf16 gathers are ~3-25x cheaper than wide row gathers
-    # on TPU, so attributes are stored as separate planes.
-    nrm_x: jnp.ndarray       # (D*384,) bf16 translated-world normal
-    nrm_y: jnp.ndarray
-    nrm_z: jnp.ndarray
-    uv_u: jnp.ndarray        # (D*384,) bf16
-    uv_v: jnp.ndarray
+    # per-corner attributes (nx,ny,nz,u,v) fed to the rasterizer's
+    # attribute-plane interpolation (ops/raster.py with_attrs)
+    attrs: jnp.ndarray       # (D*384, 5) f32
 
 
 def expand_draws(
@@ -93,12 +88,9 @@ def expand_draws(
         (slot[:, None] + payload_base) * jnp.ones((1, 128), jnp.int32),
         tri_j).reshape(-1)
     payload = jnp.where(tri_valid, payload, jnp.uint32(0))
-    bf = lambda x: x.reshape(-1).astype(jnp.bfloat16)
-    return DrawStream(
-        clip=clip, indices=indices, tri_valid=tri_valid, payload=payload,
-        nrm_x=bf(nrm_tw[..., 0]), nrm_y=bf(nrm_tw[..., 1]),
-        nrm_z=bf(nrm_tw[..., 2]),
-        uv_u=bf(uv[..., 0]), uv_v=bf(uv[..., 1]))
+    attrs = jnp.concatenate([nrm_tw, uv], axis=-1).reshape(d * 384, 5)
+    return DrawStream(clip=clip, indices=indices, tri_valid=tri_valid,
+                      payload=payload, attrs=attrs)
 
 
 class MeshletFrameConfig(NamedTuple):
@@ -165,7 +157,9 @@ def render_frame_meshlet(
 ) -> Tuple[jnp.ndarray, FrameHistory, dict]:
     """The GPU-driven frame (BASELINE configs #2/#3 + full post chain)."""
     rc = config.raster_config()
-    cap = mcfg.draw_capacity
+    rc_a = rc._replace(with_attrs=True)
+    # capacity never needs to exceed the scene's total pair count (static)
+    cap = min(mcfg.draw_capacity, -(-pools.num_pairs // 128) * 128)
     h, w = config.height, config.width
     # error projection scale: pixels per NDC unit at distance 1
     proj_scale = 0.5 * h * view.tw_to_clip_nj[1, 1]
@@ -191,9 +185,10 @@ def render_frame_meshlet(
         with jax.named_scope("raster.phase0"):
             st0 = expand_draws(
                 res0.draws, pools, instances, view.tw_to_clip, cap)
-            depth0, vis0, b00, b10, rstats0 = rasterize(
-                st0.clip, st0.indices, st0.tri_valid, st0.payload, rc,
-                with_bary=True)
+            *rt0, rstats0 = rasterize(
+                st0.clip, st0.indices, st0.tri_valid, st0.payload, rc_a,
+                attrs=st0.attrs)
+            depth0 = rt0[0]
         with jax.named_scope("hzb.mid"):
             hzb_now = build_hzb(depth0)
         with jax.named_scope("cull.phase1"):
@@ -206,12 +201,9 @@ def render_frame_meshlet(
             st1 = expand_draws(
                 res1.draws, pools, instances, view.tw_to_clip, cap,
                 payload_base=cap)
-            depth, vis, b0, b1, rstats1 = rasterize(
-                st1.clip, st1.indices, st1.tri_valid, st1.payload, rc,
-                init_depth=depth0, init_vis=vis0, init_b0=b00, init_b1=b10,
-                with_bary=True)
-        stream = jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
-                              st0, st1)
+            *rt, rstats1 = rasterize(
+                st1.clip, st1.indices, st1.tri_valid, st1.payload, rc_a,
+                seeds=tuple(rt0), attrs=st1.attrs)
         draw_object = jnp.concatenate([res0.draws.object_id,
                                        res1.draws.object_id])
         stats["drawn_tris"] = rstats0["drawn_tris"] + rstats1["drawn_tris"]
@@ -228,21 +220,23 @@ def render_frame_meshlet(
         with jax.named_scope("raster"):
             stream = expand_draws(
                 res0.draws, pools, instances, view.tw_to_clip, cap)
-            depth, vis, b0, b1, rstats = rasterize(
+            *rt, rstats = rasterize(
                 stream.clip, stream.indices, stream.tri_valid,
-                stream.payload, rc, with_bary=True)
+                stream.payload, rc_a, attrs=stream.attrs)
         draw_object = res0.draws.object_id
         stats["drawn_tris"] = rstats["drawn_tris"]
         stats["bin_overflow"] = rstats["bin_overflow"]
         stats["draws_phase0"] = res0.draws.count
         stats["draw_overflow"] = res0.draws.overflow
 
+    depth, vis = rt[0], rt[1]
     with jax.named_scope("hzb.final"):
         hzb_final = build_hzb(depth)
 
     with jax.named_scope("gbuffer_resolve"):
-        gbuf = shading.resolve_gbuffer_fast(
-            vis, depth, b0, b1, stream, draw_object, pools, instances,
+        gbuf = shading.resolve_gbuffer_raster_rt(
+            vis, depth, rt[2], rt[3], rt[4], rt[5], rt[6],
+            draw_object, pools, instances,
             view.clip_to_tw, view.tw_to_clip_nj, view.prev_tw_to_clip_nj)
 
     sky_radiance = None

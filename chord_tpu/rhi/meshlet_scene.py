@@ -57,6 +57,7 @@ class MeshletScenePools:
     meshlet_error: jnp.ndarray      # (M,) f32 cluster error (Nanite)
     meshlet_parent_error: jnp.ndarray  # (M,) f32
     meshlet_lod_sphere: jnp.ndarray    # (M,4) f32 error-projection sphere
+    meshlet_parent_sphere: jnp.ndarray # (M,4) f32 parent group sphere
     # static draw-pair table
     pair_object: jnp.ndarray     # (P,) i32 instance slot
     pair_meshlet: jnp.ndarray    # (P,) i32 meshlet id
@@ -76,54 +77,77 @@ class MeshletScenePools:
 
 
 def build_meshlet_pools(builder: SceneBuilder,
-                        meshlet_cache: Optional[Dict[int, tuple]] = None
+                        meshlet_cache: Optional[Dict[int, tuple]] = None,
+                        nanite: bool = False
                         ) -> MeshletScenePools:
     """SceneBuilder (meshes + instances) -> meshlet device pools.
 
     Meshlets are built per MESH (not per instance) and shared; the pair
-    table expands instances × their mesh's meshlets.
+    table expands instances × their mesh's meshlets. With nanite=True the
+    C++ builder (native/nanite.cpp) produces the FULL cluster-LOD DAG —
+    meshlets of every LOD level live in one flat table and the runtime cut
+    (ops/cull.py lod_cut_visible) selects exactly one level per screen
+    size (reference: asset/nanite_builder.cpp GMSS).
     """
     v_base = 0
     m_base = 0
     mesh_vbase: List[int] = []
     mesh_meshlets: List[Tuple[int, int]] = []   # (meshlet base, count)
     pos_l, nrm_l, uv_l, tri_l = [], [], [], []
-    sph_l, cone_l, cnt_l, err_l, perr_l, lsph_l = [], [], [], [], [], []
+    sph_l, cone_l, cnt_l, err_l, perr_l, lsph_l, psph_l = \
+        [], [], [], [], [], [], []
 
     cache = meshlet_cache if meshlet_cache is not None else {}
     for mesh_id, mesh in enumerate(builder.meshes):
         if mesh_id in cache:
-            md, reordered = cache[mesh_id]
+            tbl = cache[mesh_id]
+        elif nanite:
+            from ..native import nanite_build
+            tbl = nanite_build(mesh.positions, mesh.indices, build_lods=True)
+            cache[mesh_id] = tbl
         else:
             md, reordered = build_meshlets(mesh.positions, mesh.indices)
-            cache[mesh_id] = (md, reordered)
+            tbl = {
+                "indices": reordered,
+                "tri_offset": md.tri_offset, "tri_count": md.tri_count,
+                "sphere": md.sphere,
+                "cone": np.concatenate([md.cone_axis,
+                                        md.cone_cutoff[:, None]], 1),
+                "lod_error": md.lod_error,
+                "parent_error": md.parent_error,
+                "lod_sphere": md.lod_sphere,
+                "parent_sphere": md.lod_sphere,
+            }
+            cache[mesh_id] = tbl
+        count = len(tbl["tri_offset"])
+        reordered = tbl["indices"]
         mesh_vbase.append(v_base)
-        mesh_meshlets.append((m_base, md.count))
+        mesh_meshlets.append((m_base, count))
 
         pos_l.append(mesh.positions)
         nrm_l.append(mesh.normals)
         uv_l.append(mesh.uv0)
 
         # dense per-meshlet 128-triangle windows
-        win = np.zeros((md.count, MESHLET_TRIS, 3), np.int64)
-        for k in range(md.count):
-            o, c = int(md.tri_offset[k]), int(md.tri_count[k])
+        win = np.zeros((count, MESHLET_TRIS, 3), np.int64)
+        for k in range(count):
+            o, c = int(tbl["tri_offset"][k]), int(tbl["tri_count"][k])
             tris = reordered[o:o + c]
             win[k, :c] = tris
             if c < MESHLET_TRIS:
                 win[k, c:] = tris[0, 0]      # degenerate padding
         tri_l.append((win + v_base).reshape(-1, 3).astype(np.int32))
 
-        sph_l.append(md.sphere)
-        cone_l.append(np.concatenate([md.cone_axis,
-                                      md.cone_cutoff[:, None]], 1))
-        cnt_l.append(md.tri_count)
-        err_l.append(md.lod_error)
-        perr_l.append(md.parent_error)
-        lsph_l.append(md.lod_sphere)
+        sph_l.append(np.asarray(tbl["sphere"], np.float32))
+        cone_l.append(np.asarray(tbl["cone"], np.float32))
+        cnt_l.append(np.asarray(tbl["tri_count"], np.int32))
+        err_l.append(np.asarray(tbl["lod_error"], np.float32))
+        perr_l.append(np.asarray(tbl["parent_error"], np.float32))
+        lsph_l.append(np.asarray(tbl["lod_sphere"], np.float32))
+        psph_l.append(np.asarray(tbl["parent_sphere"], np.float32))
 
         v_base += mesh.num_vertices
-        m_base += md.count
+        m_base += count
 
     # pair table
     pair_obj, pair_mesh = [], []
@@ -153,6 +177,7 @@ def build_meshlet_pools(builder: SceneBuilder,
         meshlet_error=jnp.asarray(np.concatenate(err_l)),
         meshlet_parent_error=jnp.asarray(np.concatenate(perr_l)),
         meshlet_lod_sphere=jnp.asarray(np.concatenate(lsph_l)),
+        meshlet_parent_sphere=jnp.asarray(np.concatenate(psph_l)),
         pair_object=jnp.asarray(pair_object),
         pair_meshlet=jnp.asarray(pair_meshlet),
         pair_valid=jnp.asarray(pair_valid),
