@@ -201,8 +201,7 @@ def render_frame_flat(
         depth=depth,
         exposure=exposure,
         tsr_color=tsr_color,
-        gi_diffuse=history.gi_diffuse,
-        gi_samples=history.gi_samples,
+        gi_cache=history.gi_cache,
     )
     stats = dict(raster_stats)
     stats["visible_objects"] = jnp.sum(obj_visible.astype(jnp.int32))

@@ -16,7 +16,8 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import colorspace, post, shading, shadow as shadow_ops
+from ..ops import colorspace, gi as gi_ops, post, shading, \
+    shadow as shadow_ops
 from ..ops.cull import DrawList, cull_pairs
 from ..ops.hzb import HZBPyramid, build_hzb, hzb_layout
 from ..ops.raster import RasterConfig, rasterize
@@ -101,6 +102,8 @@ class MeshletFrameConfig(NamedTuple):
     shadow_cfg: shadow_ops.ShadowConfig = shadow_ops.ShadowConfig()
     shadow_draw_capacity: int = 4096
     atmosphere: bool = False       # physically-based sky / sun / ambient
+    gi: bool = False               # world-radiance-cache diffuse GI + SSAO
+    gi_cfg: "gi_ops.GIConfig" = None
 
 
 def pixel_view_dirs(h: int, w: int, clip_to_tw: jnp.ndarray) -> jnp.ndarray:
@@ -280,6 +283,20 @@ def render_frame_meshlet(
                 shadow_maps, view.shadow_tw_to_light, view.shadow_splits,
                 mcfg.shadow_cfg)
 
+    new_gi_cache = history.gi_cache
+    if mcfg.gi:
+        gcfg = mcfg.gi_cfg or gi_ops.GIConfig()
+        with jax.named_scope("gi.ssao"):
+            ao = gi_ops.ssao(depth, gbuf.position_tw, gbuf.normal, gcfg)
+        with jax.named_scope("gi.sample"):
+            cam_anchor = jnp.zeros(3)   # camera at the TW origin
+            indirect = gi_ops.diffuse_gi(history.gi_cache, gbuf,
+                                         cam_anchor, gcfg)
+        base_amb = ambient if ambient is not None else \
+            view.sky_ambient[None, None, :] * \
+            jnp.clip(gbuf.normal[..., 1:2] * 0.5 + 0.5, 0.0, 1.0)
+        ambient = (base_amb * 0.35 + indirect) * ao[..., None]
+
     with jax.named_scope("lighting"):
         sun = shading.SunLight(direction=view.sun_direction,
                                radiance=sun_radiance,
@@ -287,6 +304,12 @@ def render_frame_meshlet(
         hdr = shading.shade_pixels(gbuf, sun, sun_shadow=sun_shadow,
                                    sky_radiance=sky_radiance,
                                    ambient=ambient)
+
+    if mcfg.gi:
+        with jax.named_scope("gi.inject"):
+            gcfg = mcfg.gi_cfg or gi_ops.GIConfig()
+            new_gi_cache = gi_ops.update_cache(
+                history.gi_cache, gbuf, hdr, jnp.zeros(3), gcfg)
 
     with jax.named_scope("auto_exposure"):
         ecfg = post.ExposureConfig()
@@ -317,8 +340,7 @@ def render_frame_meshlet(
         depth=depth,
         exposure=exposure,
         tsr_color=tsr_color,
-        gi_diffuse=history.gi_diffuse,
-        gi_samples=history.gi_samples,
+        gi_cache=new_gi_cache,
     )
     return image, new_history, stats
 
@@ -358,7 +380,10 @@ class MeshletRenderer:
     def render(self, pools, instances, view_uniform, **light_kwargs):
         c = self.config
         if self.history is None:
-            self.history = FrameHistory.empty(c.height, c.width)
+            self.history = FrameHistory.empty(
+                c.height, c.width,
+                gi_cfg=(self.mcfg.gi_cfg or gi_ops.GIConfig())
+                if self.mcfg.gi else None)
         view = DeviceView.from_uniform(
             view_uniform,
             shadow_cfg=self.mcfg.shadow_cfg if self.mcfg.shadows else None,

@@ -73,23 +73,24 @@ class FrameHistory:
     depth: jnp.ndarray           # (H,W) f32 previous depth
     exposure: jnp.ndarray        # () f32 adapted exposure
     tsr_color: jnp.ndarray       # (Hp,Wp,3) f32 accumulated TSR color
-    gi_diffuse: jnp.ndarray      # (H,W,3) f32 temporal GI accumulation
-    gi_samples: jnp.ndarray      # (H,W) f32 accumulated sample counts
+    gi_cache: jnp.ndarray        # (C,D^3,13) f32 world radiance SH cache
 
     @classmethod
     def empty(cls, h: int, w: int, post_h: Optional[int] = None,
-              post_w: Optional[int] = None) -> "FrameHistory":
+              post_w: Optional[int] = None,
+              gi_cfg=None) -> "FrameHistory":
         from ..ops.hzb import hzb_layout
+        from ..ops.gi import GIConfig, sh_size
 
         ph, pw = post_h or h, post_w or w
         ws, hs, offs = hzb_layout(w, h)
         total = offs[-1] + ws[-1] * hs[-1]
+        gi_shape = sh_size(gi_cfg or GIConfig(cascades=1, probe_dim=2))
         return cls(
             valid=jnp.zeros((), jnp.float32),
             hzb_flat=jnp.zeros((total,), jnp.float32),
             depth=jnp.zeros((h, w), jnp.float32),
             exposure=jnp.ones((), jnp.float32),
             tsr_color=jnp.zeros((ph, pw, 3), jnp.float32),
-            gi_diffuse=jnp.zeros((h, w, 3), jnp.float32),
-            gi_samples=jnp.zeros((h, w), jnp.float32),
+            gi_cache=jnp.zeros(gi_shape, jnp.float32),
         )

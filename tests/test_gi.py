@@ -1,0 +1,85 @@
+"""World radiance cache GI: injection, propagation, irradiance, bleeding
+(reference: renderer/gi/screen_probe_gather.cpp world cache + SHPropagate)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from chord_tpu.ops import gi
+
+
+def _cfg():
+    return gi.GIConfig(cascades=2, probe_dim=8, base_voxel=1.0,
+                       temporal_alpha=0.5)
+
+
+def test_inject_and_sample_roundtrip():
+    cfg = _cfg()
+    cache = jnp.zeros(gi.sh_size(cfg))
+    cam = jnp.zeros(3)
+    # a bright red emitting floor patch at y=0 facing up
+    n = 64
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(np.stack([rng.uniform(-2, 2, n),
+                                np.zeros(n),
+                                rng.uniform(-2, 2, n)], -1), jnp.float32)
+    rad = jnp.tile(jnp.asarray([4.0, 0.2, 0.1]), (n, 1))
+    nrm = jnp.tile(jnp.asarray([0.0, 1.0, 0.0]), (n, 1))
+    valid = jnp.ones(n, bool)
+    for _ in range(4):
+        cache = gi.inject_surfels(cache, pos, rad, nrm, valid, cam, cfg)
+    cache = gi.propagate(cache, cfg)
+
+    # sample a point above the floor looking down -> red-dominant irradiance
+    p = jnp.asarray([[0.0, 1.0, 0.0]])
+    nn = jnp.asarray([[0.0, -1.0, 0.0]])     # facing the lit floor
+    irr, conf = gi.sample_irradiance(cache, p, nn, cam, cfg)
+    irr = np.asarray(irr)[0]
+    assert float(conf[0]) > 0.0
+    assert irr[0] > irr[1] and irr[0] > irr[2], f"not red: {irr}"
+    assert irr[0] > 0.0
+
+
+def test_cache_confidence_zero_when_empty():
+    cfg = _cfg()
+    cache = jnp.zeros(gi.sh_size(cfg))
+    p = jnp.asarray([[0.0, 1.0, 0.0]])
+    nn = jnp.asarray([[0.0, -1.0, 0.0]])
+    irr, conf = gi.sample_irradiance(cache, p, nn, jnp.zeros(3), cfg)
+    assert float(conf[0]) == 0.0
+    assert float(np.abs(np.asarray(irr)).max()) == 0.0
+
+
+def test_propagate_spreads_light():
+    cfg = _cfg()
+    cache = jnp.zeros(gi.sh_size(cfg))
+    # light exactly one probe
+    d = cfg.probe_dim
+    idx = (d // 2 * d + d // 2) * d + d // 2
+    cache = cache.at[0, idx, 0].set(1.0)
+    cache = cache.at[0, idx, 12].set(1.0)
+    out = gi.propagate(cache, cfg)
+    lit = np.asarray(out[0, :, 12] > 0).sum()
+    assert lit > 1, "propagation must spread to neighbors"
+
+
+def test_ssao_corner_darker_than_plane():
+    h, w = 64, 128
+    # flat floor with a wall at the right edge
+    xs = np.linspace(0, 10, w)
+    pos = np.zeros((h, w, 3), np.float32)
+    nrm = np.zeros((h, w, 3), np.float32)
+    pos[..., 0] = xs[None, :]
+    pos[..., 2] = np.linspace(0, 5, h)[:, None]
+    nrm[..., 1] = 1.0
+    # wall: last columns go vertical
+    wall = xs > 9.0
+    pos[:, wall, 1] = np.linspace(0, 2, h)[:, None]
+    nrm[:, wall] = [-1.0, 0.0, 0.0]
+    depth = np.full((h, w), 0.5, np.float32)
+    cfg = gi.GIConfig()
+    ao = np.asarray(gi.ssao(jnp.asarray(depth), jnp.asarray(pos),
+                            jnp.asarray(nrm), cfg))
+    open_ao = ao[:, 10:40].mean()
+    corner_ao = ao[:, int(w * 9 / 10) - 3: int(w * 9 / 10)].mean()
+    assert open_ao > corner_ao, f"open {open_ao} corner {corner_ao}"
+    assert 0.0 <= ao.min() and ao.max() <= 1.0
