@@ -145,6 +145,7 @@ def resolve_gbuffer_raster_rt(
     clip_to_tw: jnp.ndarray,     # (4,4) inverse view-proj (no jitter)
     tw_to_clip: jnp.ndarray,
     prev_tw_to_clip: jnp.ndarray,
+    textured: bool = False,      # sample material base-color textures
 ) -> GBuffer:
     """Zero-big-gather gbuffer resolve: normals/uv come straight from the
     rasterizer's attribute-plane render targets, position from depth
@@ -184,6 +185,20 @@ def resolve_gbuffer_raster_rt(
     base = colorspace.srgb_to_acescg(pools.mat_base_color[mat_id][..., :3])
     metal_rough = pools.mat_metal_rough[mat_id]
     emissive = colorspace.srgb_to_acescg(pools.mat_emissive[mat_id])
+
+    if textured:
+        from . import texture as texture_ops
+        from ..asset.texture import TexturePool
+
+        size = pools.tex_size
+        tp = TexturePool(size)     # static mip layout only
+        layer = pools.mat_base_tex[mat_id]
+        mip = texture_ops.mip_from_uv_density(uv, size)
+        texel = texture_ops.sample_pool(
+            pools.tex_pool, tuple(tp.mip_sizes), tuple(tp.mip_offsets),
+            layer, uv, mip)
+        # textures are stored linear-sRGB primaries; convert to AP1
+        base = base * colorspace.srgb_to_acescg(texel[..., :3])
 
     vz = valid[..., None]
     return GBuffer(

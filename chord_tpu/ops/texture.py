@@ -1,0 +1,75 @@
+"""Device texture sampling from the stacked flat-mip pool.
+
+TPU-native equivalent of bindless texture sampling with explicit gradients
+(reference: lighting.hlsl samples material textures via Bindless(...)
+descriptor indices with analytic ddx/ddy from base.hlsli barycentrics).
+Layer id + uv -> texel fetches from the (layers, total_texels, 4) pool
+(asset/texture.py layout). Mip level comes from a caller-supplied density
+estimate (screen-space uv derivative approximation).
+
+Per-pixel texture fetches are random gathers — the most expensive op on
+this device (see ops/raster.py notes) — so sampling is bilinear from ONE
+mip (no trilinear blend), and materials without textures skip the pass
+entirely.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sample_pool(
+    pool: jnp.ndarray,        # (L, total, 4) bf16
+    mip_sizes,                # static tuple of edge sizes per mip
+    mip_offsets,              # static tuple of flat offsets
+    layer: jnp.ndarray,       # (...,) i32, -1 = untextured
+    uv: jnp.ndarray,          # (...,2) f32 (wrapped)
+    mip: jnp.ndarray,         # (...,) i32 mip level (clamped)
+    bilinear: bool = True,
+) -> jnp.ndarray:
+    """-> (...,4) f32 RGBA; untextured (-1) returns 1 (multiplicative id)."""
+    n_mips = len(mip_sizes)
+    sizes = jnp.asarray(mip_sizes, jnp.int32)
+    offsets = jnp.asarray(mip_offsets, jnp.int32)
+    m = jnp.clip(mip, 0, n_mips - 1)
+    s = sizes[m]
+    off = offsets[m]
+    l_safe = jnp.maximum(layer, 0)
+
+    u = (uv[..., 0] % 1.0) * s.astype(jnp.float32)
+    v = (uv[..., 1] % 1.0) * s.astype(jnp.float32)
+
+    def tex(xi, yi):
+        xi = jnp.clip(xi, 0, s - 1)
+        yi = jnp.clip(yi, 0, s - 1)
+        return pool[l_safe, off + yi * s + xi].astype(jnp.float32)
+
+    if not bilinear:
+        out = tex(u.astype(jnp.int32), v.astype(jnp.int32))
+    else:
+        x0 = jnp.floor(u - 0.5)
+        y0 = jnp.floor(v - 0.5)
+        fx = (u - 0.5 - x0)[..., None]
+        fy = (v - 0.5 - y0)[..., None]
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        out = (tex(x0i, y0i) * (1 - fx) * (1 - fy) +
+               tex(x0i + 1, y0i) * fx * (1 - fy) +
+               tex(x0i, y0i + 1) * (1 - fx) * fy +
+               tex(x0i + 1, y0i + 1) * fx * fy)
+    return jnp.where((layer >= 0)[..., None], out, 1.0)
+
+
+def mip_from_uv_density(uv: jnp.ndarray, base_size: int) -> jnp.ndarray:
+    """Estimate mip level from screen-space uv derivatives via shifted
+    differences (the TPU stand-in for the reference's analytic ddx/ddy,
+    base.hlsli:457-497): mip = log2(max texel footprint)."""
+    du = jnp.abs(uv - jnp.roll(uv, 1, axis=1))
+    dv = jnp.abs(uv - jnp.roll(uv, 1, axis=0))
+    d = jnp.maximum(du.max(-1), dv.max(-1)) * base_size
+    return jnp.clip(jnp.log2(jnp.maximum(d, 1.0)), 0.0, 31.0).astype(
+        jnp.int32)

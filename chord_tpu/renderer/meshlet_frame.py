@@ -104,6 +104,7 @@ class MeshletFrameConfig(NamedTuple):
     atmosphere: bool = False       # physically-based sky / sun / ambient
     gi: bool = False               # world-radiance-cache diffuse GI + SSAO
     gi_cfg: "gi_ops.GIConfig" = None
+    textured: bool = False         # sample material base-color textures
 
 
 def pixel_view_dirs(h: int, w: int, clip_to_tw: jnp.ndarray) -> jnp.ndarray:
@@ -240,7 +241,8 @@ def render_frame_meshlet(
         gbuf = shading.resolve_gbuffer_raster_rt(
             vis, depth, rt[2], rt[3], rt[4], rt[5], rt[6],
             draw_object, pools, instances,
-            view.clip_to_tw, view.tw_to_clip_nj, view.prev_tw_to_clip_nj)
+            view.clip_to_tw, view.tw_to_clip_nj, view.prev_tw_to_clip_nj,
+            textured=mcfg.textured)
 
     sky_radiance = None
     ambient = None

@@ -39,6 +39,11 @@ log = get_logger("rhi.meshlet")
 MESHLET_TRIS = 128   # raster chunk width == meshlet max tris
 
 
+def _empty_tex_pool():
+    """1-layer 1x1 placeholder (total texels for size=1 is 1)."""
+    return jnp.ones((1, 1, 4), jnp.bfloat16)
+
+
 @chex.dataclass(frozen=True)
 class MeshletScenePools:
     """Device pools for the meshlet path (jax pytree)."""
@@ -66,6 +71,15 @@ class MeshletScenePools:
     mat_base_color: jnp.ndarray
     mat_metal_rough: jnp.ndarray
     mat_emissive: jnp.ndarray
+    mat_base_tex: jnp.ndarray    # (M,) i32 texture layer id, -1 = none
+    tex_pool: jnp.ndarray        # (L, total_texels, 4) bf16 flat-mip stack
+
+    @property
+    def tex_size(self) -> int:
+        # total = sum_{k} (size/2^k)^2 = (4*size^2 - 1) / 3
+        total = self.tex_pool.shape[1]
+        import math
+        return int(math.isqrt((3 * total + 1) // 4))
 
     @property
     def num_meshlets(self) -> int:
@@ -78,7 +92,8 @@ class MeshletScenePools:
 
 def build_meshlet_pools(builder: SceneBuilder,
                         meshlet_cache: Optional[Dict[int, tuple]] = None,
-                        nanite: bool = False
+                        nanite: bool = False,
+                        texture_pool=None
                         ) -> MeshletScenePools:
     """SceneBuilder (meshes + instances) -> meshlet device pools.
 
@@ -187,6 +202,10 @@ def build_meshlet_pools(builder: SceneBuilder,
             np.array([[m.metallic, m.roughness] for m in mats], np.float32)),
         mat_emissive=jnp.asarray(
             np.array([m.emissive for m in mats], np.float32)),
+        mat_base_tex=jnp.asarray(
+            np.array([m.base_color_texture for m in mats], np.int32)),
+        tex_pool=(texture_pool.device_array()
+                  if texture_pool is not None else _empty_tex_pool()),
     )
     log.info("MeshletScenePools: %d meshes, %d meshlets, %d pairs, %d verts",
              len(builder.meshes), m_base, n_pairs, v_base)

@@ -1,0 +1,59 @@
+"""Texture pipeline: mips, pool layout, sampling (reference:
+asset/texture/asset_texture_helper.cpp import + mip chain)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from chord_tpu.asset.texture import TexturePool, build_mips
+from chord_tpu.ops.texture import mip_from_uv_density, sample_pool
+
+
+def test_mip_chain():
+    img = np.random.default_rng(0).random((64, 32, 4)).astype(np.float32)
+    mips = build_mips(img)
+    assert mips[0].shape == (64, 32, 4)
+    assert mips[-1].shape[0] == 1 or mips[-1].shape[1] == 1
+    # box filter preserves the mean
+    np.testing.assert_allclose(mips[0].mean(), mips[2].mean(), atol=1e-3)
+
+
+def test_pool_layout_and_sampling():
+    tp = TexturePool(64)
+    red = np.zeros((64, 64, 4), np.float32)
+    red[..., 0] = 1.0
+    blue = np.zeros((32, 32, 4), np.float32)   # resized up to 64
+    blue[..., 2] = 1.0
+    l0 = tp.add("red", red)
+    l1 = tp.add("blue", blue)
+    assert (l0, l1) == (0, 1)
+    assert tp.add("red", red) == 0   # dedup by name
+
+    pool = tp.device_array()
+    assert pool.shape[0] == 2
+    layer = jnp.asarray([[0, 1, -1]])
+    uv = jnp.asarray([[[0.5, 0.5], [0.25, 0.75], [0.5, 0.5]]])
+    mip = jnp.zeros((1, 3), jnp.int32)
+    out = np.asarray(sample_pool(pool, tuple(tp.mip_sizes),
+                                 tuple(tp.mip_offsets), layer, uv, mip))
+    assert out[0, 0, 0] > 0.9 and out[0, 0, 2] < 0.1      # red
+    assert out[0, 1, 2] > 0.9 and out[0, 1, 0] < 0.1      # blue
+    np.testing.assert_allclose(out[0, 2], 1.0)            # untextured -> 1
+
+    # coarsest mip equals the average color
+    top_mip = len(tp.mip_sizes) - 1
+    out2 = np.asarray(sample_pool(
+        pool, tuple(tp.mip_sizes), tuple(tp.mip_offsets),
+        jnp.asarray([[0]]), jnp.asarray([[[0.5, 0.5]]]),
+        jnp.asarray([[top_mip]], jnp.int32)))
+    np.testing.assert_allclose(out2[0, 0, 0], 1.0, atol=0.02)
+
+
+def test_mip_density():
+    # uv grid covering the whole texture over 8 pixels -> high mip
+    uv_fast = jnp.stack(jnp.meshgrid(
+        jnp.linspace(0, 8, 8), jnp.linspace(0, 8, 8), indexing="ij"), -1)
+    m_fast = np.asarray(mip_from_uv_density(uv_fast, 256))
+    # uv covering 1/100 of the texture per pixel -> mip 0-2
+    uv_slow = uv_fast * 0.001
+    m_slow = np.asarray(mip_from_uv_density(uv_slow, 256))
+    assert m_fast.mean() > m_slow.mean() + 3
