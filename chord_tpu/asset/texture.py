@@ -63,9 +63,14 @@ def _resize_pow2(img: np.ndarray, size: int) -> np.ndarray:
 
     if img.shape[0] == size and img.shape[1] == size:
         return img
-    u8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
-    out = Image.fromarray(u8).resize((size, size), Image.LANCZOS)
-    return np.asarray(out, np.float32) / 255.0
+    # resize channels independently (PIL premultiplies RGBA by alpha)
+    chans = []
+    for c in range(img.shape[-1]):
+        u8 = np.clip(img[..., c] * 255.0, 0, 255).astype(np.uint8)
+        out = Image.fromarray(u8, mode="L").resize((size, size),
+                                                   Image.LANCZOS)
+        chans.append(np.asarray(out, np.float32) / 255.0)
+    return np.stack(chans, axis=-1)
 
 
 @dataclass
