@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""chord_tpu headless viewer — the `flower` application analog.
+
+The reference ships an ImGui editor with live viewports (reference:
+application/flower/ — widgets, viewport camera, DeferredRenderer per
+viewport). On TPU presentation is headless (SURVEY §8.11: "present" =
+device_get + image out): this app loads a scene (builtin procedural, a
+.chtp scene asset, or a glTF/GLB file), flies a camera path, renders
+through the full GPU-driven pipeline, and writes PNG frames (+ optional
+GIF turntable).
+
+Examples:
+    python apps/viewer.py --scene sponza --frames 8 --out /tmp/out
+    python apps/viewer.py --scene assets/city.glb --orbit --gif
+    python apps/viewer.py --scene bistro --debug lod    # LOD visualize
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def build_scene(name: str):
+    from chord_tpu.asset.procedural import (build_bistro_like,
+                                            build_sponza_like)
+    from chord_tpu.asset.gltf import into_builder, load_gltf
+    from chord_tpu.rhi.scene_arrays import SceneBuilder
+
+    if name == "sponza":
+        return build_sponza_like(detail=2), np.array([-15.0, 4.0, 3.0]), \
+            np.array([10.0, 2.0, -2.0])
+    if name == "bistro":
+        return build_bistro_like(detail=2), np.array([-40.0, 5.0, 4.0]), \
+            np.array([50.0, 3.0, -4.0])
+    p = Path(name)
+    if p.suffix == ".chtp":
+        raise SystemExit("scene assets: load via SceneSubsystem (see "
+                         "tests/test_scene.py) — viewer supports "
+                         "procedural + glTF")
+    scene = load_gltf(p)
+    b = into_builder(scene, SceneBuilder())
+    # frame the scene bounds
+    los = [m.local_aabb()[0] for m in b.meshes]
+    his = [m.local_aabb()[1] for m in b.meshes]
+    lo = np.min(los, 0)
+    hi = np.max(his, 0)
+    c = (lo + hi) / 2
+    r = float(np.linalg.norm(hi - lo)) * 0.9 + 1.0
+    return b, c + np.array([r, r * 0.4, r]), c
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--scene", default="sponza",
+                    help="sponza | bistro | path/to/model.glb")
+    ap.add_argument("--width", type=int, default=960)
+    ap.add_argument("--height", type=int, default=540)
+    ap.add_argument("--frames", type=int, default=1)
+    ap.add_argument("--orbit", action="store_true",
+                    help="orbit the camera around the target")
+    ap.add_argument("--out", default="/tmp/chord_view")
+    ap.add_argument("--gif", action="store_true")
+    ap.add_argument("--debug", default="none",
+                    choices=["none", "meshlet", "lod", "normal", "depth"])
+    ap.add_argument("--no-nanite", action="store_true")
+    ap.add_argument("--shadows", action="store_true")
+    ap.add_argument("--atmosphere", action="store_true")
+    ap.add_argument("--gi", action="store_true")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from chord_tpu.native import available
+    from chord_tpu.renderer.deferred import RendererConfig
+    from chord_tpu.renderer.meshlet_frame import (MeshletFrameConfig,
+                                                  MeshletRenderer)
+    from chord_tpu.rhi.meshlet_scene import build_meshlet_pools
+    from chord_tpu.utils.camera import Camera
+    from chord_tpu.utils.log import get_logger
+    from PIL import Image
+    import jax
+
+    log = get_logger("viewer")
+    b, cam_pos, target = build_scene(args.scene)
+    use_nanite = available() and not args.no_nanite
+    pools = build_meshlet_pools(b, nanite=use_nanite)
+    log.info("scene ready: %d meshlets, %d pairs, nanite=%s",
+             pools.num_meshlets, pools.num_pairs, use_nanite)
+
+    interpret = jax.default_backend() == "cpu"
+    r = MeshletRenderer(
+        RendererConfig(width=args.width, height=args.height,
+                       pair_capacity=16384, big_capacity=512,
+                       interpret=interpret),
+        MeshletFrameConfig(draw_capacity=8192, occlusion=True,
+                           shadows=args.shadows, atmosphere=args.atmosphere,
+                           gi=args.gi, debug_mode=args.debug))
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    cam = Camera(width=args.width, height=args.height)
+    images = []
+    for i in range(args.frames):
+        if args.orbit:
+            ang = i / max(args.frames, 1) * 2 * np.pi
+            rad = np.linalg.norm((cam_pos - target)[[0, 2]])
+            cam.position = target + np.array(
+                [rad * np.cos(ang), (cam_pos - target)[1],
+                 rad * np.sin(ang)])
+        else:
+            cam.position = cam_pos + np.array([0.05 * i, 0.0, 0.0])
+        cam.look_at(target)
+        inst = b.frame_instances(cam)
+        t0 = time.time()
+        img, stats = r.render(pools, inst, cam.view_uniform(i))
+        img = np.asarray(img)
+        log.info("frame %d: %.1f ms, drawn=%d overflow=%d", i,
+                 (time.time() - t0) * 1000,
+                 int(np.asarray(stats["drawn_tris"])),
+                 int(np.asarray(stats["bin_overflow"])))
+        Image.fromarray(img).save(out_dir / f"frame_{i:04d}.png")
+        images.append(img)
+
+    if args.gif and len(images) > 1:
+        frames = [Image.fromarray(i) for i in images]
+        frames[0].save(out_dir / "turntable.gif", save_all=True,
+                       append_images=frames[1:], duration=100, loop=0)
+    log.info("wrote %d frame(s) to %s", len(images), out_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -105,6 +105,9 @@ class MeshletFrameConfig(NamedTuple):
     gi: bool = False               # world-radiance-cache diffuse GI + SSAO
     gi_cfg: "gi_ops.GIConfig" = None
     textured: bool = False         # sample material base-color textures
+    # debug visualization (reference: renderer/mesh/nanite_visualize.cpp):
+    # none | meshlet | lod | normal | depth
+    debug_mode: str = "none"
 
 
 def pixel_view_dirs(h: int, w: int, clip_to_tw: jnp.ndarray) -> jnp.ndarray:
@@ -152,6 +155,35 @@ def render_shadow_cascades(
                 backface_cull=False)
             maps.append(depth_i)
     return jnp.stack(maps)
+
+
+def debug_visualize(mode: str, hdr, vis, depth, gbuf, draw_meshlet, pools):
+    """Debug render modes (reference: nanite_visualize.cpp — meshlet/LOD
+    coloring; plus normal/depth views). Colors are AP1-ish 0..1."""
+    from ..rhi.framebuffer import unpack_visibility
+
+    slot, _tri = unpack_visibility(vis)
+    valid = (slot >= 0)[..., None]
+    if mode == "meshlet":
+        mid = draw_meshlet[jnp.maximum(slot, 0)]
+        h1 = ((mid * 40503) ^ (mid * 1231 >> 3)) & 0xFFFF
+        col = jnp.stack([((h1 * 7) % 255) / 255.0,
+                         ((h1 * 13) % 255) / 255.0,
+                         ((h1 * 29) % 255) / 255.0], -1)
+        return jnp.where(valid, col, 0.0)
+    if mode == "lod":
+        lvl = pools.meshlet_lod[draw_meshlet[jnp.maximum(slot, 0)]]
+        palette = jnp.asarray([[1, 1, 1], [0, 1, 0], [1, 1, 0],
+                               [1, 0.5, 0], [1, 0, 0], [1, 0, 1],
+                               [0, 0, 1], [0, 1, 1]], jnp.float32)
+        col = palette[jnp.clip(lvl, 0, 7)]
+        return jnp.where(valid, col, 0.0)
+    if mode == "normal":
+        return jnp.where(valid, gbuf.normal * 0.5 + 0.5, 0.0)
+    if mode == "depth":
+        d = jnp.clip(depth * 50.0, 0.0, 1.0)[..., None]
+        return jnp.broadcast_to(d, d.shape[:2] + (3,))
+    return hdr
 
 
 def render_frame_meshlet(
@@ -210,6 +242,8 @@ def render_frame_meshlet(
                 seeds=tuple(rt0), attrs=st1.attrs)
         draw_object = jnp.concatenate([res0.draws.object_id,
                                        res1.draws.object_id])
+        draw_meshlet = jnp.concatenate([res0.draws.meshlet_id,
+                                        res1.draws.meshlet_id])
         stats["drawn_tris"] = rstats0["drawn_tris"] + rstats1["drawn_tris"]
         stats["bin_overflow"] = (rstats0["bin_overflow"] +
                                  rstats1["bin_overflow"])
@@ -228,6 +262,7 @@ def render_frame_meshlet(
                 stream.clip, stream.indices, stream.tri_valid,
                 stream.payload, rc_a, attrs=stream.attrs)
         draw_object = res0.draws.object_id
+        draw_meshlet = res0.draws.meshlet_id
         stats["drawn_tris"] = rstats["drawn_tris"]
         stats["bin_overflow"] = rstats["bin_overflow"]
         stats["draws_phase0"] = res0.draws.count
@@ -321,6 +356,11 @@ def render_frame_meshlet(
                 jax.lax.psum(jnp.float32(1.0), axis_name)
         exposure = post.adapt_exposure(hist_lum, history.exposure,
                                        1.0 / 60.0, ecfg)
+
+    if mcfg.debug_mode != "none":
+        with jax.named_scope("debug_visualize"):
+            hdr = debug_visualize(mcfg.debug_mode, hdr, vis, depth, gbuf,
+                                  draw_meshlet, pools)
 
     if config.enable_tsr:
         with jax.named_scope("tsr"):

@@ -63,6 +63,7 @@ class MeshletScenePools:
     meshlet_parent_error: jnp.ndarray  # (M,) f32
     meshlet_lod_sphere: jnp.ndarray    # (M,4) f32 error-projection sphere
     meshlet_parent_sphere: jnp.ndarray # (M,4) f32 parent group sphere
+    meshlet_lod: jnp.ndarray           # (M,) i32 LOD level (visualize)
     # static draw-pair table
     pair_object: jnp.ndarray     # (P,) i32 instance slot
     pair_meshlet: jnp.ndarray    # (P,) i32 meshlet id
@@ -109,8 +110,8 @@ def build_meshlet_pools(builder: SceneBuilder,
     mesh_vbase: List[int] = []
     mesh_meshlets: List[Tuple[int, int]] = []   # (meshlet base, count)
     pos_l, nrm_l, uv_l, tri_l = [], [], [], []
-    sph_l, cone_l, cnt_l, err_l, perr_l, lsph_l, psph_l = \
-        [], [], [], [], [], [], []
+    sph_l, cone_l, cnt_l, err_l, perr_l, lsph_l, psph_l, lvl_l = \
+        [], [], [], [], [], [], [], []
 
     cache = meshlet_cache if meshlet_cache is not None else {}
     for mesh_id, mesh in enumerate(builder.meshes):
@@ -132,6 +133,7 @@ def build_meshlet_pools(builder: SceneBuilder,
                 "parent_error": md.parent_error,
                 "lod_sphere": md.lod_sphere,
                 "parent_sphere": md.lod_sphere,
+                "lod_level": np.zeros(md.count, np.int32),
             }
             cache[mesh_id] = tbl
         count = len(tbl["tri_offset"])
@@ -160,6 +162,7 @@ def build_meshlet_pools(builder: SceneBuilder,
         perr_l.append(np.asarray(tbl["parent_error"], np.float32))
         lsph_l.append(np.asarray(tbl["lod_sphere"], np.float32))
         psph_l.append(np.asarray(tbl["parent_sphere"], np.float32))
+        lvl_l.append(np.asarray(tbl["lod_level"], np.int32))
 
         v_base += mesh.num_vertices
         m_base += count
@@ -193,6 +196,7 @@ def build_meshlet_pools(builder: SceneBuilder,
         meshlet_parent_error=jnp.asarray(np.concatenate(perr_l)),
         meshlet_lod_sphere=jnp.asarray(np.concatenate(lsph_l)),
         meshlet_parent_sphere=jnp.asarray(np.concatenate(psph_l)),
+        meshlet_lod=jnp.asarray(np.concatenate(lvl_l)),
         pair_object=jnp.asarray(pair_object),
         pair_meshlet=jnp.asarray(pair_meshlet),
         pair_valid=jnp.asarray(pair_valid),
