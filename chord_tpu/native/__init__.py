@@ -118,3 +118,70 @@ def vertex_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
         _ptr(indices, ctypes.c_int), len(indices.reshape(-1, 3)),
         _ptr(out, ctypes.c_float))
     return out
+
+
+def nanite_build_batch(meshes, build_lods: bool = True):
+    """Parallel C++ LOD builds (one pool task per mesh — the reference's
+    jobsystem::parallelFor analog for asset import). `meshes` is a list of
+    (positions, indices); returns a list of nanite_build-style dicts."""
+    lib = load()
+    n = len(meshes)
+    if n == 0:
+        return []
+    pos_l, idx_l, bufs = [], [], []
+    for positions, indices in meshes:
+        pos_l.append(np.ascontiguousarray(positions, np.float32))
+        idx_l.append(np.ascontiguousarray(indices, np.int32).reshape(-1, 3))
+
+    def arr_ptrs(arrs, ty):
+        return (ctypes.POINTER(ty) * n)(*[_ptr(a, ty) for a in arrs])
+
+    n_verts = np.asarray([len(p) for p in pos_l], np.int32)
+    n_tris = np.asarray([len(i) for i in idx_l], np.int32)
+    idx_caps = np.asarray([max(t * 3, 1024) for t in n_tris], np.int32)
+    mcaps = np.asarray([max(c // 32, 256) for c in idx_caps], np.int32)
+
+    out = []
+    for i in range(n):
+        out.append({
+            "indices": np.zeros((idx_caps[i], 3), np.int32),
+            "tri_offset": np.zeros(mcaps[i], np.int32),
+            "tri_count": np.zeros(mcaps[i], np.int32),
+            "lod_level": np.zeros(mcaps[i], np.int32),
+            "sphere": np.zeros((mcaps[i], 4), np.float32),
+            "cone": np.zeros((mcaps[i], 4), np.float32),
+            "lod_error": np.zeros(mcaps[i], np.float32),
+            "parent_error": np.zeros(mcaps[i], np.float32),
+            "lod_sphere": np.zeros((mcaps[i], 4), np.float32),
+            "parent_sphere": np.zeros((mcaps[i], 4), np.float32),
+        })
+    n_meshlets = np.zeros(n, np.int32)
+    n_tris_total = np.zeros(n, np.int32)
+
+    c_int_p = ctypes.POINTER(ctypes.c_int)
+    c_f_p = ctypes.POINTER(ctypes.c_float)
+    rc = lib.chord_nanite_build_batch(
+        n, arr_ptrs(pos_l, ctypes.c_float), _ptr(n_verts, ctypes.c_int),
+        arr_ptrs(idx_l, ctypes.c_int), _ptr(n_tris, ctypes.c_int),
+        1 if build_lods else 0,
+        arr_ptrs([o["indices"] for o in out], ctypes.c_int),
+        _ptr(idx_caps, ctypes.c_int),
+        arr_ptrs([o["tri_offset"] for o in out], ctypes.c_int),
+        arr_ptrs([o["tri_count"] for o in out], ctypes.c_int),
+        arr_ptrs([o["lod_level"] for o in out], ctypes.c_int),
+        arr_ptrs([o["sphere"] for o in out], ctypes.c_float),
+        arr_ptrs([o["cone"] for o in out], ctypes.c_float),
+        arr_ptrs([o["lod_error"] for o in out], ctypes.c_float),
+        arr_ptrs([o["parent_error"] for o in out], ctypes.c_float),
+        arr_ptrs([o["lod_sphere"] for o in out], ctypes.c_float),
+        arr_ptrs([o["parent_sphere"] for o in out], ctypes.c_float),
+        _ptr(mcaps, ctypes.c_int),
+        _ptr(n_meshlets, ctypes.c_int), _ptr(n_tris_total, ctypes.c_int))
+    if rc != 0:
+        raise RuntimeError("chord_nanite_build_batch: capacity exceeded")
+    res = []
+    for i, o in enumerate(out):
+        m, t = int(n_meshlets[i]), int(n_tris_total[i])
+        res.append({k: (v[:t] if k == "indices" else v[:m]).copy()
+                    for k, v in o.items()})
+    return res

@@ -129,7 +129,11 @@ def _upsample2(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
 
 def compute_bloom(color: jnp.ndarray, cfg: BloomConfig) -> jnp.ndarray:
     """(H,W,3) HDR AP1 -> bloom contribution (H,W,3). Pyramid down +
-    accumulate up (reference bloom.cpp pyramid)."""
+    accumulate up (reference bloom.cpp pyramid). The whole pyramid runs
+    at half res (a blur chain loses nothing; per-pixel cost is the
+    bottleneck on this device)."""
+    full_h, full_w = color.shape[:2]
+    color = _downsample2(color)
     # Quadratic soft-knee threshold (standard; reference uses the same
     # threshold+knee curve family).
     luma = colorspace.luminance_ap1(color)[..., None]
@@ -152,7 +156,7 @@ def compute_bloom(color: jnp.ndarray, cfg: BloomConfig) -> jnp.ndarray:
     for i in range(len(mips) - 2, -1, -1):
         h, w, _ = mips[i].shape
         acc = mips[i] + _upsample2(acc, h, w) * cfg.radius
-    return acc * cfg.intensity
+    return _upsample2(acc * cfg.intensity, full_h, full_w)
 
 
 # --- TSR (temporal super resolution) --------------------------------------
@@ -186,17 +190,18 @@ def _sample_bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
             c10 * (1 - fx) * fy + c11 * fx * fy)
 
 
-def _neighborhood_minmax(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """3x3 min/max over (H,W,C) via shifted mins (edge-clamped)."""
+def _neighborhood_minmax(img: jnp.ndarray, cross_only: bool = False
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """3x3 (or cross) min/max over (H,W,C) via shifted mins."""
     lo = img
     hi = img
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dx == 0 and dy == 0:
-                continue
-            sh = jnp.roll(jnp.roll(img, dy, axis=0), dx, axis=1)
-            lo = jnp.minimum(lo, sh)
-            hi = jnp.maximum(hi, sh)
+    taps = ([(-1, 0), (1, 0), (0, -1), (0, 1)] if cross_only else
+            [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+             if (dy, dx) != (0, 0)])
+    for dy, dx in taps:
+        sh = jnp.roll(jnp.roll(img, dy, axis=0), dx, axis=1)
+        lo = jnp.minimum(lo, sh)
+        hi = jnp.maximum(hi, sh)
     return lo, hi
 
 
@@ -219,10 +224,13 @@ def temporal_resolve(
     px_prev = xs - motion_ndc[..., 0] * (w * 0.5)
     py_prev = ys + motion_ndc[..., 1] * (h * 0.5)
 
-    hist = _sample_bilinear(history, px_prev, py_prev)
+    hist = _sample_bilinear(history.astype(jnp.bfloat16), px_prev,
+                            py_prev).astype(jnp.float32)
 
-    # Rectify: clamp history into the 3x3 neighborhood color AABB
-    lo, hi = _neighborhood_minmax(color)
+    # Rectify: clamp history into the cross-neighborhood color AABB
+    # (4 taps instead of the reference's 3x3 — rolls are the cheap op
+    # here, but 4 taps halve the VPU cost with near-identical clamping)
+    lo, hi = _neighborhood_minmax(color, cross_only=True)
     hist = jnp.clip(hist, lo, hi)
 
     offscreen = ((px_prev < 0) | (px_prev > w) |

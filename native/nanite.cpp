@@ -27,6 +27,7 @@
 #include <set>
 #include <unordered_map>
 #include <unordered_set>
+#include <deque>
 #include <vector>
 
 namespace {
@@ -559,6 +560,162 @@ void chord_vertex_normals(const float* positions, int n_verts,
     out[3 * v + 1] = (float)(y / l);
     out[3 * v + 2] = (float)(z / l);
   }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Job system: a std::thread worker pool with a shared task queue.
+// TPU-native equivalent of the reference's fiber-less job system
+// (reference: source/utils/job_system.h — cache-aligned jobs, worker
+// pools, parallelFor; SURVEY §2.10 maps it to a C++ pool for the offline
+// asset pipeline). Exposed as a batch-parallel driver for the Nanite
+// builder (one mesh per task) plus a generic parallel-for used from
+// Python via ctypes callbacks.
+// ---------------------------------------------------------------------
+
+#include <atomic>
+#include <condition_variable>
+#include <functional>
+#include <mutex>
+#include <thread>
+
+namespace {
+
+class JobPool {
+ public:
+  explicit JobPool(int workers) {
+    if (workers <= 0) workers = (int)std::thread::hardware_concurrency();
+    for (int i = 0; i < std::max(workers, 1); ++i)
+      threads_.emplace_back([this] { run(); });
+  }
+  ~JobPool() {
+    {
+      std::lock_guard<std::mutex> lk(m_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : threads_) t.join();
+  }
+  void submit(std::function<void()> f) {
+    {
+      std::lock_guard<std::mutex> lk(m_);
+      q_.push_back(std::move(f));
+    }
+    cv_.notify_one();
+  }
+  void wait() {
+    std::unique_lock<std::mutex> lk(m_);
+    done_cv_.wait(lk, [this] { return q_.empty() && active_ == 0; });
+  }
+
+ private:
+  void run() {
+    for (;;) {
+      std::function<void()> f;
+      {
+        std::unique_lock<std::mutex> lk(m_);
+        cv_.wait(lk, [this] { return stop_ || !q_.empty(); });
+        if (stop_ && q_.empty()) return;
+        f = std::move(q_.front());
+        q_.pop_front();
+        ++active_;
+      }
+      f();
+      {
+        std::lock_guard<std::mutex> lk(m_);
+        --active_;
+        if (q_.empty() && active_ == 0) done_cv_.notify_all();
+      }
+    }
+  }
+  std::vector<std::thread> threads_;
+  std::deque<std::function<void()>> q_;
+  std::mutex m_;
+  std::condition_variable cv_, done_cv_;
+  std::atomic<bool> stop_{false};
+  int active_ = 0;
+};
+
+JobPool& globalPool() {
+  static JobPool pool(0);
+  return pool;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Generic parallel-for: calls fn(i, user) for i in [0, n) on the pool.
+typedef void (*chord_for_fn)(int i, void* user);
+void chord_parallel_for(int n, chord_for_fn fn, void* user) {
+  JobPool& pool = globalPool();
+  std::atomic<int> next{0};
+  int workers = (int)std::thread::hardware_concurrency();
+  int lanes = std::max(1, std::min(workers, n));
+  for (int w = 0; w < lanes; ++w) {
+    pool.submit([&next, n, fn, user] {
+      for (;;) {
+        int i = next.fetch_add(1);
+        if (i >= n) return;
+        fn(i, user);
+      }
+    });
+  }
+  pool.wait();
+}
+
+// Batch Nanite build: meshes packed back-to-back; per-mesh outputs are
+// written into per-mesh slices (caller precomputes capacities).
+int chord_nanite_build_batch(
+    int n_meshes,
+    const float* const* positions, const int* n_verts,
+    const int* const* indices, const int* n_tris,
+    int build_lods,
+    int* const* out_indices, const int* idx_caps,
+    int* const* out_tri_offset, int* const* out_tri_count,
+    int* const* out_lod_level,
+    float* const* out_sphere, float* const* out_cone,
+    float* const* out_lod_error, float* const* out_parent_error,
+    float* const* out_lod_sphere, float* const* out_parent_sphere,
+    const int* meshlet_caps,
+    int* out_n_meshlets, int* out_n_tris_total) {
+  std::atomic<int> rc{0};
+  struct Ctx {
+    int n_meshes;
+    const float* const* positions; const int* n_verts;
+    const int* const* indices; const int* n_tris;
+    int build_lods;
+    int* const* out_indices; const int* idx_caps;
+    int* const* out_tri_offset; int* const* out_tri_count;
+    int* const* out_lod_level;
+    float* const* out_sphere; float* const* out_cone;
+    float* const* out_lod_error; float* const* out_parent_error;
+    float* const* out_lod_sphere; float* const* out_parent_sphere;
+    const int* meshlet_caps;
+    int* out_n_meshlets; int* out_n_tris_total;
+    std::atomic<int>* rc;
+  } ctx{n_meshes, positions, n_verts, indices, n_tris, build_lods,
+        out_indices, idx_caps, out_tri_offset, out_tri_count, out_lod_level,
+        out_sphere, out_cone, out_lod_error, out_parent_error,
+        out_lod_sphere, out_parent_sphere, meshlet_caps,
+        out_n_meshlets, out_n_tris_total, &rc};
+  chord_parallel_for(
+      n_meshes,
+      [](int i, void* user) {
+        Ctx* c = (Ctx*)user;
+        int r = chord_nanite_build(
+            c->positions[i], c->n_verts[i], c->indices[i], c->n_tris[i],
+            c->build_lods, c->out_indices[i], c->idx_caps[i],
+            c->out_tri_offset[i], c->out_tri_count[i], c->out_lod_level[i],
+            c->out_sphere[i], c->out_cone[i], c->out_lod_error[i],
+            c->out_parent_error[i], c->out_lod_sphere[i],
+            c->out_parent_sphere[i], c->meshlet_caps[i],
+            &c->out_n_meshlets[i], &c->out_n_tris_total[i]);
+        if (r != 0) c->rc->store(r);
+      },
+      &ctx);
+  return rc.load();
 }
 
 }  // extern "C"

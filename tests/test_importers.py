@@ -1,0 +1,79 @@
+"""Importers: glTF/GLB + PMX roundtrips (reference: asset/gltf/, asset/pmx/)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from chord_tpu.asset.gltf import load_gltf
+from chord_tpu.asset.pmx import load_pmx
+
+
+def test_glb_reference_sphere():
+    """The reference repo ships one GLB — load it through our importer."""
+    path = "/root/reference/install/resource/mesh/low_sphere.glb"
+    try:
+        scene = load_gltf(path)
+    except FileNotFoundError:
+        pytest.skip("reference GLB not mounted")
+    assert scene.total_triangles > 10
+    mesh = scene.meshes[0]
+    # sphere-ish: vertices near constant radius from centroid
+    c = mesh.positions.mean(0)
+    r = np.linalg.norm(mesh.positions - c, axis=1)
+    assert r.std() / r.mean() < 0.1
+
+
+def _write_minimal_pmx(path):
+    """Synthesize a tiny PMX 2.0: 3 verts, 1 triangle, 1 material."""
+    out = bytearray()
+    out += b"PMX "
+    out += struct.pack("<f", 2.0)
+    out += struct.pack("<B", 8)
+    # globals: enc=1(utf8), addUV=0, vtx=1, tex=1, mat=1, bone=1, morph=1, rb=1
+    out += bytes([1, 0, 1, 1, 1, 1, 1, 1])
+    for s in (b"tri", b"tri", b"", b""):     # names/comments
+        out += struct.pack("<i", len(s)) + s
+    out += struct.pack("<i", 3)              # vertex count
+    for p, n, uv in [((0, 0, 0), (0, 0, -1), (0, 0)),
+                     ((1, 0, 0), (0, 0, -1), (1, 0)),
+                     ((0, 1, 0), (0, 0, -1), (0, 1))]:
+        out += struct.pack("<3f", *p) + struct.pack("<3f", *n)
+        out += struct.pack("<2f", *uv)
+        out += struct.pack("<B", 0)          # BDEF1
+        out += struct.pack("<b", 0)          # bone index
+        out += struct.pack("<f", 1.0)        # edge scale
+    out += struct.pack("<i", 3)              # index count
+    out += struct.pack("<BBB", 0, 1, 2)      # u8 vertex indices
+    out += struct.pack("<i", 0)              # no textures
+    out += struct.pack("<i", 1)              # one material
+    for s in (b"mat", b""):
+        out += struct.pack("<i", len(s)) + s
+    out += struct.pack("<4f", 0.8, 0.2, 0.2, 1.0)    # diffuse
+    out += struct.pack("<3f", 1, 1, 1) + struct.pack("<f", 32.0)
+    out += struct.pack("<3f", 0.1, 0.1, 0.1)
+    out += struct.pack("<B", 0)
+    out += struct.pack("<4f", 0, 0, 0, 1) + struct.pack("<f", 1.0)
+    out += struct.pack("<b", -1)             # texture
+    out += struct.pack("<b", -1)             # sphere
+    out += struct.pack("<B", 0)              # sphere mode
+    out += struct.pack("<B", 0)              # shared toon = 0
+    out += struct.pack("<b", -1)             # toon texture
+    out += struct.pack("<i", 0)              # memo
+    out += struct.pack("<i", 3)              # face index count
+    path.write_bytes(bytes(out))
+
+
+def test_pmx_minimal(tmp_path):
+    p = tmp_path / "tri.pmx"
+    _write_minimal_pmx(p)
+    model = load_pmx(p)
+    assert model.name == "tri"
+    assert len(model.meshes) == 1
+    mesh = model.meshes[0]
+    assert mesh.num_triangles == 1 and mesh.num_vertices == 3
+    # z negated (left->right handed)
+    np.testing.assert_allclose(mesh.positions[:, 2], 0.0)
+    assert model.materials[0].base_color[0] == pytest.approx(0.8)
+    # winding flipped to CCW
+    assert mesh.indices.tolist() == [[2, 1, 0]]
