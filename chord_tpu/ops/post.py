@@ -54,6 +54,9 @@ def luminance_histogram(color_ap1: jnp.ndarray, cfg: ExposureConfig
     Bin 0 collects near-black pixels, exactly like the reference's
     `luma < epsilon -> bin 0` path.
     """
+    # exposure statistics don't need full resolution: 1/4-res sampling
+    # quarters the scatter cost with no visible adaptation difference
+    color_ap1 = color_ap1[::4, ::4]
     luma = colorspace.luminance_ap1(color_ap1)
     scale = 1.0 / (cfg.max_log_lum - cfg.min_log_lum)
     t = (jnp.log2(jnp.maximum(luma, 1e-10)) - cfg.min_log_lum) * scale
@@ -166,6 +169,7 @@ class TSRConfig(NamedTuple):
 
     blend: float = 0.1           # new-frame weight when history valid
     sharpness: float = 0.25
+    bilinear_history: bool = True   # False = nearest (1 gather instead of 4)
 
 
 def _sample_bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
@@ -224,8 +228,14 @@ def temporal_resolve(
     px_prev = xs - motion_ndc[..., 0] * (w * 0.5)
     py_prev = ys + motion_ndc[..., 1] * (h * 0.5)
 
-    hist = _sample_bilinear(history.astype(jnp.bfloat16), px_prev,
-                            py_prev).astype(jnp.float32)
+    if cfg.bilinear_history:
+        hist = _sample_bilinear(history.astype(jnp.bfloat16), px_prev,
+                                py_prev).astype(jnp.float32)
+    else:
+        h_, w_ = history.shape[:2]
+        xi = jnp.clip(px_prev.astype(jnp.int32), 0, w_ - 1)
+        yi = jnp.clip(py_prev.astype(jnp.int32), 0, h_ - 1)
+        hist = history.astype(jnp.bfloat16)[yi, xi].astype(jnp.float32)
 
     # Rectify: clamp history into the cross-neighborhood color AABB
     # (4 taps instead of the reference's 3x3 — rolls are the cheap op
