@@ -34,6 +34,7 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..renderer.deferred import DeviceView, RendererConfig, render_frame_flat
+from ..renderer.meshlet_frame import MeshletFrameConfig, render_frame_meshlet
 from ..rhi.framebuffer import FrameHistory
 from ..utils.camera import ViewUniform
 from ..utils import math as cmath
@@ -80,9 +81,15 @@ def strip_device_views(u: ViewUniform, n: int, **light_kwargs):
 
 
 class ShardedRenderer:
-    """Drives the strip-parallel frame over a 1-D device mesh."""
+    """Drives the strip-parallel frame over a 1-D device mesh.
 
-    def __init__(self, config: RendererConfig, mesh: Optional[Mesh] = None):
+    path="meshlet" runs the full GPU-driven pipeline per strip (each
+    device culls against its strip frustum — sort-first load balance);
+    path="flat" is the simple object-cull pipeline."""
+
+    def __init__(self, config: RendererConfig, mesh: Optional[Mesh] = None,
+                 path: str = "flat",
+                 mcfg: Optional[MeshletFrameConfig] = None):
         devices = mesh.devices.reshape(-1) if mesh else np.array(jax.devices())
         self.n = len(devices)
         assert config.height % self.n == 0, \
@@ -91,10 +98,18 @@ class ShardedRenderer:
         self.config = config
         self.strip_config = config._replace(height=config.height // self.n)
         self.history = None
+        self.path = path
+        self.mcfg = mcfg or MeshletFrameConfig()
 
-        strip_fn = functools.partial(render_frame_flat,
-                                     config=self.strip_config,
-                                     axis_name=AXIS)
+        if path == "meshlet":
+            strip_fn = functools.partial(render_frame_meshlet,
+                                         config=self.strip_config,
+                                         mcfg=self.mcfg,
+                                         axis_name=AXIS)
+        else:
+            strip_fn = functools.partial(render_frame_flat,
+                                         config=self.strip_config,
+                                         axis_name=AXIS)
 
         def sharded_step(pools, instances, views, history):
             def body(pools, instances, view, hist):
@@ -131,28 +146,31 @@ class ShardedRenderer:
 
 
 def dryrun(n_devices: int) -> None:
-    """Driver hook: build an n-device mesh, jit the FULL sharded frame, run
-    one step on tiny shapes (called with xla_force_host_platform_device_count
-    virtual CPU devices)."""
+    """Driver hook: build an n-device mesh, jit the FULL sharded meshlet
+    frame (GPU-driven cull + raster + shade + post per strip, exposure
+    psum over ICI), run one step on tiny shapes (called with
+    xla_force_host_platform_device_count virtual CPU devices)."""
     devices = jax.devices()[:n_devices]
     mesh = Mesh(np.array(devices), (AXIS,))
 
     from ..asset.procedural import build_sponza_like
+    from ..rhi.meshlet_scene import build_meshlet_pools
     from ..utils.camera import Camera
 
     b = build_sponza_like(detail=1)
-    pools = b.build_pools()
+    pools = build_meshlet_pools(b)
     h = 16 * n_devices
     cam = Camera(width=128, height=h)
-    cam.position = np.array([-15.0, 4.0, 0.0])   # inside the atrium
-    cam.look_at(np.array([10.0, 2.0, 0.0]))
+    cam.position = np.array([-15.0, 4.0, 3.0])   # inside the atrium
+    cam.look_at(np.array([10.0, 2.0, -2.0]))
 
     config = RendererConfig(width=128, height=h, pair_capacity=2048,
                             big_capacity=128, interpret=True)
-    r = ShardedRenderer(config, mesh)
+    r = ShardedRenderer(config, mesh, path="meshlet",
+                        mcfg=MeshletFrameConfig(draw_capacity=128,
+                                                occlusion=True))
     inst = b.frame_instances(cam)
     image, stats = r.render(pools, inst, cam.view_uniform(0))
     image.block_until_ready()
-    assert image.shape == (h, 128, 3) if image.ndim == 3 else True
     print(f"dryrun_multichip({n_devices}): image {image.shape}, "
           f"stats {jax.tree.map(lambda x: np.asarray(x).item(), stats)}")
