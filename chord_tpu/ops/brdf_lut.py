@@ -1,0 +1,79 @@
+"""Split-sum environment BRDF LUT.
+
+TPU-native equivalent of the reference's BRDF LUT compute pass
+(reference: renderer/lut/brdf_lut.cpp + shader/brdf_lut.hlsl — split-sum
+env BRDF (A, B) over (NoV, roughness), id published in
+GPUBasicData.brdfLut). Built once with jnp Monte-Carlo GGX importance
+sampling; consumed by ambient/GI specular: F = f0 * A + B.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LUT_SIZE = 32
+
+
+def _hammersley(n: int) -> np.ndarray:
+    """(n,2) low-discrepancy set (van der Corput base 2)."""
+    i = np.arange(n)
+    bits = i.copy()
+    r = np.zeros(n)
+    f = 0.5
+    for _ in range(16):
+        r += (bits & 1) * f
+        bits >>= 1
+        f *= 0.5
+    return np.stack([i / n, r], -1)
+
+
+def build_env_brdf_lut(samples: int = 256) -> jnp.ndarray:
+    """-> (LUT_SIZE, LUT_SIZE, 2) f32: (A, B) indexed by (NoV, roughness)."""
+    xi = jnp.asarray(_hammersley(samples), jnp.float32)
+    nov = (jnp.arange(LUT_SIZE) + 0.5) / LUT_SIZE          # (S,)
+    rough = (jnp.arange(LUT_SIZE) + 0.5) / LUT_SIZE
+
+    nov_g, r_g = jnp.meshgrid(nov, rough, indexing="ij")   # (S,S)
+    a = jnp.maximum(r_g * r_g, 1e-3)
+
+    v = jnp.stack([jnp.sqrt(1 - nov_g ** 2), jnp.zeros_like(nov_g), nov_g],
+                  -1)                                       # (S,S,3)
+
+    def accum(carry, x):
+        A, B = carry
+        e1, e2 = x[0], x[1]
+        # GGX importance sample around +Z
+        phi = 2 * np.pi * e1
+        ct = jnp.sqrt((1 - e2) / (1 + (a ** 2 - 1) * e2))
+        st = jnp.sqrt(jnp.maximum(1 - ct * ct, 0.0))
+        h = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], -1)
+        voh = jnp.sum(v * h, -1)
+        l = 2 * voh[..., None] * h - v
+        nol = jnp.clip(l[..., 2], 0.0, 1.0)
+        noh = jnp.clip(ct, 0.0, 1.0)
+        vohc = jnp.clip(voh, 0.0, 1.0)
+        # Smith visibility (height-correlated, as in the shading BRDF)
+        k = a * a / 2.0
+        g_v = nov_g / (nov_g * (1 - k) + k)
+        g_l = nol / (nol * (1 - k) + k)
+        g = g_v * g_l
+        g_vis = jnp.where(nol > 0,
+                          g * vohc / jnp.maximum(noh * nov_g, 1e-6), 0.0)
+        fc = (1 - vohc) ** 5
+        return (A + (1 - fc) * g_vis, B + fc * g_vis), None
+
+    (A, B), _ = jax.lax.scan(accum,
+                             (jnp.zeros_like(nov_g), jnp.zeros_like(nov_g)),
+                             xi)
+    return jnp.stack([A, B], -1) / samples
+
+
+def env_specular(lut: jnp.ndarray, f0: jnp.ndarray, roughness: jnp.ndarray,
+                 nov: jnp.ndarray) -> jnp.ndarray:
+    """Split-sum env term: f0 * A + B (broadcast over (...,3) f0)."""
+    xi = jnp.clip((nov * LUT_SIZE).astype(jnp.int32), 0, LUT_SIZE - 1)
+    yi = jnp.clip((roughness * LUT_SIZE).astype(jnp.int32), 0, LUT_SIZE - 1)
+    ab = lut[xi, yi]
+    return f0 * ab[..., 0:1] + ab[..., 1:2]

@@ -202,6 +202,39 @@ def sample_irradiance(
     return irr * cfg.intensity, conf
 
 
+def sample_radiance(
+    cache: jnp.ndarray,          # (C, D^3, 13)
+    pos_w: jnp.ndarray,          # (...,3)
+    direction: jnp.ndarray,      # (...,3) lookup direction (e.g. reflection)
+    cam_pos: jnp.ndarray,
+    cfg: GIConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (radiance (...,3), confidence). SH L1 radiance evaluated along a
+    direction — feeds ambient SPECULAR (the reference's specular GI trace
+    is replaced by this cache lookup on TPU)."""
+    d = direction
+    basis = jnp.stack([jnp.full(d.shape[:-1], SH0),
+                       SH1 * d[..., 1], SH1 * d[..., 2], SH1 * d[..., 0]],
+                      axis=-1)
+    rad = jnp.zeros(d.shape[:-1] + (3,))
+    conf = jnp.zeros(d.shape[:-1])
+    done = jnp.zeros(d.shape[:-1], bool)
+    for c in range(cfg.cascades):
+        g, inb = _probe_coords(pos_w, c, cfg, cam_pos)
+        cell = jnp.floor(g + 0.5).astype(jnp.int32)
+        probe = cache[c, _wrap_index(cell, cfg)]
+        sh = probe[..., :12]
+        e = jnp.stack([jnp.sum(sh[..., 0:4] * basis, -1),
+                       jnp.sum(sh[..., 4:8] * basis, -1),
+                       jnp.sum(sh[..., 8:12] * basis, -1)], -1)
+        has = probe[..., 12] > 0.5
+        use = inb & ~done & has
+        rad = jnp.where(use[..., None], jnp.maximum(e, 0.0) * np.pi, rad)
+        conf = jnp.where(use, 1.0, conf)
+        done = done | use
+    return rad * cfg.intensity, conf
+
+
 def ssao(depth: jnp.ndarray,      # (H,W) reverse-Z
          pos_tw: jnp.ndarray,     # (H,W,3)
          normal: jnp.ndarray,     # (H,W,3)

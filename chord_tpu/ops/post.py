@@ -252,3 +252,51 @@ def temporal_resolve(
     blur = (jnp.roll(out, 1, 0) + jnp.roll(out, -1, 0) +
             jnp.roll(out, 1, 1) + jnp.roll(out, -1, 1)) * 0.25
     return jnp.maximum(out + (out - blur) * cfg.sharpness, 0.0)
+
+
+def temporal_upscale(
+    color: jnp.ndarray,        # (h,w,3) render-res HDR (jittered sampling)
+    motion_ndc: jnp.ndarray,   # (h,w,2) render-res NDC motion
+    history: jnp.ndarray,      # (H,W,3) POST-res accumulated history
+    history_valid: jnp.ndarray,
+    jitter_px: jnp.ndarray,    # (2,) this frame's subpixel jitter (render px)
+    cfg: TSRConfig,
+    post_h: int, post_w: int,
+) -> jnp.ndarray:
+    """TSR with render->post upscale (the reference's render-dim ->
+    post-dim chain, renderer.h:55-89 DimensionConfig + tsr_*.hlsl):
+    the jittered render-res frame is resampled to post res, history is
+    reprojected at post res, rectified against the upsampled
+    neighborhood, and blended. Jitter makes the accumulation converge to
+    a supersampled image over frames."""
+    h, w = color.shape[:2]
+    # post-pixel centers in render-pixel coordinates, shifted by jitter
+    ys = (jnp.arange(post_h, dtype=jnp.float32)[:, None] + 0.5) * (h / post_h)
+    xs = (jnp.arange(post_w, dtype=jnp.float32)[None, :] + 0.5) * (w / post_w)
+    xs = jnp.broadcast_to(xs, (post_h, post_w)) - jitter_px[0]
+    ys = jnp.broadcast_to(ys, (post_h, post_w)) - jitter_px[1]
+    cur = _sample_bilinear(color, xs, ys)
+    mot = _sample_bilinear(motion_ndc, xs, ys)
+
+    pxs = jnp.broadcast_to(
+        jnp.arange(post_w, dtype=jnp.float32)[None, :] + 0.5,
+        (post_h, post_w))
+    pys = jnp.broadcast_to(
+        jnp.arange(post_h, dtype=jnp.float32)[:, None] + 0.5,
+        (post_h, post_w))
+    px_prev = pxs - mot[..., 0] * (post_w * 0.5)
+    py_prev = pys + mot[..., 1] * (post_h * 0.5)
+    hist = _sample_bilinear(history.astype(jnp.bfloat16), px_prev,
+                            py_prev).astype(jnp.float32)
+
+    lo, hi = _neighborhood_minmax(cur, cross_only=True)
+    hist = jnp.clip(hist, lo, hi)
+    offscreen = ((px_prev < 0) | (px_prev > post_w) |
+                 (py_prev < 0) | (py_prev > post_h)
+                 ).astype(jnp.float32)[..., None]
+    alpha = jnp.maximum(cfg.blend, jnp.maximum(1.0 - history_valid,
+                                               offscreen))
+    out = cur * alpha + hist * (1.0 - alpha)
+    blur = (jnp.roll(out, 1, 0) + jnp.roll(out, -1, 0) +
+            jnp.roll(out, 1, 1) + jnp.roll(out, -1, 1)) * 0.25
+    return jnp.maximum(out + (out - blur) * cfg.sharpness, 0.0)

@@ -56,6 +56,7 @@ class DeviceView:
     sun_radiance: jnp.ndarray          # (3,) AP1
     sky_ambient: jnp.ndarray           # (3,) AP1
     dt: jnp.ndarray                    # () seconds
+    jitter_px: Optional[jnp.ndarray] = None    # (2,) subpixel jitter
     clip_to_tw: Optional[jnp.ndarray] = None   # (4,4) inverse view-proj
     # Shadow cascades (None when shadows are off; reference: GPU cascade
     # setup cascade_setup.hlsl — here fit on host, SURVEY.md §2.6)
@@ -100,6 +101,7 @@ class DeviceView:
             sun_radiance=jnp.asarray(sun_ap1),
             sky_ambient=jnp.asarray(sky_ap1),
             dt=jnp.asarray(dt, jnp.float32),
+            jitter_px=jnp.asarray(u.jitter, jnp.float32),
             clip_to_tw=jnp.asarray(np.float32(np.linalg.inv(
                 u.translated_world_to_clip_nojitter.astype(np.float64)))),
             shadow_tw_to_light=shadow_mats,
@@ -113,6 +115,8 @@ class RendererConfig(NamedTuple):
 
     width: int = 1920
     height: int = 1080
+    post_width: int = 0          # 0 = same as render (TSR upscale target)
+    post_height: int = 0
     pair_capacity: int = 8192
     big_capacity: int = 512
     enable_bloom: bool = True

@@ -329,6 +329,30 @@ def render_frame_meshlet(
             cam_anchor = jnp.zeros(3)   # camera at the TW origin
             indirect = gi_ops.diffuse_gi(history.gi_cache, gbuf,
                                          cam_anchor, gcfg)
+        with jax.named_scope("gi.specular"):
+            from ..ops import brdf_lut as brdf
+            k = gcfg.sample_res_div
+            pos_q = gbuf.position_tw[::k, ::k]
+            nrm_q = gbuf.normal[::k, ::k]
+            v_q = -pos_q / jnp.maximum(
+                jnp.linalg.norm(pos_q, axis=-1, keepdims=True), 1e-6)
+            refl_q = 2.0 * jnp.sum(v_q * nrm_q, -1, keepdims=True) * \
+                nrm_q - v_q
+            spec_rad_q, spec_conf_q = gi_ops.sample_radiance(
+                history.gi_cache, pos_q, refl_q, cam_anchor, gcfg)
+            spec_rad_q = spec_rad_q * spec_conf_q[..., None]
+            hh, ww = gbuf.valid.shape
+            spec_rad = jnp.repeat(jnp.repeat(spec_rad_q, k, 0), k, 1)[
+                :hh, :ww]
+            lut = brdf.build_env_brdf_lut(64)
+            nov = jnp.clip(jnp.sum(
+                -gbuf.position_tw / jnp.maximum(jnp.linalg.norm(
+                    gbuf.position_tw, axis=-1, keepdims=True), 1e-6) *
+                gbuf.normal, -1), 1e-3, 1.0)
+            f0 = 0.04 * (1.0 - gbuf.metallic[..., None]) + \
+                gbuf.base_color * gbuf.metallic[..., None]
+            env = brdf.env_specular(lut, f0, gbuf.roughness, nov)
+            specular_gi = spec_rad * env * ao[..., None]
         base_amb = ambient if ambient is not None else \
             view.sky_ambient[None, None, :] * \
             jnp.clip(gbuf.normal[..., 1:2] * 0.5 + 0.5, 0.0, 1.0)
@@ -341,6 +365,8 @@ def render_frame_meshlet(
         hdr = shading.shade_pixels(gbuf, sun, sun_shadow=sun_shadow,
                                    sky_radiance=sky_radiance,
                                    ambient=ambient)
+        if mcfg.gi:
+            hdr = hdr + jnp.where(gbuf.valid[..., None], specular_gi, 0.0)
 
     if mcfg.gi:
         with jax.named_scope("gi.inject"):
@@ -362,10 +388,21 @@ def render_frame_meshlet(
             hdr = debug_visualize(mcfg.debug_mode, hdr, vis, depth, gbuf,
                                   draw_meshlet, pools)
 
+    post_w = config.post_width or w
+    post_h = config.post_height or h
     if config.enable_tsr:
         with jax.named_scope("tsr"):
-            hdr = post.temporal_resolve(hdr, gbuf.motion, history.tsr_color,
-                                        history.valid, post.TSRConfig())
+            if (post_w, post_h) != (w, h):
+                hdr = post.temporal_upscale(
+                    hdr, gbuf.motion, history.tsr_color, history.valid,
+                    view.jitter_px, post.TSRConfig(), post_h, post_w)
+            else:
+                hdr = post.temporal_resolve(
+                    hdr, gbuf.motion, history.tsr_color, history.valid,
+                    post.TSRConfig())
+    elif (post_w, post_h) != (w, h):
+        hdr = jnp.repeat(jnp.repeat(
+            hdr, -(-post_h // h), 0), -(-post_w // w), 1)[:post_h, :post_w]
     tsr_color = hdr
 
     if config.enable_bloom:
@@ -424,6 +461,7 @@ class MeshletRenderer:
         if self.history is None:
             self.history = FrameHistory.empty(
                 c.height, c.width,
+                post_h=c.post_height or None, post_w=c.post_width or None,
                 gi_cfg=(self.mcfg.gi_cfg or gi_ops.GIConfig())
                 if self.mcfg.gi else None)
         view = DeviceView.from_uniform(
