@@ -49,7 +49,7 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro"):
     config = RendererConfig(width=width, height=height,
                             pair_capacity=32768, big_capacity=512,
                             enable_bloom=True, enable_tsr=True)
-    mcfg = MeshletFrameConfig(draw_capacity=16384, occlusion=True)
+    mcfg = MeshletFrameConfig(draw_capacity=4096, occlusion=True)
 
     views = []
     for i in range(frames):

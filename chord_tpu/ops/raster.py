@@ -358,15 +358,18 @@ def bin_windows(setup: TriangleSetup, config: RasterConfig) -> WorkQueue:
                      n_pairs=n_pairs, overflow=overflow)
 
 
-def _raster_tile_kernel(win_ref, start_ref, count_ref,   # scalar prefetch
-                        coef_hbm,                         # (R,(D+1)*128) ANY
-                        *refs,                            # seeds, outs, scratch
+def _raster_tile_kernel(win_ref, start_ref, count_ref,
+                        wy0_ref, wy1_ref,         # scalar prefetch
+                        coef_hbm,                 # (R,(D+1)*128) ANY
+                        *refs,                    # seeds, outs, scratch
                         config: RasterConfig):
     """One grid step = one screen tile: loop over the tile's binned windows
-    with double-buffered HBM->VMEM coefficient DMA, accumulating winner
-    state in registers; one write per tile.
+    with double-buffered HBM->VMEM coefficient DMA; per window, an inner
+    dynamic loop covers only the tile rows inside the window's y-bbox
+    (work scales with actual coverage, not tile area). Accumulators live
+    in VMEM scratch, written back once per tile.
 
-    Without attrs (R=16): carries (depth, payload); with attrs (R=32) also
+    Without attrs (R=16): (depth, payload); with attrs (R=32) also
     interpolates 5 attribute planes (nx,ny,nz,u,v) for the winner — the
     in-rasterizer replacement for per-pixel attribute gathers (the
     reference re-fetches vertex data per pixel in lighting.hlsl:270-360;
@@ -380,23 +383,30 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,   # scalar prefetch
     """
     c = config
     n_attr = 5 if c.with_attrs else 0
-    n_seed = 2 + n_attr
-    n_out = 2 + n_attr
-    seeds = refs[:n_seed]
-    outs = refs[n_seed:n_seed + n_out]
-    scratch, sems = refs[n_seed + n_out:]
+    n_rt = 2 + n_attr
+    seeds = refs[:n_rt]
+    outs = refs[n_rt:2 * n_rt]
+    coef_scr, acc, acc_v_scr, sems = refs[2 * n_rt:]
 
     tile = pl.program_id(0)
     start = start_ref[tile]
     count = count_ref[tile]
     tile_ty = tile // c.tiles_x
     tile_tx = tile % c.tiles_x
+    tile_py0 = tile_ty * c.tile_h
+
+    # init accumulators from the seed tiles (payload stays int32: its bit
+    # patterns are denormal as floats and would be flushed by f32 math)
+    acc[0, :, :] = seeds[0][:]
+    acc_v_scr[:, :] = jax.lax.bitcast_convert_type(seeds[1][:], jnp.int32)
+    for k in range(n_attr):
+        acc[1 + k, :, :] = seeds[2 + k][:]
 
     def dma(j, slot):
         win = win_ref[start + j]
         return pltpu.make_async_copy(
             coef_hbm.at[:, pl.ds(win * WINDOW, WINDOW)],
-            scratch.at[slot], sems.at[slot])
+            coef_scr.at[slot], sems.at[slot])
 
     @pl.when(count > 0)
     def _warmup():
@@ -410,20 +420,22 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,   # scalar prefetch
 
     def body(j, carry):
         slot = j % 2
+        win = win_ref[start + j]
+        y0 = jnp.clip(wy0_ref[win] - tile_py0, 0, c.tile_h)
+        y1 = jnp.clip(wy1_ref[win] + 1 - tile_py0, 0, c.tile_h)
 
         @pl.when(j + 1 < count)
         def _prefetch():
             dma(j + 1, (j + 1) % 2).start()
 
         dma(j, slot).wait()
-        blk = jnp.transpose(scratch[slot])                # (R,128)->(128,R)
+        blk = jnp.transpose(coef_scr[slot])               # (R,128)->(128,R)
         col = lambda k: f32(blk[:, k:k + 1])              # (C,1)
         a = [col(k) for k in range(5)]
         b = [col(5 + k) for k in range(5)]
         cc = [col(10 + k) for k in range(5)]
         pay = jax.lax.bitcast_convert_type(blk[:, 15:16], jnp.int32)
         if n_attr:
-            # attr k plane: (a,b,c) at rows 16+3k .. 18+3k
             aa = [col(16 + 3 * k) for k in range(n_attr)]
             ab = [col(17 + 3 * k) for k in range(n_attr)]
             ac = [col(18 + 3 * k) for k in range(n_attr)]
@@ -431,9 +443,9 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,   # scalar prefetch
         ex = [a[k] * px for k in range(5)]                # (C, TW)
         if n_attr:
             exa = [aa[k] * px for k in range(n_attr)]
-        out_rows = [[] for _ in range(2 + n_attr)]
-        for row in range(c.tile_h):
-            yf = jnp.float32(1.0) * (tile_ty * c.tile_h + row)
+
+        def row_body(row, _):
+            yf = (tile_py0 + row).astype(jnp.float32)
             l0 = ex[0] + (b[0] * yf + cc[0])
             l1 = ex[1] + (b[1] * yf + cc[1])
             l2 = ex[2] + (b[2] * yf + cc[2])
@@ -445,38 +457,35 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,   # scalar prefetch
             cand = jnp.where(covered, z, 0.0)             # (C, TW)
             best = jnp.max(cand, axis=0, keepdims=True)   # (1, TW)
             winner = (cand == best) & (cand > 0.0)
-            out_rows[0].append(best)
-            out_rows[1].append(jnp.max(jnp.where(winner, pay, 0), axis=0,
-                                       keepdims=True))
+            pay_sel = jnp.max(jnp.where(winner, pay, 0), axis=0,
+                              keepdims=True)
+            rs = pl.ds(row, 1)
+            acc_d = acc[0, rs, :]
+            acc_v = acc_v_scr[rs, :]
+            better = best > acc_d
+            tie = (best == acc_d) & (pay_sel > acc_v)
+            take = better | tie
+            acc[0, rs, :] = jnp.where(take, best, acc_d)
+            acc_v_scr[rs, :] = jnp.where(take, pay_sel, acc_v)
             if n_attr:
                 ssum = l0 + l1 + l2
                 inv_s = 1.0 / jnp.where(covered, ssum, 1.0)
                 for k in range(n_attr):
                     val = (exa[k] + (ab[k] * yf + ac[k])) * inv_s
-                    out_rows[2 + k].append(jnp.max(
-                        jnp.where(winner, val, NEG), axis=0, keepdims=True))
+                    sel = jnp.max(jnp.where(winner, val, NEG), axis=0,
+                                  keepdims=True)
+                    acc[1 + k, rs, :] = jnp.where(take, sel,
+                                                  acc[1 + k, rs, :])
+            return 0
 
-        best2 = jnp.concatenate(out_rows[0], axis=0)      # (TH, TW)
-        pay2 = jnp.concatenate(out_rows[1], axis=0)
-        better = best2 > carry[0]
-        tie = (best2 == carry[0]) & (pay2 > carry[1])
-        take = better | tie
-        new = [jnp.where(take, best2, carry[0]),
-               jnp.where(take, pay2, carry[1])]
-        for k in range(n_attr):
-            new.append(jnp.where(
-                take, jnp.concatenate(out_rows[2 + k], axis=0),
-                carry[2 + k]))
-        return tuple(new)
+        jax.lax.fori_loop(y0, y1, row_body, 0)
+        return carry
 
-    seed_d = seeds[0][:]
-    seed_v = jax.lax.bitcast_convert_type(seeds[1][:], jnp.int32)
-    init = [seed_d, seed_v] + [seeds[2 + k][:] for k in range(n_attr)]
-    final = jax.lax.fori_loop(0, count, body, tuple(init))
-    outs[0][:] = final[0]
-    outs[1][:] = jax.lax.bitcast_convert_type(final[1], jnp.uint32)
+    jax.lax.fori_loop(0, count, body, 0)
+    outs[0][:] = acc[0, :, :]
+    outs[1][:] = jax.lax.bitcast_convert_type(acc_v_scr[:, :], jnp.uint32)
     for k in range(n_attr):
-        outs[2 + k][:] = final[2 + k]
+        outs[2 + k][:] = acc[1 + k, :, :]
 
 
 def raster_queue(
@@ -511,7 +520,7 @@ def raster_queue(
     for k in range(n_attr):
         seed_arrays.append(padded(seeds[2 + k], 0.0, jnp.float32))
 
-    def tile_block(i, pw, st, ct):
+    def tile_block(i, pw, st, ct, wy0, wy1):
         return (i // c.tiles_x, i % c.tiles_x)
 
     vmem_tile = pl.BlockSpec((c.tile_h, c.tile_w), tile_block,
@@ -519,14 +528,22 @@ def raster_queue(
     out_shapes = ([jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
                    jax.ShapeDtypeStruct((h_pad, w_pad), jnp.uint32)] +
                   [jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)] * n_attr)
+    # per-window pixel y-bbox for the dynamic row loop (+poison entry
+    # with y1 < y0 so slack windows cover no rows)
+    wy0 = jnp.concatenate([setup.window_bbox[1],
+                           jnp.full((1,), 1, jnp.int32)])
+    wy1 = jnp.concatenate([setup.window_bbox[3],
+                           jnp.full((1,), -1, jnp.int32)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,   # pair_win, starts, counts
+        num_scalar_prefetch=5,   # pair_win, starts, counts, wy0, wy1
         grid=(c.n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] +   # coefT in HBM
                  [vmem_tile] * n_rt,
         out_specs=[vmem_tile] * n_rt,
         scratch_shapes=[
             pltpu.VMEM((2, c.coef_rows, WINDOW), jnp.uint32),
+            pltpu.VMEM((1 + n_attr, c.tile_h, c.tile_w), jnp.float32),
+            pltpu.VMEM((c.tile_h, c.tile_w), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -536,7 +553,7 @@ def raster_queue(
         out_shape=out_shapes,
         # CPU has no Mosaic backend — interpret there (tests/dry runs).
         interpret=c.interpret or jax.default_backend() == "cpu",
-    )(queue.pair_win, queue.starts, queue.counts,
+    )(queue.pair_win, queue.starts, queue.counts, wy0, wy1,
       setup.coefT, *seed_arrays)
     return tuple(rt[:c.height, :c.width] for rt in rts)
 
