@@ -1,0 +1,290 @@
+"""Mesh-shader kernel: fused draw expansion + triangle setup in Pallas.
+
+The TPU equivalent of the reference's mesh-shader vertex/primitive phase
+(reference: install/resource/shader/mesh_raster.hlsl:51-120 — per visible
+meshlet: transform vertices, compute per-triangle culls, emit primitives).
+One grid step = one visible draw (instance, meshlet):
+
+- DMA the meshlet's corner-major geometry block (zero gathers — corners
+  were laid out lane-aligned with triangles at build time,
+  rhi/meshlet_scene.py mv_posT/mv_attrT),
+- transform corners local -> clip with the draw's matrix (scalar-prefetch),
+- run the full homogeneous triangle setup (Olano-Greer cofactors, culls,
+  depth planes, attribute planes, pixel bbox — the same math as
+  ops/raster.py setup_triangles) on (1,128) lanes,
+- write one (40,128) coefficient block consumed directly by the raster
+  kernel.
+
+Work is proportional to the ACTUAL draw count: slack grid steps skip the
+math and emit poison blocks. This replaces the XLA expand_draws +
+setup_triangles pair whose cost scaled with draw CAPACITY (gathers +
+full-size elementwise chains).
+
+Coefficient row layout (R = 40):
+    0-4    λ0a λ1a λ2a Na Da        (x coefficients of the 5 raster planes)
+    5-9    *b                        (y coefficients)
+    10-14  *c                        (constants, pixel-center folded)
+    15     payload u32 (slot+1):25 | tri:7
+    16-30  attribute numerator planes: 5 attrs x (a,b,c)
+    31     valid flag (f32 0/1)
+    32-35  pixel bbox ix0, iy0, ix1, iy1 (f32, clamped to screen)
+    36-39  pad
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .raster import TriangleSetup, WINDOW
+
+COEF_ROWS = 40
+
+
+def _mesh_shader_kernel(dm_ref, tcnt_ref, count_ref,
+                        mat_ref, pos_ref, attr_ref, coef_ref,
+                        *, width: int, height: int, payload_base: int,
+                        backface_cull: bool):
+    i = pl.program_id(0)
+    count = count_ref[0]
+    eps_w = 1e-6
+    f32 = jnp.float32
+    bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)
+    neg1 = np.float32(-1.0).view(np.uint32).item()
+
+    @pl.when(i >= count)
+    def _poison():
+        coef_ref[:] = jnp.zeros((COEF_ROWS, WINDOW), jnp.uint32)
+        coef_ref[10:13, :] = jnp.full((3, WINDOW), neg1, jnp.uint32)
+
+    @pl.when(i < count)
+    def _work():
+        # per-draw matrices ride an (8,128) VMEM block (8 draws per
+        # block): 16 floats of local_to_clip + 9 of the normal matrix,
+        # read as (1,1) broadcasts from this draw's row
+        mrow = pl.ds(i % 8, 1)
+        m = [[mat_ref[mrow, r * 4 + c:r * 4 + c + 1] for c in range(4)]
+             for r in range(4)]
+        nm = [[mat_ref[mrow, 16 + r * 3 + c:17 + r * 3 + c]
+               for c in range(3)] for r in range(3)]
+
+        def corner(k):
+            x = pos_ref[4 * k, :][None, :]
+            y = pos_ref[4 * k + 1, :][None, :]
+            z = pos_ref[4 * k + 2, :][None, :]
+            # row-vector homogeneous transform (w_local = 1)
+            cx = x * m[0][0] + y * m[1][0] + z * m[2][0] + m[3][0]
+            cy = x * m[0][1] + y * m[1][1] + z * m[2][1] + m[3][1]
+            cz = x * m[0][2] + y * m[1][2] + z * m[2][2] + m[3][2]
+            cw = x * m[0][3] + y * m[1][3] + z * m[2][3] + m[3][3]
+            # fold viewport: homogeneous screen coords
+            X = (cx * 0.5 + cw * 0.5) * width
+            Y = (cw * 0.5 - cy * 0.5) * height
+            s = 1.0 / jnp.maximum(
+                jnp.maximum(jnp.abs(X), jnp.abs(Y)),
+                jnp.maximum(jnp.abs(cw), eps_w))
+            return X * s, Y * s, cw * s, cz * s, cw
+
+        X0, Y0, w0, z0, rw0 = corner(0)
+        X1, Y1, w1, z1, rw1 = corner(1)
+        X2, Y2, w2, z2, rw2 = corner(2)
+
+        def cross3(ax, ay, aw, bx, by, bw):
+            return (ay * bw - aw * by, aw * bx - ax * bw,
+                    ax * by - ay * bx)
+
+        l0 = cross3(X1, Y1, w1, X2, Y2, w2)
+        l1 = cross3(X2, Y2, w2, X0, Y0, w0)
+        l2 = cross3(X0, Y0, w0, X1, Y1, w1)
+        det = X0 * l0[0] + Y0 * l0[1] + w0 * l0[2]
+        flip = jnp.where(det < 0.0, -1.0, 1.0)
+        if backface_cull:
+            front = det < 0.0
+        else:
+            front = det != 0.0
+        l0 = tuple(flip * v for v in l0)
+        l1 = tuple(flip * v for v in l1)
+        l2 = tuple(flip * v for v in l2)
+        N = tuple(l0[k] * z0 + l1[k] * z1 + l2[k] * z2 for k in range(3))
+        D = tuple(l0[k] * w0 + l1[k] * w1 + l2[k] * w2 for k in range(3))
+
+        def center(f):
+            return (f[0], f[1], f[2] + 0.5 * f[0] + 0.5 * f[1])
+
+        l0, l1, l2 = center(l0), center(l1), center(l2)
+        N, D = center(N), center(D)
+
+        # pixel bbox (full screen when a corner crosses the eye plane)
+        all_front = (rw0 > eps_w) & (rw1 > eps_w) & (rw2 > eps_w)
+        iw0 = 1.0 / jnp.where(rw0 > eps_w, w0, 1.0)
+        iw1 = 1.0 / jnp.where(rw1 > eps_w, w1, 1.0)
+        iw2 = 1.0 / jnp.where(rw2 > eps_w, w2, 1.0)
+        sx0, sx1, sx2 = X0 * iw0, X1 * iw1, X2 * iw2
+        sy0, sy1, sy2 = Y0 * iw0, Y1 * iw1, Y2 * iw2
+        xmin = jnp.minimum(jnp.minimum(sx0, sx1), sx2)
+        xmax = jnp.maximum(jnp.maximum(sx0, sx1), sx2)
+        ymin = jnp.minimum(jnp.minimum(sy0, sy1), sy2)
+        ymax = jnp.maximum(jnp.maximum(sy0, sy1), sy2)
+        xmin = jnp.where(all_front, xmin, 0.0)
+        xmax = jnp.where(all_front, xmax, f32(width))
+        ymin = jnp.where(all_front, ymin, 0.0)
+        ymax = jnp.where(all_front, ymax, f32(height))
+        ix0 = jnp.clip(jnp.floor(xmin), 0.0, f32(width - 1))
+        ix1 = jnp.clip(jnp.ceil(xmax), 0.0, f32(width - 1))
+        iy0 = jnp.clip(jnp.floor(ymin), 0.0, f32(height - 1))
+        iy1 = jnp.clip(jnp.ceil(ymax), 0.0, f32(height - 1))
+
+        onscreen = (xmax >= 0.0) & (xmin < f32(width)) & \
+                   (ymax >= 0.0) & (ymin < f32(height))
+        covers_center = (~all_front) | (
+            (jnp.ceil(xmin - 0.5) <= jnp.floor(xmax - 0.5)) &
+            (jnp.ceil(ymin - 0.5) <= jnp.floor(ymax - 0.5)))
+        any_front = (rw0 > eps_w) | (rw1 > eps_w) | (rw2 > eps_w)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1)
+        tri_ok = lane < tcnt_ref[i]
+        valid = (tri_ok & front & (det != 0.0) & onscreen &
+                 covers_center & any_front)
+
+        pay_i = jnp.where(valid,
+                          ((i + payload_base + 1) * 128) + lane, 0)
+        payload = jax.lax.bitcast_convert_type(pay_i, jnp.uint32)
+
+        # attribute numerator planes: attrs are per-corner rows
+        # [n0x n0y n0z u0 v0 | n1... | n2...]; normals go through the
+        # draw's normal matrix (row-vector n' = n @ NM)
+        def attr_corner(base_row):
+            nx = attr_ref[base_row, :][None, :]
+            ny = attr_ref[base_row + 1, :][None, :]
+            nz = attr_ref[base_row + 2, :][None, :]
+            u = attr_ref[base_row + 3, :][None, :]
+            v = attr_ref[base_row + 4, :][None, :]
+            tx = nx * nm[0][0] + ny * nm[1][0] + nz * nm[2][0]
+            ty = nx * nm[0][1] + ny * nm[1][1] + nz * nm[2][1]
+            tz = nx * nm[0][2] + ny * nm[1][2] + nz * nm[2][2]
+            return (tx, ty, tz, u, v)
+
+        a0 = attr_corner(0)
+        a1 = attr_corner(5)
+        a2 = attr_corner(10)
+
+        rows = [l0[0], l1[0], l2[0], N[0], D[0],
+                l0[1], l1[1], l2[1], N[1], D[1],
+                l0[2], l1[2], l2[2], N[2], D[2]]
+        validf = valid.astype(jnp.float32)
+        poison_c = jnp.where(valid, 0.0, -1.0)
+        for r in range(COEF_ROWS):
+            if r < 10:
+                coef_ref[r:r + 1, :] = bc(rows[r] * validf)
+            elif r < 15:
+                # poison the constant rows of invalid lanes (λc = -1)
+                coef_ref[r:r + 1, :] = bc(
+                    jnp.where(valid, rows[r], poison_c))
+            elif r == 15:
+                coef_ref[r:r + 1, :] = payload
+            elif r < 31:
+                k = (r - 16) // 3
+                comp = (r - 16) % 3
+                attr_k = (a0[k], a1[k], a2[k])
+                plane = (attr_k[0] * l0[comp] + attr_k[1] * l1[comp] +
+                         attr_k[2] * l2[comp])
+                coef_ref[r:r + 1, :] = bc(plane * validf)
+            elif r == 31:
+                coef_ref[r:r + 1, :] = bc(validf)
+            elif r == 32:
+                coef_ref[r:r + 1, :] = bc(jnp.where(valid, ix0, 1e9))
+            elif r == 33:
+                coef_ref[r:r + 1, :] = bc(jnp.where(valid, iy0, 1e9))
+            elif r == 34:
+                coef_ref[r:r + 1, :] = bc(jnp.where(valid, ix1, -1.0))
+            elif r == 35:
+                coef_ref[r:r + 1, :] = bc(jnp.where(valid, iy1, -1.0))
+            else:
+                coef_ref[r:r + 1, :] = jnp.zeros((1, WINDOW), jnp.uint32)
+
+
+def mesh_shader_setup(
+    draws,                       # cull.DrawList
+    pools,                       # MeshletScenePools
+    instances,
+    tw_to_clip: jnp.ndarray,     # (4,4)
+    capacity: int,
+    width: int, height: int,
+    payload_base: int = 0,
+    backface_cull: bool = True,
+    interpret: bool = False,
+) -> TriangleSetup:
+    """Run the mesh-shader kernel -> TriangleSetup for bin_windows/raster.
+
+    The returned coefT already contains attribute planes (R=40), so
+    RasterConfig must have with_attrs=True."""
+    cap = capacity
+    n_meshlets = pools.meshlet_sphere.shape[0]
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    active = slot < draws.count
+    dm = jnp.where(active, draws.meshlet_id, n_meshlets)   # poison window
+    obj = jnp.where(active, draws.object_id, 0)
+
+    l2c = jnp.einsum("dij,jk->dik", instances.object_to_tw[obj], tw_to_clip,
+                     precision=jax.lax.Precision.HIGHEST)   # (cap,4,4)
+    nm = instances.object_normal_mat[obj]                   # (cap,3,3)
+    tcnt = jnp.where(active, pools.meshlet_tri_count[
+        jnp.minimum(dm, n_meshlets - 1)], 0)
+
+    mats = jnp.concatenate(
+        [l2c.reshape(cap, 16), nm.reshape(cap, 9),
+         jnp.zeros((cap, 103), jnp.float32)], axis=1)        # (cap,128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,   # dm, tcnt, count
+        grid=(cap,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda i, dm, tc, ct: (i // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, WINDOW), lambda i, dm, tc, ct:
+                         (0, dm[i]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, WINDOW), lambda i, dm, tc, ct:
+                         (0, dm[i]), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((COEF_ROWS, WINDOW),
+                               lambda i, dm, tc, ct: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    coefT = pl.pallas_call(
+        functools.partial(_mesh_shader_kernel, width=width, height=height,
+                          payload_base=payload_base,
+                          backface_cull=backface_cull),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((COEF_ROWS, cap * WINDOW),
+                                       jnp.uint32),
+        interpret=interpret or jax.default_backend() == "cpu",
+    )(dm, tcnt, jnp.asarray([draws.count], jnp.int32).reshape(1),
+      mats, pools.mv_posT, pools.mv_attrT)
+
+    # window bbox / validity from the kernel's bbox rows (+ poison window
+    # appended so slack raster pairs have a block to point at)
+    f = lambda r: jax.lax.bitcast_convert_type(
+        coefT[r].reshape(cap, WINDOW), jnp.float32)
+    valid = f(31) > 0.5
+    wx0 = jnp.where(valid, f(32), 1e9).min(1).astype(jnp.int32)
+    wy0 = jnp.where(valid, f(33), 1e9).min(1).astype(jnp.int32)
+    wx1 = jnp.where(valid, f(34), -1.0).max(1).astype(jnp.int32)
+    wy1 = jnp.where(valid, f(35), -1.0).max(1).astype(jnp.int32)
+    window_valid = valid.any(1)
+    window_bbox = jnp.stack([wx0, wy0, wx1, wy1], 0)
+
+    neg1 = np.float32(-1.0).view(np.uint32)
+    poison_np = np.zeros(COEF_ROWS, np.uint32)
+    poison_np[10:13] = neg1
+    coefT = jnp.concatenate(
+        [coefT, jnp.broadcast_to(jnp.asarray(poison_np)[:, None],
+                                 (COEF_ROWS, WINDOW))], axis=1)
+    return TriangleSetup(coefT=coefT, window_bbox=window_bbox,
+                         window_valid=window_valid,
+                         valid=valid.reshape(-1))

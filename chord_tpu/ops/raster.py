@@ -62,7 +62,10 @@ class RasterConfig(NamedTuple):
 
     @property
     def coef_rows(self) -> int:
-        return 32 if self.with_attrs else 16
+        # 40-row layout shared with the mesh-shader kernel
+        # (ops/mesh_shader.py): 15 raster planes + payload + 15 attr
+        # planes + valid + 4 bbox + pad
+        return 40 if self.with_attrs else 16
 
     @property
     def tiles_x(self) -> int:
@@ -242,7 +245,8 @@ def setup_triangles(
                 plane = (a0[:, k] * (l0[comp]) + a1[:, k] * (l1[comp]) +
                          a2[:, k] * (l2[comp]))
                 rows.append(bc(plane))
-        rows.append(jnp.zeros_like(payload))   # pad to 32
+        while len(rows) < n_rows:
+            rows.append(jnp.zeros_like(payload))   # pad to coef_rows
     coefT = jnp.stack(rows, axis=0)                              # (R,T) u32
     # Invalid triangles: poison coverage (λ c = -1, a = b = 0 -> λ < 0).
     neg1 = np.float32(-1.0).view(np.uint32)

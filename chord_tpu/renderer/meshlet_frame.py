@@ -20,7 +20,9 @@ from ..ops import colorspace, gi as gi_ops, post, shading, \
     shadow as shadow_ops
 from ..ops.cull import DrawList, cull_pairs
 from ..ops.hzb import HZBPyramid, build_hzb, hzb_layout
-from ..ops.raster import RasterConfig, rasterize
+from ..ops.mesh_shader import mesh_shader_setup
+from ..ops.raster import (RasterConfig, bin_windows, raster_queue,
+                          rasterize)
 from ..rhi.framebuffer import FrameHistory, pack_visibility
 from .deferred import DeviceView, RendererConfig
 
@@ -219,11 +221,13 @@ def render_frame_meshlet(
                 hzb=prev_hzb, hzb_tw_to_clip=view.prev_tw_to_clip_nj,
                 lod_threshold=mcfg.lod_threshold_px)
         with jax.named_scope("raster.phase0"):
-            st0 = expand_draws(
-                res0.draws, pools, instances, view.tw_to_clip, cap)
-            *rt0, rstats0 = rasterize(
-                st0.clip, st0.indices, st0.tri_valid, st0.payload, rc_a,
-                attrs=st0.attrs)
+            setup0 = mesh_shader_setup(
+                res0.draws, pools, instances, view.tw_to_clip, cap, w, h,
+                interpret=rc.interpret)
+            queue0 = bin_windows(setup0, rc_a)
+            rt0 = list(raster_queue(queue0, setup0, rc_a))
+            rstats0 = {"bin_overflow": queue0.overflow,
+                       "drawn_tris": jnp.sum(setup0.valid.astype(jnp.int32))}
             depth0 = rt0[0]
         with jax.named_scope("hzb.mid"):
             hzb_now = build_hzb(depth0)
@@ -234,12 +238,13 @@ def render_frame_meshlet(
                 lod_threshold=mcfg.lod_threshold_px,
                 extra_mask=res0.occluded_mask)
         with jax.named_scope("raster.phase1"):
-            st1 = expand_draws(
-                res1.draws, pools, instances, view.tw_to_clip, cap,
-                payload_base=cap)
-            *rt, rstats1 = rasterize(
-                st1.clip, st1.indices, st1.tri_valid, st1.payload, rc_a,
-                seeds=tuple(rt0), attrs=st1.attrs)
+            setup1 = mesh_shader_setup(
+                res1.draws, pools, instances, view.tw_to_clip, cap, w, h,
+                payload_base=cap, interpret=rc.interpret)
+            queue1 = bin_windows(setup1, rc_a)
+            rt = list(raster_queue(queue1, setup1, rc_a, seeds=tuple(rt0)))
+            rstats1 = {"bin_overflow": queue1.overflow,
+                       "drawn_tris": jnp.sum(setup1.valid.astype(jnp.int32))}
         draw_object = jnp.concatenate([res0.draws.object_id,
                                        res1.draws.object_id])
         draw_meshlet = jnp.concatenate([res0.draws.meshlet_id,
@@ -256,11 +261,13 @@ def render_frame_meshlet(
                               proj_scale, cap,
                               lod_threshold=mcfg.lod_threshold_px)
         with jax.named_scope("raster"):
-            stream = expand_draws(
-                res0.draws, pools, instances, view.tw_to_clip, cap)
-            *rt, rstats = rasterize(
-                stream.clip, stream.indices, stream.tri_valid,
-                stream.payload, rc_a, attrs=stream.attrs)
+            setup0 = mesh_shader_setup(
+                res0.draws, pools, instances, view.tw_to_clip, cap, w, h,
+                interpret=rc.interpret)
+            queue0 = bin_windows(setup0, rc_a)
+            rt = list(raster_queue(queue0, setup0, rc_a))
+            rstats = {"bin_overflow": queue0.overflow,
+                      "drawn_tris": jnp.sum(setup0.valid.astype(jnp.int32))}
         draw_object = res0.draws.object_id
         draw_meshlet = res0.draws.meshlet_id
         stats["drawn_tris"] = rstats["drawn_tris"]

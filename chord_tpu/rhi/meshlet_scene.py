@@ -64,6 +64,12 @@ class MeshletScenePools:
     meshlet_lod_sphere: jnp.ndarray    # (M,4) f32 error-projection sphere
     meshlet_parent_sphere: jnp.ndarray # (M,4) f32 parent group sphere
     meshlet_lod: jnp.ndarray           # (M,) i32 LOD level (visualize)
+    # corner-major per-meshlet geometry for the mesh-shader expand kernel
+    # (ops/mesh_shader.py): rows [x0,y0,z0,pad, x1,y1,z1,pad, x2,y2,z2,pad]
+    # per 128-triangle window; +1 poison window at the end.
+    mv_posT: jnp.ndarray         # (12, (M+1)*128) f32
+    # rows [n0x,n0y,n0z,u0,v0, n1...,n2..., pad] per corner
+    mv_attrT: jnp.ndarray        # (16, (M+1)*128) f32
     # static draw-pair table
     pair_object: jnp.ndarray     # (P,) i32 instance slot
     pair_meshlet: jnp.ndarray    # (P,) i32 meshlet id
@@ -183,12 +189,36 @@ def build_meshlet_pools(builder: SceneBuilder,
     pair_valid = np.zeros(len(pair_object), bool)
     pair_valid[:n_pairs] = True
 
+    # corner-major tables (zero-gather mesh-shader inputs)
+    tri_all = np.concatenate(tri_l)                    # (M*128, 3)
+    pos_all = np.concatenate(pos_l)
+    nrm_all = np.concatenate(nrm_l)
+    uv_all = np.concatenate(uv_l)
+    c0, c1, c2 = tri_all[:, 0], tri_all[:, 1], tri_all[:, 2]
+    pad_col = np.zeros(len(tri_all), np.float32)
+    mv_posT = np.stack([
+        pos_all[c0, 0], pos_all[c0, 1], pos_all[c0, 2], pad_col,
+        pos_all[c1, 0], pos_all[c1, 1], pos_all[c1, 2], pad_col,
+        pos_all[c2, 0], pos_all[c2, 1], pos_all[c2, 2], pad_col], 0)
+    mv_attrT = np.stack(
+        [nrm_all[c0, 0], nrm_all[c0, 1], nrm_all[c0, 2],
+         uv_all[c0, 0], uv_all[c0, 1],
+         nrm_all[c1, 0], nrm_all[c1, 1], nrm_all[c1, 2],
+         uv_all[c1, 0], uv_all[c1, 1],
+         nrm_all[c2, 0], nrm_all[c2, 1], nrm_all[c2, 2],
+         uv_all[c2, 0], uv_all[c2, 1], pad_col], 0)
+    # poison window (degenerate corners at origin)
+    mv_posT = np.concatenate([mv_posT, np.zeros((12, 128), np.float32)], 1)
+    mv_attrT = np.concatenate([mv_attrT, np.zeros((16, 128), np.float32)], 1)
+
     mats = builder.materials
     pools = MeshletScenePools(
         positions=jnp.asarray(np.concatenate(pos_l)),
         normals=jnp.asarray(np.concatenate(nrm_l)),
         uv0=jnp.asarray(np.concatenate(uv_l)),
-        tri_indices=jnp.asarray(np.concatenate(tri_l)),
+        tri_indices=jnp.asarray(tri_all),
+        mv_posT=jnp.asarray(mv_posT),
+        mv_attrT=jnp.asarray(mv_attrT),
         meshlet_sphere=jnp.asarray(np.concatenate(sph_l)),
         meshlet_cone=jnp.asarray(np.concatenate(cone_l)),
         meshlet_tri_count=jnp.asarray(np.concatenate(cnt_l)),
