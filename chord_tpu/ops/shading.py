@@ -12,8 +12,11 @@ On TPU there is no need for material-bucketed indirect dispatches
 pixels run the same metallic-roughness BRDF as one dense fused pass over the
 (H, W) grid, and XLA fuses the decode->interpolate->BRDF chain. Sky pixels
 (visibility == 0) take the sky radiance branch via `jnp.where` — branchless,
-exactly how an 8x128 vreg machine wants it. The visibility-tile machinery
-still exists for passes that genuinely diverge (see ops/visibility_tile.py).
+exactly how an 8x128 vreg machine wants it. (The reference's material-
+bucketed tile dispatch, visibility_tile.hlsl, exists to serve divergent
+material shaders on a scalar-warp machine; with one uniform BRDF model a
+dense fused pass is strictly better here — revisit if divergent material
+models land.)
 
 All radiometric quantities are linear ACEScg (AP1); see ops/colorspace.py.
 """

@@ -41,6 +41,13 @@ log = get_logger("renderer")
 # e.g. renderer/gi/screen_probe_gather.cpp:83; same naming scheme).
 cvars.register("r.exposure.fix", -1.0,
                "fixed exposure; <=0 enables auto exposure")
+cvars.register("r.render.width", 1920, "render width", vtype=int)
+cvars.register("r.render.height", 1080, "render height", vtype=int)
+cvars.register("r.render.pairCapacity", 8192,
+               "raster work-queue capacity", vtype=int)
+cvars.register("r.render.drawCapacity", 4096,
+               "visible meshlet draw capacity", vtype=int)
+cvars.register("r.render.output", "srgb8", "srgb8 | hdr10", vtype=str)
 
 
 @chex.dataclass(frozen=True)
@@ -129,6 +136,22 @@ class RendererConfig(NamedTuple):
             width=self.width, height=self.height,
             pair_capacity=self.pair_capacity,
             big_capacity=self.big_capacity, interpret=self.interpret)
+
+    @classmethod
+    def from_cvars(cls, **overrides) -> "RendererConfig":
+        """Build from the cvar registry (the reference's single flag
+        mechanism — every tunable a cvar, utils/cvar.h; settable from
+        code / ini text / CLI before renderer creation)."""
+        base = dict(
+            width=int(cvars.get("r.render.width")),
+            height=int(cvars.get("r.render.height")),
+            pair_capacity=int(cvars.get("r.render.pairCapacity")),
+            enable_bloom=bool(cvars.get("r.bloom.enable")),
+            enable_tsr=bool(cvars.get("r.tsr.enable")),
+            output=str(cvars.get("r.render.output")),
+        )
+        base.update(overrides)
+        return cls(**base)
 
 
 def render_frame_flat(
