@@ -77,7 +77,11 @@ def adapt_exposure(
     """-> new adapted exposure scalar (reference: auto_exposure.hlsl —
     percentile-clipped mean luminance, key value
     `1.03 - 2/(2+log2(avg+1))`, exponential up/down adaptation)."""
-    cum = jnp.cumsum(hist)
+    # percentiles over the NON-black distribution (bin 0 = near-black; a
+    # mostly-black frame must still key on its lit pixels)
+    nonblack = hist.at[0].set(0.0)
+    nonblack = nonblack / jnp.maximum(jnp.sum(nonblack), 1e-6)
+    cum = jnp.cumsum(nonblack)
     lo, hi = cfg.low_percent, cfg.high_percent
     # weight of each bin inside the [lo, hi] percentile band
     prev_cum = jnp.concatenate([jnp.zeros(1), cum[:-1]])

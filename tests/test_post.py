@@ -1,0 +1,78 @@
+"""Post chain units: exposure adaptation, bloom energy, TAA convergence
+(reference: auto_exposure.hlsl, bloom.cpp, tsr_*.hlsl)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from chord_tpu.ops import post
+
+
+def test_exposure_adapts_toward_target():
+    cfg = post.ExposureConfig()
+    bright = jnp.full((64, 64, 3), 4.0)
+    hist = post.luminance_histogram(bright, cfg)
+    e = jnp.float32(1.0)
+    prev = 1.0
+    for _ in range(60):
+        e = post.adapt_exposure(hist, e, 1.0 / 60.0, cfg)
+    # bright scene -> exposure drops below 1
+    assert float(e) < prev
+    dark = jnp.full((64, 64, 3), 0.02)
+    hist_d = post.luminance_histogram(dark, cfg)
+    e2 = jnp.float32(1.0)
+    for _ in range(120):
+        e2 = post.adapt_exposure(hist_d, e2, 1.0 / 60.0, cfg)
+    assert float(e2) > 1.0
+    # fixed-exposure bypass
+    cfg_fix = cfg._replace(fix_exposure=2.5)
+    assert float(post.adapt_exposure(hist, jnp.float32(1.0), 1 / 60,
+                                     cfg_fix)) == 2.5
+
+
+def test_exposure_ignores_black_pixels():
+    cfg = post.ExposureConfig()
+    # mostly-black frame with a mid-gray patch: adaptation keys on the patch
+    img = np.zeros((64, 64, 3), np.float32)
+    img[:8, :8] = 0.5
+    hist = np.asarray(post.luminance_histogram(jnp.asarray(img), cfg))
+    assert hist[0] > 0.5          # black bin holds most pixels
+    e = post.adapt_exposure(jnp.asarray(hist), jnp.float32(1.0), 10.0, cfg)
+    assert 0.5 < float(e) < 10.0  # keyed to the gray patch, not to black
+
+
+def test_bloom_bounded_and_bright_only():
+    cfg = post.BloomConfig(threshold=1.0, intensity=0.1)
+    dark = jnp.full((64, 128, 3), 0.2)
+    b_dark = np.asarray(post.compute_bloom(dark, cfg))
+    assert b_dark.max() < 1e-3, "no bloom below threshold"
+    img = jnp.zeros((64, 128, 3)).at[32, 64].set(50.0)
+    b = np.asarray(post.compute_bloom(img, cfg))
+    assert b.max() > 0.0
+    # bloom spreads beyond the source pixel
+    assert b[28, 56].sum() > 0.0
+    assert b.sum() < 50.0 * 3 * 2, "bloom must not amplify energy wildly"
+
+
+def test_taa_converges_static():
+    rng = np.random.default_rng(0)
+    truth = jnp.asarray(rng.random((32, 128, 3)).astype(np.float32))
+    cfg = post.TSRConfig(blend=0.2, sharpness=0.0)
+    motion = jnp.zeros((32, 128, 2))
+    hist = truth * 0.0
+    valid = jnp.float32(0.0)
+    for i in range(12):
+        hist = post.temporal_resolve(truth, motion, hist, valid, cfg)
+        valid = jnp.float32(1.0)
+    err = float(jnp.abs(hist - truth).max())
+    assert err < 0.05, f"TAA should converge on a static scene: {err}"
+
+
+def test_temporal_upscale_shapes():
+    cfg = post.TSRConfig()
+    color = jnp.ones((32, 64, 3))
+    motion = jnp.zeros((32, 64, 2))
+    history = jnp.zeros((64, 128, 3))
+    out = post.temporal_upscale(color, motion, history, jnp.float32(0.0),
+                                jnp.zeros(2), cfg, 64, 128)
+    assert out.shape == (64, 128, 3)
+    assert float(jnp.abs(out - 1.0).max()) < 0.35   # sharpen ringing bound

@@ -1,0 +1,78 @@
+"""Core utils: span allocator, cvars, camera math, serialization container
+(reference: utils/allocator, utils/cvar.h, utils/camera.h)."""
+
+import numpy as np
+import pytest
+
+from chord_tpu.utils import math as cmath
+from chord_tpu.utils.allocator import SpanAllocator
+from chord_tpu.utils.camera import Camera
+from chord_tpu.utils.cvar import CVarFlags, CVarSystem
+
+
+def test_span_allocator_reuse():
+    a = SpanAllocator()
+    s1 = a.allocate(100)
+    s2 = a.allocate(50)
+    assert s1.offset != s2.offset or s1.count == 0
+    a.free(s1)
+    s3 = a.allocate(80)        # fits in the freed hole
+    assert s3.offset == s1.offset
+    assert s3.count == 80
+
+
+def test_cvar_system():
+    cv = CVarSystem()
+    v = cv.register("t.x", 1.5, "test")
+    cv.register("t.flag", True, "bool var")
+    cv.register("t.ro", 3, flags=CVarFlags.READ_ONLY, vtype=int)
+    g0 = cv.generation
+    cv.set("t.x", 2.5)
+    assert cv.get("t.x") == 2.5
+    assert cv.generation > g0      # jit-cache invalidation signal
+    with pytest.raises(PermissionError):
+        cv.set("t.ro", 4)
+    n = cv.load_text("t.x = 7.0\nt.flag = off\n# comment\nunknown = 3\n")
+    assert n == 2
+    assert cv.get("t.x") == 7.0 and cv.get("t.flag") is False
+
+
+def test_camera_translated_world_rebase():
+    cam = Camera(width=64, height=64)
+    # large-world position: fp32 would lose centimeters at 1e7
+    cam.position = np.array([1e7, 5.0, -1e7], np.float64)
+    cam.look_at(cam.position + np.array([0.0, 0.0, -1.0]))
+    l2w = np.eye(4)
+    l2w[3, :3] = cam.position + np.array([0.0, 0.0, -10.0])
+    m = cam.rebase_matrix(l2w)
+    # the rebased translation is tiny and exact in f32
+    np.testing.assert_allclose(m[3, :3], [0.0, 0.0, -10.0], atol=1e-4)
+
+    # project the point through the view: lands at screen center, z>0
+    u = cam.view_uniform(0)
+    p = np.array([0.0, 0.0, -10.0, 1.0], np.float32)
+    clip = p @ u.translated_world_to_clip
+    assert abs(clip[0] / clip[3]) < 1e-4
+    assert 0.0 < clip[2] / clip[3] <= 1.0
+
+
+def test_frustum_planes_contain_view():
+    cam = Camera(width=128, height=64)
+    cam.look_at(np.array([0.0, 0.0, -1.0]))
+    u = cam.view_uniform(0)
+    planes = u.frustum_planes
+    inside = np.array([0.0, 0.0, -5.0])
+    outside = np.array([0.0, 0.0, 5.0])
+    d_in = inside @ planes[:, :3].T + planes[:, 3]
+    d_out = outside @ planes[:, :3].T + planes[:, 3]
+    assert (d_in >= 0).all()
+    assert (d_out < 0).any()
+
+
+def test_halton_jitter_in_range():
+    seen = set()
+    for i in range(16):
+        j = cmath.halton23_jitter(i, 16)
+        assert (-0.5 <= j).all() and (j < 0.5).all()
+        seen.add(tuple(np.round(j, 6)))
+    assert len(seen) == 16, "jitter sequence must not repeat within a phase"
