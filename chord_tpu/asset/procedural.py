@@ -150,9 +150,9 @@ def build_sponza_like(seed: int = 7, detail: int = 2) -> SceneBuilder:
     stone = b.add_material(MaterialData(base_color=(0.75, 0.71, 0.63, 1.0),
                                         roughness=0.85))
     fabric_r = b.add_material(MaterialData(base_color=(0.62, 0.12, 0.10, 1.0),
-                                           roughness=0.9))
+                                           roughness=0.9, two_sided=True))
     fabric_g = b.add_material(MaterialData(base_color=(0.12, 0.40, 0.15, 1.0),
-                                           roughness=0.9))
+                                           roughness=0.9, two_sided=True))
 
     def place(mesh, mat, t, s=(1, 1, 1), yaw=0.0):
         m = cmath.compose_trs(t, rotation_quat=(0, np.sin(yaw / 2), 0,

@@ -77,8 +77,11 @@ def cone_visible(pools, instances, centers_tw: jnp.ndarray) -> jnp.ndarray:
     dist = jnp.maximum(jnp.linalg.norm(centers_tw, axis=1), 1e-8)
     view = centers_tw / dist[:, None]
     cutoff = cone[:, 3]
-    # cutoff >= 1 disables the cone (degenerate / two-sided meshlets)
-    return (jnp.sum(view * axis, axis=1) < cutoff) | (cutoff >= 0.999)
+    # cutoff >= 1 disables the cone (degenerate meshlets); two-sided
+    # materials are never cone-culled (their back faces draw)
+    two_sided = instances.object_two_sided[obj] > 0.5
+    return ((jnp.sum(view * axis, axis=1) < cutoff) | (cutoff >= 0.999) |
+            two_sided)
 
 
 def project_error_px(center_tw: jnp.ndarray, radius_err: jnp.ndarray,

@@ -105,7 +105,11 @@ def _mesh_shader_kernel(dm_ref, tcnt_ref, count_ref,
         det = X0 * l0[0] + Y0 * l0[1] + w0 * l0[2]
         flip = jnp.where(det < 0.0, -1.0, 1.0)
         if backface_cull:
-            front = det < 0.0
+            # two-sided materials (mat row slot 25) keep back faces —
+            # the reference's TwoSided raster permutation
+            # (mesh_raster.cpp:54-56)
+            two_sided = mat_ref[mrow, 25:26] > 0.5
+            front = (det < 0.0) | (two_sided & (det != 0.0))
         else:
             front = det != 0.0
         l0 = tuple(flip * v for v in l0)
@@ -237,9 +241,11 @@ def mesh_shader_setup(
     tcnt = jnp.where(active, pools.meshlet_tri_count[
         jnp.minimum(dm, n_meshlets - 1)], 0)
 
+    two_sided = instances.object_two_sided[obj]             # (cap,)
     mats = jnp.concatenate(
         [l2c.reshape(cap, 16), nm.reshape(cap, 9),
-         jnp.zeros((cap, 103), jnp.float32)], axis=1)        # (cap,128)
+         two_sided[:, None],
+         jnp.zeros((cap, 102), jnp.float32)], axis=1)        # (cap,128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,   # dm, tcnt, count

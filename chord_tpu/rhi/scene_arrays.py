@@ -142,6 +142,7 @@ class FrameInstances:
     object_prev_to_tw: jnp.ndarray   # (O,4,4) f32
     object_normal_mat: jnp.ndarray   # (O,3,3) f32  n' = n @ NM
     object_material: jnp.ndarray     # (O,) i32
+    object_two_sided: jnp.ndarray    # (O,) f32 0/1 (material doubleSided)
     object_sphere_tw: jnp.ndarray    # (O,4) f32 center.xyz + radius, translated world
     object_valid: jnp.ndarray        # (O,) bool
 
@@ -248,6 +249,7 @@ class SceneBuilder:
         m_prev = np.zeros((n, 4, 4), np.float32)
         nmat = np.zeros((n, 3, 3), np.float32)
         mat_ids = np.zeros(n, np.int32)
+        two_sided = np.zeros(n, np.float32)
         spheres = np.zeros((n, 4), np.float32)
 
         for oid, (mesh_id, mat_id, l2w) in enumerate(self.instances):
@@ -257,6 +259,7 @@ class SceneBuilder:
             m_prev[oid] = pm if pm is not None else m
             nmat[oid] = cmath.normal_matrix(l2w).astype(np.float32)
             mat_ids[oid] = mat_id
+            two_sided[oid] = 1.0 if self.materials[mat_id].two_sided else 0.0
             amin, amax = self.meshes[mesh_id].local_aabb()
             center_l = (amin + amax) * 0.5
             # conservative sphere: transform center, scale radius by max axis scale
@@ -271,6 +274,7 @@ class SceneBuilder:
             object_prev_to_tw=jnp.asarray(m_prev),
             object_normal_mat=jnp.asarray(nmat),
             object_material=jnp.asarray(mat_ids),
+            object_two_sided=jnp.asarray(two_sided),
             object_sphere_tw=jnp.asarray(spheres),
             object_valid=jnp.ones(n, bool),
         )
