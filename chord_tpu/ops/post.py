@@ -174,6 +174,11 @@ class TSRConfig(NamedTuple):
     blend: float = 0.1           # new-frame weight when history valid
     sharpness: float = 0.25
     bilinear_history: bool = True   # False = nearest (1 gather instead of 4)
+    # "gather": per-pixel history resample (exact, gather-heavy);
+    # "global": one screen-wide shift from the mean motion + adaptive
+    # per-pixel blend on the residual — zero gathers (camera motion is
+    # screen-coherent; residual pixels converge via higher alpha).
+    mode: str = "gather"
 
 
 def _sample_bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
@@ -213,6 +218,51 @@ def _neighborhood_minmax(img: jnp.ndarray, cross_only: bool = False
     return lo, hi
 
 
+def temporal_resolve_global(
+    color: jnp.ndarray,        # (H,W,3)
+    motion_ndc: jnp.ndarray,   # (H,W,2)
+    history: jnp.ndarray,      # (H,W,3)
+    history_valid: jnp.ndarray,
+    cfg: TSRConfig,
+) -> jnp.ndarray:
+    """Gather-free TAA: reproject history by the MEAN screen motion
+    (integer shift + bilinear via 4 static shifts), then blend with a
+    per-pixel alpha that rises with the motion residual so locally-moving
+    content re-converges instead of ghosting."""
+    h, w = color.shape[:2]
+    mx = jnp.mean(motion_ndc[..., 0]) * (w * 0.5)    # pixels right
+    my = -jnp.mean(motion_ndc[..., 1]) * (h * 0.5)   # pixels down
+    ix = jnp.floor(mx).astype(jnp.int32)
+    iy = jnp.floor(my).astype(jnp.int32)
+    fx = mx - ix.astype(jnp.float32)
+    fy = my - iy.astype(jnp.float32)
+
+    # shift history by (-iy, -ix): content moves WITH the screen motion
+    def sh(dy, dx):
+        return jnp.roll(jnp.roll(history, dy, 0), dx, 1)
+
+    h00 = sh(-iy, -ix)
+    h01 = sh(-iy, -ix - 1)
+    h10 = sh(-iy - 1, -ix)
+    h11 = sh(-iy - 1, -ix - 1)
+    hist = (h00 * (1 - fx) * (1 - fy) + h01 * fx * (1 - fy) +
+            h10 * (1 - fx) * fy + h11 * fx * fy)
+
+    lo, hi = _neighborhood_minmax(color, cross_only=True)
+    hist = jnp.clip(hist, lo, hi)
+
+    # residual per pixel (in pixels): how wrong the global shift is
+    rx = motion_ndc[..., 0] * (w * 0.5) - mx
+    ry = -motion_ndc[..., 1] * (h * 0.5) - my
+    resid = jnp.sqrt(rx * rx + ry * ry)
+    alpha = jnp.clip(cfg.blend + resid * 0.5, cfg.blend, 1.0)[..., None]
+    alpha = jnp.maximum(alpha, 1.0 - history_valid)
+    out = color * alpha + hist * (1.0 - alpha)
+    blur = (jnp.roll(out, 1, 0) + jnp.roll(out, -1, 0) +
+            jnp.roll(out, 1, 1) + jnp.roll(out, -1, 1)) * 0.25
+    return jnp.maximum(out + (out - blur) * cfg.sharpness, 0.0)
+
+
 def temporal_resolve(
     color: jnp.ndarray,        # (H,W,3) current frame HDR AP1 (jittered)
     motion_ndc: jnp.ndarray,   # (H,W,2) NDC motion (curr - prev)
@@ -223,6 +273,9 @@ def temporal_resolve(
     """TAA-style temporal accumulation at render res (the TSR upscale path
     adds the render->post resolution change on top; reference tsr_*.hlsl:
     reprojection + rectify + sharpen)."""
+    if cfg.mode == "global":
+        return temporal_resolve_global(color, motion_ndc, history,
+                                       history_valid, cfg)
     h, w = color.shape[:2]
     ys = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
     xs = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5

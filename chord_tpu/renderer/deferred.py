@@ -128,6 +128,7 @@ class RendererConfig(NamedTuple):
     big_capacity: int = 512
     enable_bloom: bool = True
     enable_tsr: bool = True
+    tsr_mode: str = "gather"         # or "global" (gather-free, fast)
     output: str = "srgb8"            # or "hdr10"
     interpret: bool = False          # pallas interpreter (CPU tests)
 

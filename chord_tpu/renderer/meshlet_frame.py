@@ -399,14 +399,15 @@ def render_frame_meshlet(
     post_h = config.post_height or h
     if config.enable_tsr:
         with jax.named_scope("tsr"):
+            tsr_cfg = post.TSRConfig(mode=config.tsr_mode)
             if (post_w, post_h) != (w, h):
                 hdr = post.temporal_upscale(
                     hdr, gbuf.motion, history.tsr_color, history.valid,
-                    view.jitter_px, post.TSRConfig(), post_h, post_w)
+                    view.jitter_px, tsr_cfg, post_h, post_w)
             else:
                 hdr = post.temporal_resolve(
                     hdr, gbuf.motion, history.tsr_color, history.valid,
-                    post.TSRConfig())
+                    tsr_cfg)
     elif (post_w, post_h) != (w, h):
         hdr = jnp.repeat(jnp.repeat(
             hdr, -(-post_h // h), 0), -(-post_w // w), 1)[:post_h, :post_w]
