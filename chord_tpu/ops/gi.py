@@ -44,10 +44,15 @@ class GIConfig(NamedTuple):
     cascades: int = 4           # reference default 8; 4 covers test scenes
     probe_dim: int = 32         # probes per axis per cascade
     base_voxel: float = 0.5     # finest cascade voxel size (world units)
-    inject_stride: int = 4      # gbuffer subsampling for injection
+    inject_stride: int = 8      # gbuffer subsampling for injection
+    inject_round_robin: bool = True   # one cascade per frame (amortized)
     temporal_alpha: float = 0.06   # cache update rate per frame
     intensity: float = 1.0
-    sample_res_div: int = 4     # irradiance sampled at 1/4 res
+    sample_res_div: int = 8     # irradiance sampled at 1/8 res (probe-ish
+                                # granularity, like the reference's 8x8
+                                # screen-probe tiles) + upsample
+    trilinear: bool = False     # False = nearest probe (1 gather/cascade;
+                                # gathers are the scarce resource here)
     ao_radius: float = 1.0
     ao_samples: int = 8
     ao_strength: float = 1.0
@@ -93,6 +98,7 @@ def inject_surfels(
     valid: jnp.ndarray,          # (N,)
     cam_pos: jnp.ndarray,        # (3,) cascade anchor (camera)
     cfg: GIConfig,
+    only_cascade=None,   # int or traced scalar: round-robin amortization
 ) -> jnp.ndarray:
     """Splat lit surfels into every cascade (scatter-add + temporal blend).
 
@@ -107,7 +113,18 @@ def inject_surfels(
                   axis=-1)                            # (N,4)
     contrib = radiance[:, None, :] * y[:, :, None]    # (N,4,3)
     flat = contrib.reshape(-1, 12)                    # rgb-major per coeff
-    for c in range(cfg.cascades):
+    if only_cascade is not None and not isinstance(only_cascade, int):
+        # traced cascade index: one scatter via lax.switch
+        def branch(c):
+            return lambda cc: inject_surfels(cc, pos_w, radiance, normal,
+                                             valid, cam_pos, cfg,
+                                             only_cascade=c)
+        return jax.lax.switch(only_cascade,
+                              [branch(c) for c in range(cfg.cascades)],
+                              cache)
+    cascades = (range(cfg.cascades) if only_cascade is None
+                else [only_cascade])
+    for c in cascades:
         g, inb = _probe_coords(pos_w, c, cfg, cam_pos)
         ok = valid & inb
         cell = jnp.floor(g + 0.5).astype(jnp.int32)   # nearest probe
@@ -173,23 +190,32 @@ def sample_irradiance(
     done = jnp.zeros(n.shape[:-1], bool)
     for c in range(cfg.cascades):
         g, inb = _probe_coords(pos_w, c, cfg, cam_pos)
-        base = jnp.floor(g)      # probes sit at integer grid coords
-        frac = g - base
-        acc = jnp.zeros(n.shape[:-1] + (12,))
-        wacc = jnp.zeros(n.shape[:-1])
-        for dx in (0, 1):
-            for dy in (0, 1):
-                for dz in (0, 1):
-                    cell = base.astype(jnp.int32) + \
-                        jnp.asarray([dx, dy, dz], jnp.int32)
-                    idx = _wrap_index(cell, cfg)
-                    probe = cache[c, idx]               # (...,13)
-                    tw = (jnp.where(dx, frac[..., 0], 1 - frac[..., 0]) *
-                          jnp.where(dy, frac[..., 1], 1 - frac[..., 1]) *
-                          jnp.where(dz, frac[..., 2], 1 - frac[..., 2]))
-                    has = (probe[..., 12] > 0.5).astype(jnp.float32)
-                    acc = acc + probe[..., :12] * (tw * has)[..., None]
-                    wacc = wacc + tw * has
+        if cfg.trilinear:
+            base = jnp.floor(g)      # probes sit at integer grid coords
+            frac = g - base
+            acc = jnp.zeros(n.shape[:-1] + (12,))
+            wacc = jnp.zeros(n.shape[:-1])
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    for dz in (0, 1):
+                        cell = base.astype(jnp.int32) + \
+                            jnp.asarray([dx, dy, dz], jnp.int32)
+                        idx = _wrap_index(cell, cfg)
+                        probe = cache[c, idx]               # (...,13)
+                        tw = (jnp.where(dx, frac[..., 0], 1 - frac[..., 0]) *
+                              jnp.where(dy, frac[..., 1], 1 - frac[..., 1]) *
+                              jnp.where(dz, frac[..., 2], 1 - frac[..., 2]))
+                        has = (probe[..., 12] > 0.5).astype(jnp.float32)
+                        acc = acc + probe[..., :12] * (tw * has)[..., None]
+                        wacc = wacc + tw * has
+        else:
+            # nearest probe: one gather per cascade (the upsample blur
+            # smooths the blockiness, like the reference's probe-res GI)
+            cell = jnp.floor(g + 0.5).astype(jnp.int32)
+            probe = cache[c, _wrap_index(cell, cfg)]
+            has = (probe[..., 12] > 0.5).astype(jnp.float32)
+            acc = probe[..., :12] * has[..., None]
+            wacc = has
         sh = acc / jnp.maximum(wacc[..., None], 1e-6)
         e = jnp.stack([
             jnp.sum(sh[..., 0:4] * basis, -1),
@@ -294,13 +320,20 @@ def update_cache(
     lit_color: jnp.ndarray,      # (H,W,3) this frame's outgoing radiance
     cam_pos_w: jnp.ndarray,
     cfg: GIConfig,
+    frame_count=None,            # traced counter for round-robin
 ) -> jnp.ndarray:
     """Inject the current frame's shaded surfaces + one propagation step
-    (the per-frame world-cache update, screen_probe_gather.cpp:221-260)."""
+    (the per-frame world-cache update, screen_probe_gather.cpp:221-260).
+    With inject_round_robin one cascade updates per call (amortized like
+    the reference's cascade scrolling updates)."""
     s = cfg.inject_stride
     pos = gbuf.position_tw[::s, ::s].reshape(-1, 3)
     rad = lit_color[::s, ::s].reshape(-1, 3)
     nrm = gbuf.normal[::s, ::s].reshape(-1, 3)
     val = gbuf.valid[::s, ::s].reshape(-1)
-    cache = inject_surfels(cache, pos, rad, nrm, val, cam_pos_w, cfg)
+    only = None
+    if cfg.inject_round_robin and frame_count is not None:
+        only = jnp.remainder(frame_count, cfg.cascades)
+    cache = inject_surfels(cache, pos, rad, nrm, val, cam_pos_w, cfg,
+                           only_cascade=only)
     return propagate(cache, cfg)

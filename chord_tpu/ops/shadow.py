@@ -38,9 +38,12 @@ class ShadowConfig(NamedTuple):
     depth_bias: float = 2.0e-4       # constant receiver bias (reverse-Z)
     slope_bias: float = 3.0
     pcf_radius_px: float = 2.0       # base PCF radius (texels)
-    pcss_blocker_samples: int = 12
-    pcss_pcf_samples: int = 16
+    pcss_blocker_samples: int = 6
+    pcss_pcf_samples: int = 8
     light_size_world: float = 0.5    # virtual sun disk size for penumbra
+    eval_res_div: int = 2            # PCSS evaluated at 1/2 res + upsample
+                                     # (the reference caches its soft-shadow
+                                     # mask at 1/8 res, lighting.h:23-29)
 
 
 # Poisson disk (unit radius) — fixed pattern like the reference's

@@ -65,6 +65,11 @@ class DeviceView:
     dt: jnp.ndarray                    # () seconds
     jitter_px: Optional[jnp.ndarray] = None    # (2,) subpixel jitter
     clip_to_tw: Optional[jnp.ndarray] = None   # (4,4) inverse view-proj
+    # sun-independent atmosphere LUTs (built once, reference builds its
+    # LUT set per frame only because Vulkan lacks cross-frame caching of
+    # compute results; ours are plain arrays)
+    atmo_t_lut: Optional[jnp.ndarray] = None   # (64,256,3)
+    atmo_ms_lut: Optional[jnp.ndarray] = None  # (32,32,3)
     # Shadow cascades (None when shadows are off; reference: GPU cascade
     # setup cascade_setup.hlsl — here fit on host, SURVEY.md §2.6)
     shadow_tw_to_light: Optional[jnp.ndarray] = None   # (N,4,4)
@@ -225,6 +230,7 @@ def render_frame_flat(
 
     new_history = FrameHistory(
         valid=jnp.ones((), jnp.float32),
+        frame_count=history.frame_count + 1,
         hzb_flat=history.hzb_flat,      # filled by the HZB pass (meshlet path)
         depth=depth,
         exposure=exposure,

@@ -294,12 +294,16 @@ def render_frame_meshlet(
 
         p_atm = atm.AtmosphereParams()
         with jax.named_scope("atmosphere.luts"):
-            # Transmittance/MS are sun-independent; the sky-view LUT is
-            # rebuilt per frame (reference: manager_atmosphere renders its
-            # LUT set each frame too, renderer.cpp:306).
-            t_lut = atm.build_transmittance_lut(p_atm)
-            ms_lut = atm.build_multiscatter_lut(p_atm, t_lut,
-                                                dir_samples=16, steps=12)
+            # transmittance/MS are sun-independent: prefer the precomputed
+            # LUTs carried on the view (MeshletRenderer builds them once)
+            if view.atmo_t_lut is not None:
+                t_lut = view.atmo_t_lut
+                ms_lut = view.atmo_ms_lut
+            else:
+                t_lut = atm.build_transmittance_lut(p_atm)
+                ms_lut = atm.build_multiscatter_lut(p_atm, t_lut,
+                                                    dir_samples=16, steps=12)
+            # only the sun-dependent sky-view LUT rebuilds per frame
             sky_lut = atm.build_sky_view_lut(p_atm, t_lut, ms_lut,
                                              view.sun_direction)
         with jax.named_scope("atmosphere.sky"):
@@ -322,10 +326,20 @@ def render_frame_meshlet(
             shadow_maps = render_shadow_cascades(pools, instances, view,
                                                  rc, mcfg)
         with jax.named_scope("shadow.evaluate"):
-            sun_shadow = shadow_ops.evaluate_shadow(
-                gbuf.position_tw, gbuf.normal, view.sun_direction,
+            kdiv = mcfg.shadow_cfg.eval_res_div
+            sun_shadow_q = shadow_ops.evaluate_shadow(
+                gbuf.position_tw[::kdiv, ::kdiv],
+                gbuf.normal[::kdiv, ::kdiv], view.sun_direction,
                 shadow_maps, view.shadow_tw_to_light, view.shadow_splits,
                 mcfg.shadow_cfg)
+            sun_shadow = jnp.repeat(jnp.repeat(sun_shadow_q, kdiv, 0),
+                                    kdiv, 1)[:h, :w]
+            # 3x3-ish smoothing hides the upsample blocks
+            sun_shadow = (sun_shadow +
+                          jnp.roll(sun_shadow, 1, 0) +
+                          jnp.roll(sun_shadow, -1, 0) +
+                          jnp.roll(sun_shadow, 1, 1) +
+                          jnp.roll(sun_shadow, -1, 1)) * 0.2
 
     new_gi_cache = history.gi_cache
     if mcfg.gi:
@@ -379,7 +393,8 @@ def render_frame_meshlet(
         with jax.named_scope("gi.inject"):
             gcfg = mcfg.gi_cfg or gi_ops.GIConfig()
             new_gi_cache = gi_ops.update_cache(
-                history.gi_cache, gbuf, hdr, jnp.zeros(3), gcfg)
+                history.gi_cache, gbuf, hdr, jnp.zeros(3), gcfg,
+                frame_count=history.frame_count)
 
     with jax.named_scope("auto_exposure"):
         ecfg = post.ExposureConfig()
@@ -423,6 +438,7 @@ def render_frame_meshlet(
 
     new_history = FrameHistory(
         valid=jnp.ones((), jnp.float32),
+        frame_count=history.frame_count + 1,
         hzb_flat=hzb_final.flat,
         depth=depth,
         exposure=exposure,
@@ -458,11 +474,25 @@ class MeshletRenderer:
         self.config = config
         self.mcfg = mcfg
         self.history: Optional[FrameHistory] = None
+        self._atmo_cache = None
         self._frame_fn = jax.jit(functools.partial(
             render_frame_meshlet, config=config, mcfg=mcfg))
 
     def reset_history(self) -> None:
         self.history = None
+
+    def _atmo_luts(self):
+        if self._atmo_cache is None:
+            from ..ops import atmosphere as atm
+            import jax as _jax
+
+            p_atm = atm.AtmosphereParams()
+            t = _jax.jit(atm.build_transmittance_lut,
+                         static_argnums=1)(p_atm, 40)
+            ms = _jax.jit(lambda tl: atm.build_multiscatter_lut(
+                p_atm, tl, dir_samples=16, steps=12))(t)
+            self._atmo_cache = (t, ms)
+        return self._atmo_cache
 
     def render(self, pools, instances, view_uniform, **light_kwargs):
         c = self.config
@@ -476,6 +506,9 @@ class MeshletRenderer:
             view_uniform,
             shadow_cfg=self.mcfg.shadow_cfg if self.mcfg.shadows else None,
             **light_kwargs)
+        if self.mcfg.atmosphere:
+            t, ms = self._atmo_luts()
+            view = view.replace(atmo_t_lut=t, atmo_ms_lut=ms)
         image, self.history, stats = self._frame_fn(
             pools, instances, view, self.history)
         return image, stats

@@ -69,6 +69,7 @@ class FrameHistory:
     history reads; a camera cut sets valid=0 (reference clearHistory)."""
 
     valid: jnp.ndarray           # () f32 0/1
+    frame_count: jnp.ndarray     # () i32 frames since history reset
     hzb_flat: jnp.ndarray        # (total,) f32 flattened min-depth pyramid
     depth: jnp.ndarray           # (H,W) f32 previous depth
     exposure: jnp.ndarray        # () f32 adapted exposure
@@ -88,6 +89,7 @@ class FrameHistory:
         gi_shape = sh_size(gi_cfg or GIConfig(cascades=1, probe_dim=2))
         return cls(
             valid=jnp.zeros((), jnp.float32),
+            frame_count=jnp.zeros((), jnp.int32),
             hzb_flat=jnp.zeros((total,), jnp.float32),
             depth=jnp.zeros((h, w), jnp.float32),
             exposure=jnp.ones((), jnp.float32),

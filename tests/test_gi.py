@@ -9,7 +9,7 @@ from chord_tpu.ops import gi
 
 def _cfg():
     return gi.GIConfig(cascades=2, probe_dim=8, base_voxel=1.0,
-                       temporal_alpha=0.5)
+                       temporal_alpha=0.5, trilinear=True)
 
 
 def test_inject_and_sample_roundtrip():
@@ -37,6 +37,15 @@ def test_inject_and_sample_roundtrip():
     assert float(conf[0]) > 0.0
     assert irr[0] > irr[1] and irr[0] > irr[2], f"not red: {irr}"
     assert irr[0] > 0.0
+
+    # nearest-probe mode (the fast production default) agrees on hue when
+    # sampling right at a lit probe
+    cfg_n = cfg._replace(trilinear=False)
+    p0 = jnp.asarray([[0.0, 0.4, 0.0]])   # nearest probe row y=0 (lit)
+    irr_n, conf_n = gi.sample_irradiance(cache, p0, nn, cam, cfg_n)
+    irr_n = np.asarray(irr_n)[0]
+    assert float(conf_n[0]) > 0.0
+    assert irr_n[0] > irr_n[1]
 
 
 def test_cache_confidence_zero_when_empty():
