@@ -51,10 +51,12 @@ class RasterConfig(NamedTuple):
 
     width: int
     height: int
-    tile_h: int = 8
+    tile_h: int = 24              # taller tiles amortize per-pair overhead;
+                                  # the kernel's dynamic row bounds keep
+                                  # uncovered rows free
     tile_w: int = 128
     pair_capacity: int = 8192     # work-queue length: max (tile,window) pairs
-    small_ky: int = 8             # small-path tile rows (window bbox height)
+    small_ky: int = 4             # small-path tile rows (window bbox height)
     small_kx: int = 2             # small-path tile cols
     big_capacity: int = 256       # max tile-spanning windows
     with_attrs: bool = False      # interpolate normal+uv planes in-kernel
