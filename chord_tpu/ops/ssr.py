@@ -1,0 +1,93 @@
+"""Screen-space reflections (specular GI trace).
+
+TPU-native stand-in for the reference's specular GI ray trace
+(reference: renderer/gi/screen_probe_gather.cpp — half-res mirror-biased
+ray-query trace + firefly removal + spatial filter; SURVEY §8.6). TPUs
+have no ray-query hardware, so mirror rays march the DEPTH BUFFER in
+screen space instead (hits shade from the previous frame's lit color,
+i.e. the same "reuse last frame's radiance" trick the reference's cache
+sampling uses); misses fall back to the caller's SH-cache / sky specular.
+
+Runs at quarter resolution against a min-pooled (conservative) quarter
+depth — the march gathers hit a table small enough to stay cache-resident
+(full-res gathers are the scarcest resource on this device).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SSRConfig(NamedTuple):
+    steps: int = 12
+    thickness: float = 0.15      # NDC-depth hit thickness (reverse-Z)
+    max_distance: float = 30.0   # world-units march length
+    res_div: int = 4
+    edge_fade: float = 0.15      # screen-border fade band (fraction)
+
+
+def trace(
+    depth_q: jnp.ndarray,        # (h,w) quarter-res reverse-Z depth
+    color_prev: jnp.ndarray,     # (H,W,3) previous frame lit color
+    pos_q: jnp.ndarray,          # (h,w,3) quarter-res TW positions
+    nrm_q: jnp.ndarray,          # (h,w,3)
+    tw_to_clip: jnp.ndarray,     # (4,4)
+    cfg: SSRConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (reflection color (h,w,3), confidence (h,w))."""
+    h, w = depth_q.shape
+    fh, fw = color_prev.shape[:2]
+
+    v = -pos_q
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-6)
+    r = 2.0 * jnp.sum(v * nrm_q, -1, keepdims=True) * nrm_q - v
+
+    def project(p3):
+        c = (p3[..., 0:1] * tw_to_clip[0] + p3[..., 1:2] * tw_to_clip[1] +
+             p3[..., 2:3] * tw_to_clip[2] + tw_to_clip[3])
+        wc = jnp.maximum(c[..., 3], 1e-6)
+        x = (c[..., 0] / wc * 0.5 + 0.5) * w
+        y = (0.5 - c[..., 1] / wc * 0.5) * h
+        z = c[..., 2] / wc
+        return x, y, z, c[..., 3]
+
+    hit_col = jnp.zeros((h, w, 3))
+    hit_conf = jnp.zeros((h, w))
+    found = jnp.zeros((h, w), bool)
+
+    # exponential step schedule covers near detail + far geometry
+    ts = np.cumsum(np.geomspace(0.08, 1.0, cfg.steps))
+    ts = ts / ts[-1] * cfg.max_distance
+    for t in ts:
+        p = pos_q + r * t
+        x, y, z, cw = project(p)
+        on = (x >= 0) & (x < w) & (y >= 0) & (y < h) & (cw > 0) & \
+             (z > 0) & (z <= 1.0)
+        xi = jnp.clip(x.astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(y.astype(jnp.int32), 0, h - 1)
+        scene_z = depth_q[yi, xi]
+        # reverse-Z: the ray passed behind a surface when its depth drops
+        # below the scene depth, within a thickness band
+        behind = (z < scene_z) & (z > scene_z - cfg.thickness) & \
+            (scene_z > 0.0)
+        hit = on & behind & ~found
+        # shade from last frame's color at full res
+        fx = jnp.clip((x * (fw / w)).astype(jnp.int32), 0, fw - 1)
+        fy = jnp.clip((y * (fh / h)).astype(jnp.int32), 0, fh - 1)
+        col = color_prev[fy, fx]
+        # border fade
+        bx = jnp.minimum(x, w - x) / (w * cfg.edge_fade)
+        by = jnp.minimum(y, h - y) / (h * cfg.edge_fade)
+        fade = jnp.clip(jnp.minimum(bx, by), 0.0, 1.0)
+        hit_col = jnp.where(hit[..., None], col, hit_col)
+        hit_conf = jnp.where(hit, fade, hit_conf)
+        found = found | hit
+
+    # grazing reflections toward the camera are unreliable on-screen
+    toward_cam = jnp.sum(r * v, -1)
+    hit_conf = hit_conf * jnp.clip(1.0 - toward_cam, 0.0, 1.0)
+    return hit_col, hit_conf

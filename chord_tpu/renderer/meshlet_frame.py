@@ -106,6 +106,7 @@ class MeshletFrameConfig(NamedTuple):
     atmosphere: bool = False       # physically-based sky / sun / ambient
     gi: bool = False               # world-radiance-cache diffuse GI + SSAO
     gi_cfg: "gi_ops.GIConfig" = None
+    ssr: bool = False              # screen-space mirror reflections
     textured: bool = False         # sample material base-color textures
     # debug visualization (reference: renderer/mesh/nanite_visualize.cpp):
     # none | meshlet | lod | normal | depth
@@ -362,6 +363,18 @@ def render_frame_meshlet(
             spec_rad_q, spec_conf_q = gi_ops.sample_radiance(
                 history.gi_cache, pos_q, refl_q, cam_anchor, gcfg)
             spec_rad_q = spec_rad_q * spec_conf_q[..., None]
+            if mcfg.ssr:
+                # mirror-trace against the depth buffer; hits override the
+                # SH-cache fallback (the reference's specular trace role)
+                from ..ops import ssr as ssr_ops
+
+                depth_q = depth[::k, ::k]
+                ssr_col, ssr_conf = ssr_ops.trace(
+                    depth_q, history.tsr_color, pos_q, nrm_q,
+                    view.tw_to_clip_nj, ssr_ops.SSRConfig(res_div=k))
+                ssr_conf = ssr_conf * history.valid
+                spec_rad_q = (spec_rad_q * (1 - ssr_conf[..., None]) +
+                              ssr_col * ssr_conf[..., None])
             hh, ww = gbuf.valid.shape
             spec_rad = jnp.repeat(jnp.repeat(spec_rad_q, k, 0), k, 1)[
                 :hh, :ww]
