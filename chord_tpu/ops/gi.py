@@ -31,7 +31,7 @@ a weight channel. Y = [0.2820948, 0.4886025*y, 0.4886025*z, 0.4886025*x].
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

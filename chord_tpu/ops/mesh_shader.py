@@ -34,7 +34,6 @@ Coefficient row layout (R = 40):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ penumbra width -> variable-radius PCF, per screen pixel.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

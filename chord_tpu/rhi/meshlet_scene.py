@@ -29,10 +29,9 @@ import chex
 import jax.numpy as jnp
 import numpy as np
 
-from ..geometry.meshlet import MeshletData, build_meshlets
+from ..geometry.meshlet import build_meshlets
 from ..utils.log import get_logger
-from .scene_arrays import (MaterialData, MeshData, SceneBuilder,
-                           compute_vertex_normals)
+from .scene_arrays import SceneBuilder
 
 log = get_logger("rhi.meshlet")
 
