@@ -76,3 +76,39 @@ def test_halton_jitter_in_range():
         assert (-0.5 <= j).all() and (j < 0.5).all()
         seen.add(tuple(np.round(j, 6)))
     assert len(seen) == 16, "jitter sequence must not repeat within a phase"
+
+
+def test_delegates_and_events():
+    from chord_tpu.utils.events import Delegate, Event, MultiDelegate
+
+    d = Delegate()
+    assert d() is None and not d.bound
+    d.bind(lambda x: x * 2)
+    assert d(21) == 42
+
+    md = MultiDelegate()
+    md.add(lambda x: x + 1)
+    md.add(lambda x: x + 2)
+    assert md.broadcast(10) == [11, 12]
+    assert md.fold(lambda a, b: a + b, 0, 10) == 23
+
+    ev = Event()
+    calls = []
+    ev.add(lambda: calls.append(1) or False)
+    ev.add(lambda: calls.append(2) or True)
+    ev.add(lambda: calls.append(3) or True)
+    assert ev.broadcast_until_handled() is True
+    assert calls == [1, 2]          # stops at the first handler
+
+
+def test_lru_cache():
+    from chord_tpu.utils.events import LRUCache
+
+    c = LRUCache(2)
+    c.put("a", 1)
+    c.put("b", 2)
+    assert c.get("a") == 1          # refreshes "a"
+    c.put("c", 3)                   # evicts "b" (least recent)
+    assert "b" not in c and "a" in c and "c" in c
+    assert c.get("b") is None
+    assert c.hits == 1 and c.misses == 1
