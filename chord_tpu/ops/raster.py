@@ -59,6 +59,9 @@ class RasterConfig(NamedTuple):
     small_ky: int = 4             # small-path tile rows (window bbox height)
     small_kx: int = 2             # small-path tile cols
     big_capacity: int = 256       # max tile-spanning windows
+    subtiles: bool = False        # 4 windows share a tile's 128 lanes
+                                  # (32px sub-tile binning; narrow windows
+                                  # stop paying for unused lanes)
     with_attrs: bool = False      # interpolate normal+uv planes in-kernel
     interpret: bool = False       # pallas interpreter (CPU tests)
 
@@ -595,14 +598,351 @@ def rasterize(
     with jax.named_scope("raster.setup"):
         setup = setup_triangles(clip, indices, tri_valid, payload, config,
                                 backface_cull=backface_cull, attrs=attrs)
-    with jax.named_scope("raster.bin"):
-        queue = bin_windows(setup, config)
-    with jax.named_scope("raster.tiles"):
-        rts = raster_queue(queue, setup, config, seeds=seeds)
+    if config.subtiles:
+        with jax.named_scope("raster.bin"):
+            queue = bin_windows_subtile(setup, config)
+        with jax.named_scope("raster.tiles"):
+            rts = raster_queue_subtile(queue, setup, config, seeds=seeds)
+    else:
+        with jax.named_scope("raster.bin"):
+            queue = bin_windows(setup, config)
+        with jax.named_scope("raster.tiles"):
+            rts = raster_queue(queue, setup, config, seeds=seeds)
     stats = {"bin_overflow": queue.overflow,
              "drawn_tris": jnp.sum(setup.valid.astype(jnp.int32)),
              "binned_pairs": queue.n_pairs}
     return (*rts, stats)
+
+
+class SubtileQueue(NamedTuple):
+    """Grouped sub-tile work queue: rounds of 4 windows per screen tile."""
+
+    gwin: jnp.ndarray         # (R_cap*4,) i32 grouped window ids (poison D)
+    starts: jnp.ndarray       # (n_tiles,) i32 first round per tile
+    counts: jnp.ndarray       # (n_tiles,) i32 rounds per tile
+    y0r: jnp.ndarray          # (R_cap,) i32 per-round union y bbox
+    y1r: jnp.ndarray
+    n_pairs: jnp.ndarray      # () i32 binned pair count
+    overflow: jnp.ndarray     # () i32 dropped pairs
+
+
+def bin_windows_subtile(setup: TriangleSetup, config: RasterConfig
+                        ) -> SubtileQueue:
+    """Bin windows at 32px sub-tile granularity and group each tile's
+    pairs into rounds of 4 (one slot per sub-tile lane group). The raster
+    kernel then serves 4 windows per inner step, so narrow windows stop
+    paying for the full 128-lane tile width."""
+    c = config
+    d = setup.num_windows
+    st = 4                                  # sub-tiles per tile
+    sub_w = c.tile_w // st
+    n_sub = c.n_tiles * st
+    bx0, by0, bx1, by1 = (setup.window_bbox[i] for i in range(4))
+    gx0 = bx0 // sub_w
+    gx1 = bx1 // sub_w
+    ty0 = by0 // c.tile_h
+    ty1 = by1 // c.tile_h
+    span_x = gx1 - gx0 + 1
+    span_y = ty1 - ty0 + 1
+    ok = setup.window_valid & (bx1 >= bx0)
+    k_sub = c.small_kx * st
+    small = ok & (span_x <= k_sub) & (span_y <= c.small_ky)
+    big = ok & ~small
+
+    gxw = c.tiles_x * st
+    invalid_key = jnp.int32(n_sub)
+    win_ids = jax.lax.broadcasted_iota(jnp.int32, (d, 1), 0)[:, 0]
+    keys_l, vals_l = [], []
+    for ky in range(c.small_ky):
+        for kx in range(k_sub):
+            tyk = ty0 + ky
+            gxk = gx0 + kx
+            hit = small & (tyk <= ty1) & (gxk <= gx1)
+            keys_l.append(jnp.where(hit, tyk * gxw + gxk, invalid_key))
+            vals_l.append(win_ids)
+
+    big_cap = min(c.big_capacity, 128)
+    big_rank = jnp.cumsum(big.astype(jnp.int32)) - 1
+    n_big = jnp.sum(big.astype(jnp.int32))
+    big_overflow = jnp.maximum(n_big - big_cap, 0)
+    slot = jnp.where(big & (big_rank < big_cap), big_rank, big_cap)
+    big_list = jnp.zeros((big_cap + 1,), jnp.int32).at[slot].set(
+        win_ids, mode="drop")[:big_cap]
+    have = jax.lax.broadcasted_iota(jnp.int32, (big_cap, 1), 0)[:, 0] < \
+        jnp.minimum(n_big, big_cap)
+    bl = jnp.where(have, big_list, 0)
+    bgx0 = jnp.where(have, gx0[bl], gxw + 1)
+    bty0 = jnp.where(have, ty0[bl], c.tiles_y + 1)
+    bgx1 = jnp.where(have, gx1[bl], -1)
+    bty1 = jnp.where(have, ty1[bl], -1)
+    sub_ix = jax.lax.broadcasted_iota(jnp.int32, (big_cap, n_sub), 1)
+    sgx = sub_ix % gxw
+    sty = sub_ix // gxw
+    overlap = ((sgx >= bgx0[:, None]) & (sgx <= bgx1[:, None]) &
+               (sty >= bty0[:, None]) & (sty <= bty1[:, None]))
+    keys_l.append(jnp.where(overlap, sub_ix, invalid_key).reshape(-1))
+    vals_l.append(jnp.broadcast_to(bl[:, None],
+                                   (big_cap, n_sub)).reshape(-1))
+
+    keys = jnp.concatenate(keys_l)
+    vals = jnp.concatenate(vals_l)
+    keys_s, vals_s = jax.lax.sort_key_val(keys, vals)
+
+    total = jnp.sum((keys_s < n_sub).astype(jnp.int32))
+    cap = c.pair_capacity
+    if keys_s.shape[0] < cap:
+        pad = cap - keys_s.shape[0]
+        keys_s = jnp.concatenate([keys_s, jnp.full((pad,), invalid_key)])
+        vals_s = jnp.concatenate([vals_s, jnp.full((pad,), d, jnp.int32)])
+    n_pairs = jnp.minimum(total, cap)
+    overflow = jnp.maximum(total - cap, 0) + big_overflow * 8
+    pk = keys_s[:cap]
+    pv = vals_s[:cap]
+
+    # per-sub-tile segments
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (n_sub, 1), 0)[:, 0]
+    sub_start = jnp.minimum(
+        jnp.searchsorted(pk, sub_ids, side="left").astype(jnp.int32), cap)
+    sub_end = jnp.minimum(
+        jnp.searchsorted(pk, sub_ids, side="right").astype(jnp.int32),
+        n_pairs)
+    sub_cnt = jnp.maximum(sub_end - sub_start, 0)
+
+    # rounds per tile = max over its 4 sub-tiles; note sub keys are
+    # ty*gxw+gx: the 4 sub-tiles of screen tile (ty,tx) are gx=tx*4..+3,
+    # contiguous in the key space
+    cnt_t = sub_cnt.reshape(c.n_tiles, st)
+    rounds_t = cnt_t.max(1)                            # (n_tiles,)
+    r_cap = max(cap // st, 1)
+    round_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(rounds_t)[:-1]])
+    total_rounds = jnp.sum(rounds_t)
+    overflow = overflow + jnp.maximum(total_rounds - r_cap, 0) * st
+
+    g = jax.lax.broadcasted_iota(jnp.int32, (r_cap, 1), 0)[:, 0]
+    t_of_g = jnp.clip(
+        jnp.searchsorted(round_start, g, side="right").astype(jnp.int32) - 1,
+        0, c.n_tiles - 1)
+    r_loc = g - round_start[t_of_g]
+    live = (g < jnp.minimum(total_rounds, r_cap)) & (r_loc < rounds_t[t_of_g])
+
+    gwin_cols = []
+    y0_all = jnp.concatenate([setup.window_bbox[1],
+                              jnp.full((1,), 1 << 29, jnp.int32)])
+    y1_all = jnp.concatenate([setup.window_bbox[3],
+                              jnp.full((1,), -(1 << 29), jnp.int32)])
+    y0r = jnp.full((r_cap,), 1 << 29, jnp.int32)
+    y1r = jnp.full((r_cap,), -(1 << 29), jnp.int32)
+    for sidx in range(st):
+        sub = t_of_g * st + sidx
+        src = jnp.clip(sub_start[sub] + r_loc, 0, cap - 1)
+        has = live & (r_loc < sub_cnt[sub])
+        win_s = jnp.where(has, pv[src], d)
+        gwin_cols.append(win_s)
+        y0r = jnp.minimum(y0r, jnp.where(has, y0_all[win_s], 1 << 29))
+        y1r = jnp.maximum(y1r, jnp.where(has, y1_all[win_s], -(1 << 29)))
+    gwin = jnp.stack(gwin_cols, axis=1).reshape(-1)    # (r_cap*4,)
+    # empty rounds: y1 < y0 -> inner loop covers nothing
+    y0r = jnp.clip(y0r, -1, 1 << 20)
+    y1r = jnp.clip(y1r, -2, 1 << 20)
+
+    counts_clamped = jnp.minimum(rounds_t,
+                                 jnp.maximum(r_cap - round_start, 0))
+    return SubtileQueue(gwin=gwin, starts=jnp.minimum(round_start, r_cap),
+                        counts=jnp.maximum(counts_clamped, 0),
+                        y0r=y0r, y1r=y1r, n_pairs=n_pairs,
+                        overflow=overflow)
+
+
+def _raster_tile_kernel_st(gwin_ref, start_ref, count_ref,
+                           y0_ref, y1_ref,          # scalar prefetch
+                           coef_hbm,                # (R,(D+1)*128) ANY
+                           *refs,                   # seeds, outs, scratch
+                           config: RasterConfig):
+    """Sub-tile variant: each inner round rasterizes FOUR windows, one per
+    32-lane group of the tile, by building lane-grouped coefficient planes
+    (pltpu.repeat broadcast of a (C,4) column pack). Everything else —
+    row bounds, accumulators, winner reduction — matches the base kernel;
+    the winner max over sublanes never mixes windows because each lane
+    group only ever holds its own window's coefficients."""
+    c = config
+    n_attr = 5 if c.with_attrs else 0
+    n_rt = 2 + n_attr
+    seeds = refs[:n_rt]
+    outs = refs[n_rt:2 * n_rt]
+    coef_scr, acc, acc_v_scr, sems = refs[2 * n_rt:]
+
+    tile = pl.program_id(0)
+    start = start_ref[tile]
+    count = count_ref[tile]
+    tile_ty = tile // c.tiles_x
+    tile_tx = tile % c.tiles_x
+    tile_py0 = tile_ty * c.tile_h
+
+    acc[0, :, :] = seeds[0][:]
+    acc_v_scr[:, :] = jax.lax.bitcast_convert_type(seeds[1][:], jnp.int32)
+    for k in range(n_attr):
+        acc[1 + k, :, :] = seeds[2 + k][:]
+
+    def dma(j, sub, slot):
+        win = gwin_ref[(start + j) * 4 + sub]
+        return pltpu.make_async_copy(
+            coef_hbm.at[:, pl.ds(win * WINDOW, WINDOW)],
+            coef_scr.at[slot, sub], sems.at[slot, sub])
+
+    @pl.when(count > 0)
+    def _warmup():
+        for sub in range(4):
+            dma(0, sub, 0).start()
+
+    px = jax.lax.broadcasted_iota(jnp.int32, (1, c.tile_w), 1).astype(
+        jnp.float32) + (tile_tx * c.tile_w).astype(jnp.float32)
+
+    f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+    NEG = jnp.float32(-3e38)
+
+    def body(j, carry):
+        slot = j % 2
+        rid = start + j
+        y0 = jnp.clip(y0_ref[rid] - tile_py0, 0, c.tile_h)
+        y1 = jnp.clip(y1_ref[rid] + 1 - tile_py0, 0, c.tile_h)
+
+        @pl.when(j + 1 < count)
+        def _prefetch():
+            for sub in range(4):
+                dma(j + 1, sub, (j + 1) % 2).start()
+
+        for sub in range(4):
+            dma(j, sub, slot).wait()
+        blks = [jnp.transpose(coef_scr[slot, sub]) for sub in range(4)]
+
+        li = jax.lax.broadcasted_iota(jnp.int32, (1, c.tile_w), 1)
+        q = c.tile_w // 4
+        g0, g1, g2 = li < q, li < 2 * q, li < 3 * q
+
+        def lane_grouped(k):
+            # element-repeat of the 4 windows' coefficient columns onto
+            # their 32-lane groups ((C,1) lane-broadcasts + selects;
+            # pltpu.repeat has tile semantics, not element-repeat)
+            b0, b1 = blks[0][:, k:k + 1], blks[1][:, k:k + 1]
+            b2, b3 = blks[2][:, k:k + 1], blks[3][:, k:k + 1]
+            return jnp.where(g0, b0, jnp.where(g1, b1,
+                             jnp.where(g2, b2, b3)))   # (C, TW)
+
+        a = [f32(lane_grouped(k)) for k in range(5)]
+        b_ = [f32(lane_grouped(5 + k)) for k in range(5)]
+        cc = [f32(lane_grouped(10 + k)) for k in range(5)]
+        pay = jax.lax.bitcast_convert_type(lane_grouped(15), jnp.int32)
+        if n_attr:
+            aa = [f32(lane_grouped(16 + 3 * k)) for k in range(n_attr)]
+            ab = [f32(lane_grouped(17 + 3 * k)) for k in range(n_attr)]
+            ac = [f32(lane_grouped(18 + 3 * k)) for k in range(n_attr)]
+
+        ex = [a[k] * px for k in range(5)]
+        if n_attr:
+            exa = [aa[k] * px for k in range(n_attr)]
+
+        def row_body(row, _):
+            yf = (tile_py0 + row).astype(jnp.float32)
+            l0 = ex[0] + (b_[0] * yf + cc[0])
+            l1 = ex[1] + (b_[1] * yf + cc[1])
+            l2 = ex[2] + (b_[2] * yf + cc[2])
+            zn = ex[3] + (b_[3] * yf + cc[3])
+            zd = ex[4] + (b_[4] * yf + cc[4])
+            covered = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0) & \
+                      (zd > 0.0) & (zn > 0.0) & (zn <= zd)
+            z = zn / jnp.where(covered, zd, 1.0)
+            cand = jnp.where(covered, z, 0.0)
+            best = jnp.max(cand, axis=0, keepdims=True)
+            winner = (cand == best) & (cand > 0.0)
+            pay_sel = jnp.max(jnp.where(winner, pay, 0), axis=0,
+                              keepdims=True)
+            rs = pl.ds(row, 1)
+            acc_d = acc[0, rs, :]
+            acc_v = acc_v_scr[rs, :]
+            better = best > acc_d
+            tie = (best == acc_d) & (pay_sel > acc_v)
+            take = better | tie
+            acc[0, rs, :] = jnp.where(take, best, acc_d)
+            acc_v_scr[rs, :] = jnp.where(take, pay_sel, acc_v)
+            if n_attr:
+                ssum = l0 + l1 + l2
+                inv_s = 1.0 / jnp.where(covered, ssum, 1.0)
+                for k in range(n_attr):
+                    val = (exa[k] + (ab[k] * yf + ac[k])) * inv_s
+                    sel = jnp.max(jnp.where(winner, val, NEG), axis=0,
+                                  keepdims=True)
+                    acc[1 + k, rs, :] = jnp.where(take, sel,
+                                                  acc[1 + k, rs, :])
+            return 0
+
+        jax.lax.fori_loop(y0, y1, row_body, 0)
+        return carry
+
+    jax.lax.fori_loop(0, count, body, 0)
+    outs[0][:] = acc[0, :, :]
+    outs[1][:] = jax.lax.bitcast_convert_type(acc_v_scr[:, :], jnp.uint32)
+    for k in range(n_attr):
+        outs[2 + k][:] = acc[1 + k, :, :]
+
+
+def raster_queue_subtile(
+    queue: SubtileQueue,
+    setup: TriangleSetup,
+    config: RasterConfig,
+    seeds=None,
+):
+    """Sub-tile raster driver (see bin_windows_subtile)."""
+    c = config
+    h_pad = c.tiles_y * c.tile_h
+    w_pad = c.tiles_x * c.tile_w
+    n_attr = 5 if c.with_attrs else 0
+    n_rt = 2 + n_attr
+
+    def padded(x, fill, dtype):
+        if x is None:
+            return jnp.full((h_pad, w_pad), fill, dtype)
+        return jnp.pad(x.astype(dtype),
+                       ((0, h_pad - x.shape[0]), (0, w_pad - x.shape[1])))
+
+    if seeds is None:
+        seeds = (None,) * n_rt
+    elif len(seeds) < n_rt:
+        seeds = tuple(seeds) + (None,) * (n_rt - len(seeds))
+    seed_arrays = [padded(seeds[0], 0.0, jnp.float32),
+                   padded(seeds[1], 0, jnp.uint32)]
+    for k in range(n_attr):
+        seed_arrays.append(padded(seeds[2 + k], 0.0, jnp.float32))
+
+    def tile_block(i, gw, st_, ct, y0, y1):
+        return (i // c.tiles_x, i % c.tiles_x)
+
+    vmem_tile = pl.BlockSpec((c.tile_h, c.tile_w), tile_block,
+                             memory_space=pltpu.VMEM)
+    out_shapes = ([jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((h_pad, w_pad), jnp.uint32)] +
+                  [jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)] * n_attr)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(c.n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] +
+                 [vmem_tile] * n_rt,
+        out_specs=[vmem_tile] * n_rt,
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, c.coef_rows, WINDOW), jnp.uint32),
+            pltpu.VMEM((1 + n_attr, c.tile_h, c.tile_w), jnp.float32),
+            pltpu.VMEM((c.tile_h, c.tile_w), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+    rts = pl.pallas_call(
+        functools.partial(_raster_tile_kernel_st, config=c),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=c.interpret or jax.default_backend() == "cpu",
+    )(queue.gwin, queue.starts, queue.counts, queue.y0r, queue.y1r,
+      setup.coefT, *seed_arrays)
+    return tuple(rt[:c.height, :c.width] for rt in rts)
 
 
 # ---------------------------------------------------------------------------

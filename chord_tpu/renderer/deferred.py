@@ -134,6 +134,7 @@ class RendererConfig(NamedTuple):
     enable_bloom: bool = True
     enable_tsr: bool = True
     tsr_mode: str = "gather"         # or "global" (gather-free, fast)
+    subtiles: bool = False           # sub-tile raster lane packing
     output: str = "srgb8"            # or "hdr10"
     interpret: bool = False          # pallas interpreter (CPU tests)
 
@@ -141,7 +142,8 @@ class RendererConfig(NamedTuple):
         return RasterConfig(
             width=self.width, height=self.height,
             pair_capacity=self.pair_capacity,
-            big_capacity=self.big_capacity, interpret=self.interpret)
+            big_capacity=self.big_capacity, subtiles=self.subtiles,
+            interpret=self.interpret)
 
     @classmethod
     def from_cvars(cls, **overrides) -> "RendererConfig":
