@@ -107,8 +107,30 @@ def _node_matrix(node: dict) -> np.ndarray:
         node.get("scale", (1.0, 1.0, 1.0)))
 
 
-def load_gltf(path: str | Path) -> GLTFScene:
-    """Load a .gltf/.glb file into a GLTFScene."""
+def _image_fobj(doc: dict, buffers: List[bytes], base_dir: Path,
+                image_idx: int):
+    """glTF image -> file-like object for PIL (uri file / data URI /
+    GLB bufferView)."""
+    import io
+
+    img = doc["images"][image_idx]
+    uri = img.get("uri")
+    if uri is not None:
+        if uri.startswith("data:"):
+            return io.BytesIO(base64.b64decode(uri.split(",", 1)[1]))
+        return io.BytesIO((base_dir / uri).read_bytes())
+    bv = doc["bufferViews"][img["bufferView"]]
+    start = bv.get("byteOffset", 0)
+    return io.BytesIO(buffers[bv["buffer"]][start:start + bv["byteLength"]])
+
+
+def load_gltf(path: str | Path, texture_pool=None) -> GLTFScene:
+    """Load a .gltf/.glb file into a GLTFScene.
+
+    With `texture_pool` (asset.texture.TexturePool), material baseColor and
+    normal textures are imported into the pool (reference imports textures
+    alongside the mesh, asset_gltf_helper.cpp — baseColor as sRGB, normal
+    maps linear) and materials carry the resulting layer ids."""
     path = Path(path)
     raw = path.read_bytes()
     glb_bin = None
@@ -131,13 +153,36 @@ def load_gltf(path: str | Path) -> GLTFScene:
     buffers = _load_buffers(doc, path.parent, glb_bin)
     scene = GLTFScene()
 
+    def tex_layer(tex_info: Optional[dict], srgb: bool) -> int:
+        """textureInfo -> pool layer id (-1 when absent / no pool)."""
+        if texture_pool is None or not tex_info:
+            return -1
+        src = doc["textures"][tex_info["index"]].get("source", -1)
+        if src < 0:
+            return -1
+        key = f"{path.name}:img{src}:{'srgb' if srgb else 'lin'}"
+        if key in texture_pool.descs:
+            return texture_pool.descs[key].layer
+        from .texture import load_image
+        try:
+            img = load_image(_image_fobj(doc, buffers, path.parent, src),
+                             srgb=srgb)
+        except Exception as e:             # missing file / bad codec
+            log.warning("texture image %d failed to load: %s", src, e)
+            return -1
+        return texture_pool.add(key, img)
+
     for mat in doc.get("materials", []):
         pbr = mat.get("pbrMetallicRoughness", {})
+        nrm_info = mat.get("normalTexture")
         scene.materials.append(MaterialData(
             base_color=tuple(pbr.get("baseColorFactor", (1, 1, 1, 1))),
             metallic=pbr.get("metallicFactor", 1.0),
             roughness=pbr.get("roughnessFactor", 1.0),
             emissive=tuple(mat.get("emissiveFactor", (0, 0, 0))),
+            base_color_texture=tex_layer(pbr.get("baseColorTexture"), True),
+            normal_texture=tex_layer(nrm_info, False),
+            normal_scale=(nrm_info or {}).get("scale", 1.0),
             two_sided=mat.get("doubleSided", False),
             name=mat.get("name", ""),
         ))

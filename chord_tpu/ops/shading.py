@@ -149,6 +149,7 @@ def resolve_gbuffer_raster_rt(
     tw_to_clip: jnp.ndarray,
     prev_tw_to_clip: jnp.ndarray,
     textured: bool = False,      # sample material base-color textures
+    normal_mapped: bool = False,  # perturb normals from normal-map layers
 ) -> GBuffer:
     """Zero-big-gather gbuffer resolve: normals/uv come straight from the
     rasterizer's attribute-plane render targets, position from depth
@@ -202,6 +203,50 @@ def resolve_gbuffer_raster_rt(
             layer, uv, mip)
         # textures are stored linear-sRGB primaries; convert to AP1
         base = base * colorspace.srgb_to_acescg(texel[..., :3])
+
+        # Tangent-space normal mapping WITHOUT stored tangents: build the
+        # cotangent frame per pixel from screen-space derivatives of
+        # position and uv (Schüler's method — the TPU stand-in for the
+        # reference's vertex tangents + analytic uv gradients,
+        # lighting.hlsl normal fetch + base.hlsli ddx/ddy). Derivatives
+        # are shifted differences, masked to same-surface neighbors so
+        # silhouette edges fall back to the geometric normal.
+        if normal_mapped:   # static: traced only when normal maps exist
+            n_layer = pools.mat_normal_tex[mat_id]
+            n_texel = texture_ops.sample_pool(
+                pools.tex_pool, tuple(tp.mip_sizes), tuple(tp.mip_offsets),
+                n_layer, uv, mip)
+            n_scale = pools.mat_normal_scale[mat_id][..., None]
+            n_ts = n_texel[..., :3] * 2.0 - 1.0   # linear-stored, [-1,1]
+
+            def ddx(a):
+                return a - jnp.roll(a, 1, axis=1)
+
+            def ddy(a):
+                return a - jnp.roll(a, 1, axis=0)
+
+            same_x = (slot == jnp.roll(slot, 1, axis=1)) & valid
+            same_y = (slot == jnp.roll(slot, 1, axis=0)) & valid
+            dp1 = jnp.where(same_x[..., None], ddx(pos_tw), 0.0)
+            dp2 = jnp.where(same_y[..., None], ddy(pos_tw), 0.0)
+            du1 = jnp.where(same_x[..., None], ddx(uv), 0.0)
+            du2 = jnp.where(same_y[..., None], ddy(uv), 0.0)
+            # cross orders flipped vs the GL formulation: our ddy is an
+            # image-ROW derivative (y-down), which negates both frame
+            # vectors — flipping the perps restores glTF's +u/+v handedness
+            dp2perp = jnp.cross(nrm, dp2)
+            dp1perp = jnp.cross(dp1, nrm)
+            t = dp2perp * du1[..., 0:1] + dp1perp * du2[..., 0:1]
+            b = dp2perp * du1[..., 1:2] + dp1perp * du2[..., 1:2]
+            m2 = jnp.maximum(jnp.sum(t * t, -1), jnp.sum(b * b, -1))
+            inv = jax.lax.rsqrt(jnp.maximum(m2, 1e-24))[..., None]
+            pert = (t * inv * (n_ts[..., 0:1] * n_scale) +
+                    b * inv * (n_ts[..., 1:2] * n_scale) +
+                    nrm * jnp.maximum(n_ts[..., 2:3], 0.05))
+            pert = pert * jax.lax.rsqrt(jnp.maximum(
+                jnp.sum(pert * pert, -1, keepdims=True), 1e-12))
+            ok = (n_layer >= 0) & (m2 > 1e-24) & same_x & same_y
+            nrm = jnp.where(ok[..., None], pert, nrm)
 
     vz = valid[..., None]
     return GBuffer(

@@ -108,6 +108,7 @@ class MeshletFrameConfig(NamedTuple):
     gi_cfg: "gi_ops.GIConfig" = None
     ssr: bool = False              # screen-space mirror reflections
     textured: bool = False         # sample material base-color textures
+    normal_mapped: bool = False    # tangent-space normal maps (needs textured)
     # debug visualization (reference: renderer/mesh/nanite_visualize.cpp):
     # none | meshlet | lod | normal | depth
     debug_mode: str = "none"
@@ -285,7 +286,7 @@ def render_frame_meshlet(
             vis, depth, rt[2], rt[3], rt[4], rt[5], rt[6],
             draw_object, pools, instances,
             view.clip_to_tw, view.tw_to_clip_nj, view.prev_tw_to_clip_nj,
-            textured=mcfg.textured)
+            textured=mcfg.textured, normal_mapped=mcfg.normal_mapped)
 
     sky_radiance = None
     ambient = None

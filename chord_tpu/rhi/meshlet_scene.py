@@ -78,6 +78,8 @@ class MeshletScenePools:
     mat_metal_rough: jnp.ndarray
     mat_emissive: jnp.ndarray
     mat_base_tex: jnp.ndarray    # (M,) i32 texture layer id, -1 = none
+    mat_normal_tex: jnp.ndarray  # (M,) i32 normal-map layer id, -1 = none
+    mat_normal_scale: jnp.ndarray  # (M,) f32 normal perturbation scale
     tex_pool: jnp.ndarray        # (L, total_texels, 4) bf16 flat-mip stack
 
     @property
@@ -237,6 +239,10 @@ def build_meshlet_pools(builder: SceneBuilder,
             np.array([m.emissive for m in mats], np.float32)),
         mat_base_tex=jnp.asarray(
             np.array([m.base_color_texture for m in mats], np.int32)),
+        mat_normal_tex=jnp.asarray(
+            np.array([m.normal_texture for m in mats], np.int32)),
+        mat_normal_scale=jnp.asarray(
+            np.array([m.normal_scale for m in mats], np.float32)),
         tex_pool=(texture_pool.device_array()
                   if texture_pool is not None else _empty_tex_pool()),
     )

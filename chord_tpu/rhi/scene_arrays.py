@@ -105,6 +105,8 @@ class MaterialData:
     roughness: float = 0.8
     emissive: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     base_color_texture: int = -1   # id into the texture stack, -1 = none
+    normal_texture: int = -1       # tangent-space normal map layer, -1 = none
+    normal_scale: float = 1.0      # glTF normalTexture.scale
     two_sided: bool = False
     name: str = ""
 

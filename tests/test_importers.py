@@ -77,3 +77,71 @@ def test_pmx_minimal(tmp_path):
     assert model.materials[0].base_color[0] == pytest.approx(0.8)
     # winding flipped to CCW
     assert mesh.indices.tolist() == [[2, 1, 0]]
+
+
+def test_gltf_texture_import(tmp_path):
+    """Materials pull baseColor (sRGB) + normal (linear) textures into the
+    TexturePool and carry the layer ids + normalTexture.scale."""
+    import base64
+    import io
+    import json
+
+    from PIL import Image
+
+    from chord_tpu.asset.texture import TexturePool
+
+    def png_uri(rgb):
+        img = Image.new("RGBA", (8, 8), rgb)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return ("data:image/png;base64," +
+                base64.b64encode(buf.getvalue()).decode())
+
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    idx = np.array([0, 1, 2], np.uint16)
+    bin_data = pos.tobytes() + idx.tobytes() + b"\x00\x00"
+    doc = {
+        "asset": {"version": "2.0"},
+        "scenes": [{"nodes": [0]}], "scene": 0,
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [
+            {"attributes": {"POSITION": 0}, "indices": 1, "material": 0}]}],
+        "materials": [{
+            "pbrMetallicRoughness": {
+                "baseColorTexture": {"index": 0},
+                "baseColorFactor": [1, 1, 1, 1]},
+            "normalTexture": {"index": 1, "scale": 0.5}}],
+        "textures": [{"source": 0}, {"source": 1}],
+        "images": [{"uri": png_uri((188, 0, 0, 255))},      # sRGB red
+                   {"uri": png_uri((128, 128, 255, 255))}],  # flat normal
+        "buffers": [{
+            "byteLength": len(bin_data),
+            "uri": "data:application/octet-stream;base64," +
+                   base64.b64encode(bin_data).decode()}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 6}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3,
+             "type": "VEC3", "min": [0, 0, 0], "max": [1, 1, 0]},
+            {"bufferView": 1, "componentType": 5123, "count": 3,
+             "type": "SCALAR"}],
+    }
+    p = tmp_path / "tex.gltf"
+    p.write_text(json.dumps(doc))
+
+    tp = TexturePool(16)
+    scene = load_gltf(p, texture_pool=tp)
+    m = scene.materials[0]
+    assert m.base_color_texture == 0
+    assert m.normal_texture == 1
+    assert m.normal_scale == pytest.approx(0.5)
+    assert len(tp.textures) == 2
+    # sRGB decode applied to baseColor: 188/255 -> ~0.5 linear
+    assert abs(tp.textures[0][0, 0] - 0.5) < 0.02
+    # normal map stays linear: 128/255 ~ 0.502 raw
+    assert abs(tp.textures[1][0, 0] - 128 / 255) < 0.01
+
+    # no pool -> ids stay -1, no crash
+    scene2 = load_gltf(p)
+    assert scene2.materials[0].base_color_texture == -1

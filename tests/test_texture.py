@@ -48,6 +48,66 @@ def test_pool_layout_and_sampling():
     np.testing.assert_allclose(out2[0, 0, 0], 1.0, atol=0.02)
 
 
+def _render_plane_debug_normal(normal_mapped: bool):
+    """Flat +Y plane with a tangent-space normal map tilting toward +u."""
+    from chord_tpu.asset.procedural import make_plane
+    from chord_tpu.renderer.deferred import RendererConfig
+    from chord_tpu.renderer.meshlet_frame import (MeshletFrameConfig,
+                                                  MeshletRenderer)
+    from chord_tpu.rhi.meshlet_scene import build_meshlet_pools
+    from chord_tpu.rhi.scene_arrays import MaterialData, SceneBuilder
+    from chord_tpu.utils.camera import Camera
+
+    tp = TexturePool(32)
+    white = np.ones((32, 32, 4), np.float32)
+    nrm = np.empty((32, 32, 4), np.float32)     # n_ts = texel*2-1
+    nrm[..., 0] = 1.0                            # +1 along tangent (+u = +x)
+    nrm[..., 1] = 0.5                            # 0 along bitangent
+    nrm[..., 2] = 0.75                           # +0.5 along the face normal
+    nrm[..., 3] = 1.0
+    l_base = tp.add("white", white)
+    l_nrm = tp.add("bump", nrm)
+
+    b = SceneBuilder()
+    mesh = b.add_mesh(make_plane(size=8.0))
+    mat = b.add_material(MaterialData(
+        base_color=(1, 1, 1, 1), roughness=0.8,
+        base_color_texture=l_base, normal_texture=l_nrm))
+    b.add_instance(mesh, mat)
+
+    cam = Camera(width=96, height=64)
+    cam.position = np.array([0.5, 6.0, 3.0])
+    cam.look_at(np.array([0.0, 0.0, 0.0]))
+    inst = b.frame_instances(cam)
+    pools = build_meshlet_pools(b, texture_pool=tp)
+    r = MeshletRenderer(
+        RendererConfig(width=96, height=64, pair_capacity=256,
+                       big_capacity=128, interpret=True,
+                       enable_bloom=False, enable_tsr=False),
+        MeshletFrameConfig(draw_capacity=128, textured=True,
+                           normal_mapped=normal_mapped,
+                           debug_mode="normal"))
+    img, stats = r.render(pools, inst, cam.view_uniform(0))
+    assert int(np.asarray(stats["bin_overflow"])) == 0
+    return np.asarray(img).astype(np.float32)
+
+
+def test_normal_mapping_tilts_shading_normal():
+    flat = _render_plane_debug_normal(False)
+    bump = _render_plane_debug_normal(True)
+    # interior pixels of the plane (avoid silhouette rows/cols)
+    fz = flat[24:40, 32:64]
+    bz = bump[24:40, 32:64]
+    # debug view encodes n*0.5+0.5 (then tonemap, which compresses the
+    # top end): flat plane normal is +Y => green saturated high
+    assert fz[..., 1].mean() > 200.0
+    # the tangent tilt pulls n.y down (tonemap-compressed but measurable)
+    assert bz[..., 1].mean() < fz[..., 1].mean() - 8.0
+    # and pushes n.x TOWARD +x (+u in glTF tangent space): red rises
+    assert bz[..., 0].mean() > fz[..., 0].mean() + 25.0
+    assert np.isfinite(bump).all()
+
+
 def test_mip_density():
     # uv grid covering the whole texture over 8 pixels -> high mip
     uv_fast = jnp.stack(jnp.meshgrid(
