@@ -44,6 +44,9 @@ class ShadowConfig(NamedTuple):
     eval_res_div: int = 2            # PCSS evaluated at 1/2 res + upsample
                                      # (the reference caches its soft-shadow
                                      # mask at 1/8 res, lighting.h:23-29)
+    temporal: bool = True            # temporal mask accumulation (reference:
+                                     # shadow_mask temporal blend pass)
+    temporal_alpha: float = 0.7      # history weight at zero residual
 
 
 # Poisson disk (unit radius) — fixed pattern like the reference's

@@ -238,6 +238,7 @@ def render_frame_flat(
         exposure=exposure,
         tsr_color=tsr_color,
         gi_cache=history.gi_cache,
+        shadow_mask=history.shadow_mask,
     )
     stats = dict(raster_stats)
     stats["visible_objects"] = jnp.sum(obj_visible.astype(jnp.int32))

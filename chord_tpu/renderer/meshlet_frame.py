@@ -323,6 +323,7 @@ def render_frame_meshlet(
                 t_sun * p_atm.sun_illuminance)
 
     sun_shadow = None
+    new_shadow_mask = history.shadow_mask
     if mcfg.shadows:
         with jax.named_scope("shadow.render"):
             shadow_maps = render_shadow_cascades(pools, instances, view,
@@ -334,6 +335,34 @@ def render_frame_meshlet(
                 gbuf.normal[::kdiv, ::kdiv], view.sun_direction,
                 shadow_maps, view.shadow_tw_to_light, view.shadow_splits,
                 mcfg.shadow_cfg)
+        if mcfg.shadow_cfg.temporal:
+            # Temporal soft-shadow mask (reference caches + temporally
+            # blends its PCSS mask, lighting.h:23-29): reproject last
+            # frame's eval-res mask through the previous view-proj and
+            # blend, with a residual guard against sun/geometry changes.
+            # Gathers stay at eval res (1/kdiv^2 of full res — cheap).
+            with jax.named_scope("shadow.temporal"):
+                pos_q = gbuf.position_tw[::kdiv, ::kdiv]
+                hq, wq = sun_shadow_q.shape
+                pm = view.prev_tw_to_clip_nj
+                c = (pos_q[..., 0:1] * pm[0] + pos_q[..., 1:2] * pm[1] +
+                     pos_q[..., 2:3] * pm[2] + pm[3])
+                wc = jnp.maximum(c[..., 3], 1e-6)
+                px = (c[..., 0] / wc * 0.5 + 0.5) * wq
+                py = (0.5 - c[..., 1] / wc * 0.5) * hq
+                on = ((px >= 0) & (px < wq) & (py >= 0) & (py < hq) &
+                      (c[..., 3] > 0))
+                xi = jnp.clip(px.astype(jnp.int32), 0, wq - 1)
+                yi = jnp.clip(py.astype(jnp.int32), 0, hq - 1)
+                prev = history.shadow_mask[yi, xi]
+                resid = jnp.abs(prev - sun_shadow_q)
+                alpha = (mcfg.shadow_cfg.temporal_alpha * history.valid *
+                         on.astype(jnp.float32) *
+                         gbuf.valid[::kdiv, ::kdiv].astype(jnp.float32) *
+                         jnp.exp(-4.0 * resid))
+                sun_shadow_q = sun_shadow_q + (prev - sun_shadow_q) * alpha
+        new_shadow_mask = sun_shadow_q
+        with jax.named_scope("shadow.upsample"):
             sun_shadow = jnp.repeat(jnp.repeat(sun_shadow_q, kdiv, 0),
                                     kdiv, 1)[:h, :w]
             # 3x3-ish smoothing hides the upsample blocks
@@ -458,6 +487,7 @@ def render_frame_meshlet(
         exposure=exposure,
         tsr_color=tsr_color,
         gi_cache=new_gi_cache,
+        shadow_mask=new_shadow_mask,
     )
     return image, new_history, stats
 
@@ -515,7 +545,8 @@ class MeshletRenderer:
                 c.height, c.width,
                 post_h=c.post_height or None, post_w=c.post_width or None,
                 gi_cfg=(self.mcfg.gi_cfg or gi_ops.GIConfig())
-                if self.mcfg.gi else None)
+                if self.mcfg.gi else None,
+                shadow_div=self.mcfg.shadow_cfg.eval_res_div)
         view = DeviceView.from_uniform(
             view_uniform,
             shadow_cfg=self.mcfg.shadow_cfg if self.mcfg.shadows else None,

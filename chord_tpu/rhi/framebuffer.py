@@ -75,11 +75,12 @@ class FrameHistory:
     exposure: jnp.ndarray        # () f32 adapted exposure
     tsr_color: jnp.ndarray       # (Hp,Wp,3) f32 accumulated TSR color
     gi_cache: jnp.ndarray        # (C,D^3,13) f32 world radiance SH cache
+    shadow_mask: jnp.ndarray     # (Hs,Ws) f32 temporal PCSS mask (1 = lit)
 
     @classmethod
     def empty(cls, h: int, w: int, post_h: Optional[int] = None,
               post_w: Optional[int] = None,
-              gi_cfg=None) -> "FrameHistory":
+              gi_cfg=None, shadow_div: int = 2) -> "FrameHistory":
         from ..ops.hzb import hzb_layout
         from ..ops.gi import GIConfig, sh_size
 
@@ -95,4 +96,6 @@ class FrameHistory:
             exposure=jnp.ones((), jnp.float32),
             tsr_color=jnp.zeros((ph, pw, 3), jnp.float32),
             gi_cache=jnp.zeros(gi_shape, jnp.float32),
+            shadow_mask=jnp.ones((-(-h // shadow_div), -(-w // shadow_div)),
+                                 jnp.float32),
         )

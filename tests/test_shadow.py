@@ -94,3 +94,40 @@ def test_meshlet_frame_with_shadows():
     img = np.asarray(img)
     assert img.std() > 8.0
     assert int(np.asarray(stats["bin_overflow"])) == 0
+
+
+def test_temporal_shadow_mask_accumulates():
+    """Static scene + static view: the temporal mask converges (frame 2
+    matches frame 1 closely) and stays in [0,1]; history carries the
+    eval-res mask."""
+    b = build_sponza_like(detail=1)
+    pools = build_meshlet_pools(b)
+    cam = Camera(width=96, height=48)
+    cam.position = np.array([-15.0, 4.0, 0.0])
+    cam.look_at(np.array([10.0, 2.0, 0.0]))
+    inst = b.frame_instances(cam)
+
+    scfg = ShadowConfig(cascade_count=2, resolution=256,
+                        pcss_blocker_samples=4, pcss_pcf_samples=4,
+                        temporal=True)
+    r = MeshletRenderer(
+        RendererConfig(width=96, height=48, pair_capacity=4096,
+                       big_capacity=128, interpret=True,
+                       enable_bloom=False, enable_tsr=False),
+        MeshletFrameConfig(draw_capacity=1024, shadows=True,
+                           shadow_cfg=scfg, shadow_draw_capacity=1024))
+    img1, _ = r.render(pools, inst, cam.view_uniform(0))
+    mask1 = np.asarray(r.history.shadow_mask)
+    img2, _ = r.render(pools, inst, cam.view_uniform(1))
+    mask2 = np.asarray(r.history.shadow_mask)
+
+    assert mask1.shape == (24, 48)          # eval res = render res / 2
+    assert np.isfinite(mask2).all()
+    assert mask2.min() >= 0.0 and mask2.max() <= 1.0
+    # static view: the blended mask must not drift
+    assert np.abs(mask2 - mask1).mean() < 0.05
+    # and it must actually contain shadowed AND lit regions
+    assert (mask1 < 0.3).any() and (mask1 > 0.9).any()
+    # frames visually consistent
+    d = np.abs(np.asarray(img1).astype(int) - np.asarray(img2).astype(int))
+    assert d.mean() < 6.0
