@@ -19,7 +19,7 @@ penumbra width -> variable-radius PCF, per screen pixel.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +47,8 @@ class ShadowConfig(NamedTuple):
     temporal: bool = True            # temporal mask accumulation (reference:
                                      # shadow_mask temporal blend pass)
     temporal_alpha: float = 0.7      # history weight at zero residual
+    jitter: bool = True              # per-pixel/per-frame Poisson rotation
+                                     # (IGN, the STBN-texture replacement)
 
 
 # Poisson disk (unit radius) — fixed pattern like the reference's
@@ -132,9 +134,13 @@ def evaluate_shadow(
     tw_to_light: jnp.ndarray,     # (N,4,4)
     splits: jnp.ndarray,          # (N+1,)
     cfg: ShadowConfig,
+    noise: Optional[jnp.ndarray] = None,   # (H,W) in [0,1): per-pixel
+                                           # Poisson-disk rotation angle
 ) -> jnp.ndarray:
     """-> (H,W) sun visibility in [0,1] (PCSS: blocker search -> penumbra
-    -> variable-radius PCF; reference pcss.hlsl:33-92)."""
+    -> variable-radius PCF; reference pcss.hlsl:33-92, which rotates its
+    disk by a per-pixel STBN angle — here the caller passes in-register
+    interleaved gradient noise, ops/bluenoise.py)."""
     n, r, _ = shadow_maps.shape
     h, w = position_tw.shape[:2]
 
@@ -172,14 +178,23 @@ def evaluate_shadow(
         return flat[base + y * r + x]
 
     disk = jnp.asarray(_POISSON)
+    if noise is not None:
+        theta = noise * (2.0 * np.pi)
+        ca, sa = jnp.cos(theta), jnp.sin(theta)   # (H,W)
+    else:
+        ca, sa = 1.0, 0.0
+
+    def rot(o):
+        """Rotate a fixed disk offset by the per-pixel angle."""
+        return o[0] * ca - o[1] * sa, o[0] * sa + o[1] * ca
 
     # --- blocker search (pcss.hlsl blocker loop) ---
     search_r = cfg.pcf_radius_px * 3.0
     blocker_sum = jnp.zeros((h, w))
     blocker_cnt = jnp.zeros((h, w))
     for s in range(cfg.pcss_blocker_samples):
-        o = disk[s % len(_POISSON)] * search_r
-        zs = sample_depth(o[0], o[1])
+        ox, oy = rot(disk[s % len(_POISSON)] * search_r)
+        zs = sample_depth(ox, oy)
         is_blocker = zs > z_cmp          # reverse-Z: nearer to light
         blocker_sum = blocker_sum + jnp.where(is_blocker, zs, 0.0)
         blocker_cnt = blocker_cnt + is_blocker.astype(jnp.float32)
@@ -197,8 +212,9 @@ def evaluate_shadow(
     # --- variable-radius PCF ---
     lit = jnp.zeros((h, w))
     for s in range(cfg.pcss_pcf_samples):
-        o = disk[s % len(_POISSON)] * (1.0 + s / cfg.pcss_pcf_samples)
-        zs = sample_depth(o[0] * pcf_r, o[1] * pcf_r)
+        ox, oy = rot(disk[s % len(_POISSON)] *
+                     (1.0 + s / cfg.pcss_pcf_samples))
+        zs = sample_depth(ox * pcf_r, oy * pcf_r)
         lit = lit + (z_cmp >= zs).astype(jnp.float32)
     lit = lit / cfg.pcss_pcf_samples
 

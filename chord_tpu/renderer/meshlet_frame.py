@@ -330,11 +330,17 @@ def render_frame_meshlet(
                                                  rc, mcfg)
         with jax.named_scope("shadow.evaluate"):
             kdiv = mcfg.shadow_cfg.eval_res_div
+            pos_qv = gbuf.position_tw[::kdiv, ::kdiv]
+            noise = None
+            if mcfg.shadow_cfg.jitter:
+                from ..ops.bluenoise import interleaved_gradient_noise
+                noise = interleaved_gradient_noise(
+                    pos_qv.shape[0], pos_qv.shape[1], history.frame_count)
             sun_shadow_q = shadow_ops.evaluate_shadow(
-                gbuf.position_tw[::kdiv, ::kdiv],
+                pos_qv,
                 gbuf.normal[::kdiv, ::kdiv], view.sun_direction,
                 shadow_maps, view.shadow_tw_to_light, view.shadow_splits,
-                mcfg.shadow_cfg)
+                mcfg.shadow_cfg, noise=noise)
         if mcfg.shadow_cfg.temporal:
             # Temporal soft-shadow mask (reference caches + temporally
             # blends its PCSS mask, lighting.h:23-29): reproject last

@@ -109,7 +109,7 @@ def test_temporal_shadow_mask_accumulates():
 
     scfg = ShadowConfig(cascade_count=2, resolution=256,
                         pcss_blocker_samples=4, pcss_pcf_samples=4,
-                        temporal=True)
+                        temporal=True, jitter=False)
     r = MeshletRenderer(
         RendererConfig(width=96, height=48, pair_capacity=4096,
                        big_capacity=128, interpret=True,
@@ -131,3 +131,61 @@ def test_temporal_shadow_mask_accumulates():
     # frames visually consistent
     d = np.abs(np.asarray(img1).astype(int) - np.asarray(img2).astype(int))
     assert d.mean() < 6.0
+
+    # with jitter ON, the rotating disk samples new directions each frame
+    # and the accumulator must CONVERGE: late deltas < first delta
+    r2 = MeshletRenderer(
+        RendererConfig(width=96, height=48, pair_capacity=4096,
+                       big_capacity=128, interpret=True,
+                       enable_bloom=False, enable_tsr=False),
+        MeshletFrameConfig(draw_capacity=1024, shadows=True,
+                           shadow_cfg=scfg._replace(jitter=True),
+                           shadow_draw_capacity=1024))
+    masks = []
+    for i in range(5):
+        r2.render(pools, inst, cam.view_uniform(i))
+        masks.append(np.asarray(r2.history.shadow_mask))
+    d01 = np.abs(masks[1] - masks[0]).mean()
+    d34 = np.abs(masks[4] - masks[3]).mean()
+    assert d34 < d01, f"no convergence: {d34} !< {d01}"
+
+
+def test_interleaved_gradient_noise():
+    from chord_tpu.ops.bluenoise import interleaved_gradient_noise
+
+    n0 = np.asarray(interleaved_gradient_noise(32, 64, 0))
+    n1 = np.asarray(interleaved_gradient_noise(32, 64, 1))
+    assert n0.shape == (32, 64)
+    assert n0.min() >= 0.0 and n0.max() < 1.0
+    # roughly uniform over [0,1)
+    assert abs(n0.mean() - 0.5) < 0.05
+    # temporally decorrelated
+    assert np.abs(n0 - n1).mean() > 0.15
+    # spatially high-frequency: neighbors far apart on average ("blue")
+    assert np.abs(n0 - np.roll(n0, 1, axis=1)).mean() > 0.25
+    # frame wraps at 64 phases
+    n64 = np.asarray(interleaved_gradient_noise(32, 64, 64))
+    np.testing.assert_allclose(n0, n64)
+
+
+def test_pcss_jitter_rotates_disk():
+    """Rotated-disk eval must differ per pixel but agree on fully lit /
+    fully blocked regions."""
+    cfg = ShadowConfig(cascade_count=1, resolution=128,
+                       pcss_blocker_samples=4, pcss_pcf_samples=4)
+    sun = np.array([0.0, 1.0, 0.0])
+    mats, splits = fit_cascades(np.array([0.0, 0.0, -1.0]), sun,
+                                np.radians(60.0), 1.0, cfg)
+    maps = jnp.zeros((1, 128, 128))          # nothing blocks
+    pos = jnp.zeros((4, 8, 3))
+    nrm = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (4, 8, 3))
+    from chord_tpu.ops.bluenoise import interleaved_gradient_noise
+    noise = interleaved_gradient_noise(4, 8, 3)
+    a = evaluate_shadow(pos, nrm, jnp.asarray(sun, jnp.float32), maps,
+                        jnp.asarray(mats), jnp.asarray(splits), cfg)
+    b = evaluate_shadow(pos, nrm, jnp.asarray(sun, jnp.float32), maps,
+                        jnp.asarray(mats), jnp.asarray(splits), cfg,
+                        noise=noise)
+    # open scene: both fully lit regardless of rotation
+    np.testing.assert_allclose(np.asarray(a), 1.0)
+    np.testing.assert_allclose(np.asarray(b), 1.0)
