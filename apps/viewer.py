@@ -56,6 +56,33 @@ def build_scene(name: str):
     return b, c + np.array([r, r * 0.4, r]), c
 
 
+def bounds_overlay(img_u8: "np.ndarray", builder, cam, view) -> "np.ndarray":
+    """Wireframe instance bounding spheres over the frame (the reference's
+    debug-line pass, renderer/debugline.cpp, fed host-side here)."""
+    import jax.numpy as jnp
+
+    from chord_tpu.ops.debug_draw import (overlay_lines, project_segments,
+                                          sphere_segments)
+
+    segs = []
+    for mesh_id, _mat, l2w in builder.instances[:64]:
+        mesh = builder.meshes[mesh_id]
+        c = mesh.positions.mean(0)
+        rad = float(np.linalg.norm(mesh.positions - c, axis=1).max())
+        cw = np.append(c, 1.0).astype(np.float64) @ l2w
+        scale = float(np.linalg.norm(l2w[:3, :3], axis=1).max())
+        segs.append(sphere_segments(cw[:3] - cam.position,
+                                    rad * scale, segs=16))
+    if not segs:
+        return img_u8
+    vp = jnp.asarray(view.translated_world_to_clip_nojitter)
+    px, ok = project_segments(jnp.asarray(np.concatenate(segs)), vp,
+                              img_u8.shape[1], img_u8.shape[0])
+    out = overlay_lines(jnp.asarray(img_u8, jnp.float32) / 255.0, px, ok,
+                        color=(0.1, 1.0, 0.2), width_px=1.0)
+    return np.asarray(jnp.clip(out * 255.0, 0, 255)).astype(np.uint8)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--scene", default="sponza",
@@ -69,6 +96,10 @@ def main() -> int:
     ap.add_argument("--gif", action="store_true")
     ap.add_argument("--debug", default="none",
                     choices=["none", "meshlet", "lod", "normal", "depth"])
+    ap.add_argument("--overlay", default="none",
+                    choices=["none", "bounds"],
+                    help="wireframe overlay: instance bounding spheres "
+                         "(reference: debugline.cpp)")
     ap.add_argument("--no-nanite", action="store_true")
     ap.add_argument("--shadows", action="store_true")
     ap.add_argument("--atmosphere", action="store_true")
@@ -122,8 +153,11 @@ def main() -> int:
         cam.look_at(target)
         inst = b.frame_instances(cam)
         t0 = time.time()
-        img, stats = r.render(pools, inst, cam.view_uniform(i))
+        view_u = cam.view_uniform(i)
+        img, stats = r.render(pools, inst, view_u)
         img = np.asarray(img)
+        if args.overlay == "bounds":
+            img = bounds_overlay(img, b, cam, view_u)
         log.info("frame %d: %.1f ms, drawn=%d overflow=%d", i,
                  (time.time() - t0) * 1000,
                  int(np.asarray(stats["drawn_tris"])),
