@@ -51,9 +51,13 @@ class RasterConfig(NamedTuple):
 
     width: int
     height: int
-    tile_h: int = 24              # taller tiles amortize per-pair overhead;
+    tile_h: int = 40              # taller tiles amortize per-pair overhead;
                                   # the kernel's dynamic row bounds keep
-                                  # uncovered rows free
+                                  # uncovered rows free. Must be a multiple
+                                  # of 8 (f32 sublane). Swept on-device at
+                                  # 1080p: 16/24/32 ≈ 144-146, 40-120 ≈
+                                  # 138-143 ms/frame — 40 is the stable pick
+                                  # that also divides 1080 evenly
     tile_w: int = 128
     pair_capacity: int = 8192     # work-queue length: max (tile,window) pairs
     small_ky: int = 4             # small-path tile rows (window bbox height)
