@@ -183,6 +183,9 @@ def load_gltf(path: str | Path, texture_pool=None) -> GLTFScene:
             base_color_texture=tex_layer(pbr.get("baseColorTexture"), True),
             normal_texture=tex_layer(nrm_info, False),
             normal_scale=(nrm_info or {}).get("scale", 1.0),
+            metal_rough_texture=tex_layer(
+                pbr.get("metallicRoughnessTexture"), False),
+            emissive_texture=tex_layer(mat.get("emissiveTexture"), True),
             two_sided=mat.get("doubleSided", False),
             name=mat.get("name", ""),
         ))

@@ -150,6 +150,7 @@ def resolve_gbuffer_raster_rt(
     prev_tw_to_clip: jnp.ndarray,
     textured: bool = False,      # sample material base-color textures
     normal_mapped: bool = False,  # perturb normals from normal-map layers
+    pbr_textures: bool = False,   # sample metal-rough + emissive maps
 ) -> GBuffer:
     """Zero-big-gather gbuffer resolve: normals/uv come straight from the
     rasterizer's attribute-plane render targets, position from depth
@@ -203,6 +204,22 @@ def resolve_gbuffer_raster_rt(
             layer, uv, mip)
         # textures are stored linear-sRGB primaries; convert to AP1
         base = base * colorspace.srgb_to_acescg(texel[..., :3])
+
+        if pbr_textures:   # static: metal-rough + emissive map layers
+            # glTF packing (lighting.hlsl samples the same channels):
+            # G = roughness, B = metallic, multiplied onto the factors
+            mr_layer = pools.mat_mr_tex[mat_id]
+            mr_texel = texture_ops.sample_pool(
+                pools.tex_pool, tuple(tp.mip_sizes), tuple(tp.mip_offsets),
+                mr_layer, uv, mip)
+            metal_rough = metal_rough * jnp.stack(
+                [mr_texel[..., 2], mr_texel[..., 1]], axis=-1)
+            em_layer = pools.mat_emissive_tex[mat_id]
+            em_texel = texture_ops.sample_pool(
+                pools.tex_pool, tuple(tp.mip_sizes), tuple(tp.mip_offsets),
+                em_layer, uv, mip)
+            emissive = emissive * colorspace.srgb_to_acescg(
+                em_texel[..., :3])
 
         # Tangent-space normal mapping WITHOUT stored tangents: build the
         # cotangent frame per pixel from screen-space derivatives of

@@ -109,6 +109,7 @@ class MeshletFrameConfig(NamedTuple):
     ssr: bool = False              # screen-space mirror reflections
     textured: bool = False         # sample material base-color textures
     normal_mapped: bool = False    # tangent-space normal maps (needs textured)
+    pbr_textures: bool = False     # metal-rough + emissive maps (ditto)
     # debug visualization (reference: renderer/mesh/nanite_visualize.cpp):
     # none | meshlet | lod | normal | depth
     debug_mode: str = "none"
@@ -286,7 +287,8 @@ def render_frame_meshlet(
             vis, depth, rt[2], rt[3], rt[4], rt[5], rt[6],
             draw_object, pools, instances,
             view.clip_to_tw, view.tw_to_clip_nj, view.prev_tw_to_clip_nj,
-            textured=mcfg.textured, normal_mapped=mcfg.normal_mapped)
+            textured=mcfg.textured, normal_mapped=mcfg.normal_mapped,
+            pbr_textures=mcfg.pbr_textures)
 
     sky_radiance = None
     ambient = None

@@ -80,6 +80,8 @@ class MeshletScenePools:
     mat_base_tex: jnp.ndarray    # (M,) i32 texture layer id, -1 = none
     mat_normal_tex: jnp.ndarray  # (M,) i32 normal-map layer id, -1 = none
     mat_normal_scale: jnp.ndarray  # (M,) f32 normal perturbation scale
+    mat_mr_tex: jnp.ndarray      # (M,) i32 metal-rough layer id, -1 = none
+    mat_emissive_tex: jnp.ndarray  # (M,) i32 emissive layer id, -1 = none
     tex_pool: jnp.ndarray        # (L, total_texels, 4) bf16 flat-mip stack
 
     @property
@@ -243,6 +245,10 @@ def build_meshlet_pools(builder: SceneBuilder,
             np.array([m.normal_texture for m in mats], np.int32)),
         mat_normal_scale=jnp.asarray(
             np.array([m.normal_scale for m in mats], np.float32)),
+        mat_mr_tex=jnp.asarray(
+            np.array([m.metal_rough_texture for m in mats], np.int32)),
+        mat_emissive_tex=jnp.asarray(
+            np.array([m.emissive_texture for m in mats], np.int32)),
         tex_pool=(texture_pool.device_array()
                   if texture_pool is not None else _empty_tex_pool()),
     )

@@ -107,6 +107,8 @@ class MaterialData:
     base_color_texture: int = -1   # id into the texture stack, -1 = none
     normal_texture: int = -1       # tangent-space normal map layer, -1 = none
     normal_scale: float = 1.0      # glTF normalTexture.scale
+    metal_rough_texture: int = -1  # glTF MR map (G=roughness, B=metallic)
+    emissive_texture: int = -1     # sRGB emissive map
     two_sided: bool = False
     name: str = ""
 

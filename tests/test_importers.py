@@ -110,10 +110,12 @@ def test_gltf_texture_import(tmp_path):
             "pbrMetallicRoughness": {
                 "baseColorTexture": {"index": 0},
                 "baseColorFactor": [1, 1, 1, 1]},
-            "normalTexture": {"index": 1, "scale": 0.5}}],
-        "textures": [{"source": 0}, {"source": 1}],
+            "normalTexture": {"index": 1, "scale": 0.5},
+            "emissiveTexture": {"index": 2}}],
+        "textures": [{"source": 0}, {"source": 1}, {"source": 2}],
         "images": [{"uri": png_uri((188, 0, 0, 255))},      # sRGB red
-                   {"uri": png_uri((128, 128, 255, 255))}],  # flat normal
+                   {"uri": png_uri((128, 128, 255, 255))},   # flat normal
+                   {"uri": png_uri((0, 255, 0, 255))}],      # emissive
         "buffers": [{
             "byteLength": len(bin_data),
             "uri": "data:application/octet-stream;base64," +
@@ -136,7 +138,9 @@ def test_gltf_texture_import(tmp_path):
     assert m.base_color_texture == 0
     assert m.normal_texture == 1
     assert m.normal_scale == pytest.approx(0.5)
-    assert len(tp.textures) == 2
+    assert m.emissive_texture == 2
+    assert m.metal_rough_texture == -1
+    assert len(tp.textures) == 3
     # sRGB decode applied to baseColor: 188/255 -> ~0.5 linear
     assert abs(tp.textures[0][0, 0] - 0.5) < 0.02
     # normal map stays linear: 128/255 ~ 0.502 raw

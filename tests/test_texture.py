@@ -117,3 +117,64 @@ def test_mip_density():
     uv_slow = uv_fast * 0.001
     m_slow = np.asarray(mip_from_uv_density(uv_slow, 256))
     assert m_fast.mean() > m_slow.mean() + 3
+
+
+def test_pbr_texture_modulation():
+    """MR map (G=rough, B=metal) and emissive map modulate the material
+    factors through the full textured resolve."""
+    import jax.numpy as jnp
+
+    from chord_tpu.asset.procedural import make_plane
+    from chord_tpu.ops import shading
+    from chord_tpu.rhi.meshlet_scene import build_meshlet_pools
+    from chord_tpu.rhi.scene_arrays import MaterialData, SceneBuilder
+    from chord_tpu.utils.camera import Camera
+
+    tp = TexturePool(16)
+    white = np.ones((16, 16, 4), np.float32)
+    mr = np.zeros((16, 16, 4), np.float32)
+    mr[..., 1] = 0.5                    # roughness x0.5
+    mr[..., 2] = 1.0                    # metallic x1
+    em = np.zeros((16, 16, 4), np.float32)
+    em[..., 1] = 1.0                    # green emissive
+    l_w = tp.add("w", white)
+    l_mr = tp.add("mr", mr)
+    l_em = tp.add("em", em)
+
+    b = SceneBuilder()
+    mesh = b.add_mesh(make_plane(size=8.0))
+    mat = b.add_material(MaterialData(
+        base_color=(1, 1, 1, 1), metallic=1.0, roughness=0.8,
+        emissive=(2.0, 2.0, 2.0), base_color_texture=l_w,
+        metal_rough_texture=l_mr, emissive_texture=l_em))
+    b.add_instance(mesh, mat)
+    pools = build_meshlet_pools(b, texture_pool=tp)
+
+    cam = Camera(width=32, height=16)
+    cam.position = np.array([0.5, 6.0, 3.0])
+    cam.look_at(np.zeros(3))
+    inst = b.frame_instances(cam)
+    u = cam.view_uniform(0)
+    vp = jnp.asarray(u.translated_world_to_clip_nojitter)
+    inv = jnp.asarray(np.linalg.inv(
+        u.translated_world_to_clip_nojitter.astype(np.float64)).astype(
+        np.float32))
+    h, w = 16, 32
+    vis = jnp.full((h, w), (1 << 7), jnp.uint32)       # slot 0, tri 0
+    depth = jnp.full((h, w), 0.5)
+    one = jnp.ones((h, w))
+    zero = jnp.zeros((h, w))
+    uu = jnp.broadcast_to(jnp.linspace(0.1, 0.9, w)[None, :], (h, w))
+    vv = jnp.broadcast_to(jnp.linspace(0.1, 0.9, h)[:, None], (h, w))
+    g = shading.resolve_gbuffer_raster_rt(
+        vis, depth, zero, one, zero, uu, vv, jnp.zeros((128,), jnp.int32),
+        pools, inst, inv, vp, vp, textured=True, pbr_textures=True)
+    m = np.asarray(g.metallic)[8, 16]
+    r = np.asarray(g.roughness)[8, 16]
+    e = np.asarray(g.emissive)[8, 16]
+    assert abs(m - 1.0) < 0.02                  # 1.0 * B(=1)
+    assert abs(r - 0.4) < 0.02                  # 0.8 * G(=0.5)
+    # emissive factor (2,2,2) * green map -> green-dominant (sRGB green
+    # lands in AP1 with a sizable red component, so only ~2.5x over red)
+    assert e[1] > 2 * e[0] and e[1] > 4 * e[2]
+    assert e[1] > 1.0
