@@ -90,6 +90,35 @@ def _decode_payload(raw: bytes) -> Any:
     return restore(doc)
 
 
+def encode_thumbnail(img_u8: np.ndarray, max_size: int = 128) -> str:
+    """(H,W,3) u8 -> base64 PNG string for the asset meta header — the
+    reference's snapshot/thumbnail system (asset.h snapshot data kept in
+    the always-loaded meta; the editor content browser reads it without
+    touching the bulk payload)."""
+    import base64
+
+    from PIL import Image
+
+    img = Image.fromarray(np.ascontiguousarray(img_u8))
+    img.thumbnail((max_size, max_size))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def decode_thumbnail(meta: Dict) -> Optional[np.ndarray]:
+    """meta dict -> (h,w,3) u8 thumbnail or None."""
+    import base64
+
+    from PIL import Image
+
+    b64 = meta.get("thumbnail")
+    if not b64:
+        return None
+    img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+    return np.asarray(img)
+
+
 def save_asset(path: Path, kind: str, payload: Any,
                meta: Optional[Dict] = None) -> None:
     """Write a versioned compressed asset (reference saveAsset)."""

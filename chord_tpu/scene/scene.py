@@ -137,10 +137,16 @@ class Scene:
         s.root = SceneNode.from_dict(d["root"])
         return s
 
-    def save(self, path) -> None:
-        from ..asset.serialize import save_asset
+    def save(self, path, thumbnail=None) -> None:
+        """`thumbnail`: optional (H,W,3) u8 frame stored in the header
+        meta (readable via asset.serialize.load_meta without loading the
+        scene — the reference's editor snapshot, asset.h)."""
+        from ..asset.serialize import encode_thumbnail, save_asset
 
-        save_asset(Path(path), "scene", self.to_dict())
+        meta = {"name": self.name}
+        if thumbnail is not None:
+            meta["thumbnail"] = encode_thumbnail(thumbnail)
+        save_asset(Path(path), "scene", self.to_dict(), meta=meta)
         self.dirty = False
         log.info("scene '%s' saved to %s", self.name, path)
 

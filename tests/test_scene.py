@@ -115,3 +115,29 @@ def test_subsystem_renders_scene():
     col2 = sub.scene.tick(1 / 60)[0]
     pools2, inst2 = sub.frame_state(col2, cam)
     assert pools2 is pools, "pool rebuild on pure motion"
+
+
+def test_scene_thumbnail_in_meta(tmp_path):
+    """Thumbnail rides the always-loaded meta header (reference: asset.h
+    snapshot) and is readable WITHOUT loading the scene payload."""
+    from chord_tpu.asset.serialize import decode_thumbnail
+
+    s = _make_scene()
+    frame = np.zeros((64, 96, 3), np.uint8)
+    frame[:, :48] = (255, 0, 0)               # distinctive halves
+    frame[:, 48:] = (0, 0, 255)
+    p = tmp_path / "thumb.chtp"
+    s.save(p, thumbnail=frame)
+
+    kind, meta = load_meta(p)                  # header-only read
+    assert kind == "scene" and meta["name"] == s.name
+    t = decode_thumbnail(meta)
+    assert t is not None and t.ndim == 3 and t.shape[2] == 3
+    assert max(t.shape[:2]) <= 128
+    # halves survive the downscale
+    h, w = t.shape[:2]
+    assert t[h // 2, w // 4, 0] > 200 and t[h // 2, 3 * w // 4, 2] > 200
+    # scenes saved without a thumbnail decode to None
+    s.save(tmp_path / "nothumb.chtp")
+    _, meta2 = load_meta(tmp_path / "nothumb.chtp")
+    assert decode_thumbnail(meta2) is None
