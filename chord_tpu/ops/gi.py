@@ -46,6 +46,11 @@ class GIConfig(NamedTuple):
     base_voxel: float = 0.5     # finest cascade voxel size (world units)
     inject_stride: int = 8      # gbuffer subsampling for injection
     inject_round_robin: bool = True   # one cascade per frame (amortized)
+    inject_jitter: bool = True  # cycle the subsample phase per frame so
+                                # every pixel becomes a surfel over
+                                # stride^2 cascade cycles (the reference
+                                # jitters screen-probe spawn positions,
+                                # screen_probe_gather.cpp spawn pass)
     temporal_alpha: float = 0.06   # cache update rate per frame
     intensity: float = 1.0
     sample_res_div: int = 8     # irradiance sampled at 1/8 res (probe-ish
@@ -327,10 +332,21 @@ def update_cache(
     With inject_round_robin one cascade updates per call (amortized like
     the reference's cascade scrolling updates)."""
     s = cfg.inject_stride
-    pos = gbuf.position_tw[::s, ::s].reshape(-1, 3)
-    rad = lit_color[::s, ::s].reshape(-1, 3)
-    nrm = gbuf.normal[::s, ::s].reshape(-1, 3)
-    val = gbuf.valid[::s, ::s].reshape(-1)
+    if cfg.inject_jitter and frame_count is not None:
+        # advance the phase once per full cascade round; ×5 scrambles the
+        # visit order (gcd(5, s^2) = 1 for power-of-two strides)
+        j = jnp.remainder((frame_count // max(cfg.cascades, 1)) * 5, s * s)
+        oy, ox = j // s, j % s
+
+        def sub(a):
+            return jnp.roll(a, (-oy, -ox), axis=(0, 1))[::s, ::s]
+    else:
+        def sub(a):
+            return a[::s, ::s]
+    pos = sub(gbuf.position_tw).reshape(-1, 3)
+    rad = sub(lit_color).reshape(-1, 3)
+    nrm = sub(gbuf.normal).reshape(-1, 3)
+    val = sub(gbuf.valid).reshape(-1)
     only = None
     if cfg.inject_round_robin and frame_count is not None:
         only = jnp.remainder(frame_count, cfg.cascades)

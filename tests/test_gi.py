@@ -92,3 +92,41 @@ def test_ssao_corner_darker_than_plane():
     corner_ao = ao[:, int(w * 9 / 10) - 3: int(w * 9 / 10)].mean()
     assert open_ao > corner_ao, f"open {open_ao} corner {corner_ao}"
     assert 0.0 <= ao.min() and ao.max() <= 1.0
+
+
+def test_inject_jitter_cycles_phase():
+    """With jitter on, different frames inject different gbuffer pixels
+    (sub-stride detail reaches the cache over time)."""
+    import jax.numpy as jnp
+
+    from chord_tpu.ops import gi as gi_ops
+    from chord_tpu.ops.shading import GBuffer
+
+    cfg = gi_ops.GIConfig(cascades=1, probe_dim=8, inject_stride=8,
+                          inject_round_robin=False, inject_jitter=True,
+                          temporal_alpha=1.0)
+    h = w = 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    pos = np.stack([xx * 0.1, np.ones_like(xx), yy * 0.1], -1)
+    g = GBuffer(valid=jnp.ones((h, w), bool),
+                position_tw=jnp.asarray(pos, jnp.float32),
+                normal=jnp.broadcast_to(jnp.asarray([0., 1., 0.]),
+                                        (h, w, 3)),
+                base_color=jnp.zeros((h, w, 3)), metallic=jnp.zeros((h, w)),
+                roughness=jnp.ones((h, w)), emissive=jnp.zeros((h, w, 3)),
+                uv=jnp.zeros((h, w, 2)), motion=jnp.zeros((h, w, 2)))
+    # radiance varies at PIXEL scale: only visible to a moving phase
+    lit = jnp.asarray(((xx % 8 == 1) & (yy % 8 == 0)).astype(np.float32)
+                      [..., None] * np.array([5.0, 0.0, 0.0]), jnp.float32)
+    cache0 = jnp.zeros(gi_ops.sh_size(cfg))
+    cam = jnp.zeros(3)
+    a = gi_ops.update_cache(cache0, g, lit, cam, cfg,
+                            frame_count=jnp.asarray(0))
+    # phase j=5 -> ox=5: samples columns 5,13,... (misses the bright px)
+    b = gi_ops.update_cache(cache0, g, lit, cam, cfg,
+                            frame_count=jnp.asarray(1))
+    # some phase difference must show up in the injected energy
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    # phase 0 sees no bright pixels (they sit at x%8==1), later phases do
+    la, lb = float(jnp.abs(a).sum()), float(jnp.abs(b).sum())
+    assert la != lb
