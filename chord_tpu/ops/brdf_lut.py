@@ -67,7 +67,15 @@ def build_env_brdf_lut(samples: int = 256) -> jnp.ndarray:
     (A, B), _ = jax.lax.scan(accum,
                              (jnp.zeros_like(nov_g), jnp.zeros_like(nov_g)),
                              xi)
-    return jnp.stack([A, B], -1) / samples
+    A = A / samples
+    B = B / samples
+    # Energy conservation: the Smith visibility term blows up at grazing
+    # NoV (first texel rows), where F = f0*A + B would exceed 1. Clamp the
+    # pair's sum to 1 (the integrand itself never exceeds it; the excess
+    # is 1/NoV estimator noise).
+    s = A + B
+    scale = jnp.minimum(1.0, 1.0 / jnp.maximum(s, 1e-6))
+    return jnp.stack([A * scale, B * scale], -1)
 
 
 def env_specular(lut: jnp.ndarray, f0: jnp.ndarray, roughness: jnp.ndarray,

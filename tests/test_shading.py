@@ -96,3 +96,22 @@ def test_brdf_energy_sanity():
     out_sh = np.asarray(shading.shade_pixels(
         g, sun, sun_shadow=jnp.zeros((h, w))))
     assert out_sh.max() < 1e-6
+
+
+def test_env_brdf_lut_properties():
+    """Split-sum LUT (reference: shader/brdf_lut.hlsl): energy bounds and
+    monotonicity sanity."""
+    import numpy as np
+
+    from chord_tpu.ops.brdf_lut import LUT_SIZE, build_env_brdf_lut
+
+    lut = np.asarray(build_env_brdf_lut(samples=256))
+    assert lut.shape == (LUT_SIZE, LUT_SIZE, 2)
+    assert np.isfinite(lut).all()
+    a, b = lut[..., 0], lut[..., 1]
+    # F = f0*A + B must respect energy conservation for any f0 in [0,1]
+    assert (a >= 0).all() and (b >= -1e-3).all()
+    assert (a + b <= 1.0 + 1e-5).all()
+    # at high NoV, smooth surfaces reflect more than rough ones (A+B)
+    hi_nov = lut[-1]
+    assert hi_nov[1, :2].sum() > hi_nov[-1, :2].sum()

@@ -112,3 +112,44 @@ def test_lru_cache():
     assert "b" not in c and "a" in c and "c" in c
     assert c.get("b") is None
     assert c.hits == 1 and c.misses == 1
+
+
+def test_frame_and_pass_timers():
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from chord_tpu.utils.timer import FrameTimer, PassTimers, time_jitted
+
+    ft = FrameTimer()
+    ft.tick()
+    _time.sleep(0.01)
+    dt = ft.tick()
+    assert 0.005 < dt < 0.5 and ft.frame_index == 2
+    assert ft.fps > 0
+
+    pt = PassTimers()
+    x = jnp.ones((8, 8))
+    with pt.measure("square", x):
+        y = x * x
+    with pt.scope("inside-jit-label"):     # named_scope passthrough
+        _ = y + 1
+    assert "square" in pt.ms and pt.ms["square"] >= 0.0
+    assert "square" in pt.table()
+
+    import jax
+    r = time_jitted(jax.jit(lambda a: a * 2), x, warmup=1, iters=3)
+    assert r["min_ms"] <= r["mean_ms"] <= r["max_ms"]
+
+
+def test_log_taps():
+    from chord_tpu.utils.log import get_logger, pop_tap, push_tap
+
+    seen = []
+    push_tap(seen.append)
+    log = get_logger("test.taps")
+    log.info("hello-tap-%d", 42)
+    pop_tap(seen.append)
+    log.info("after-pop")
+    assert any("hello-tap-42" in m for m in seen)
+    assert not any("after-pop" in m for m in seen)
