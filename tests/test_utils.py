@@ -153,3 +153,23 @@ def test_log_taps():
     log.info("after-pop")
     assert any("hello-tap-42" in m for m in seen)
     assert not any("after-pop" in m for m in seen)
+
+
+def test_renderer_config_from_cvars():
+    from chord_tpu.renderer.deferred import RendererConfig
+    from chord_tpu.utils.cvar import cvars
+
+    old_w = cvars.get("r.render.width")
+    old_bloom = cvars.get("r.bloom.enable")
+    try:
+        cvars.set("r.render.width", 640)
+        cvars.set("r.bloom.enable", False)
+        c = RendererConfig.from_cvars(height=360)
+        assert c.width == 640 and c.height == 360
+        assert c.enable_bloom is False
+        # explicit overrides win over cvars
+        c2 = RendererConfig.from_cvars(width=320)
+        assert c2.width == 320
+    finally:
+        cvars.set("r.render.width", old_w)
+        cvars.set("r.bloom.enable", old_bloom)
