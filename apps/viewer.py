@@ -44,8 +44,12 @@ def build_scene(name: str):
         raise SystemExit("scene assets: load via SceneSubsystem (see "
                          "tests/test_scene.py) — viewer supports "
                          "procedural + glTF")
-    scene = load_gltf(p)
+    from chord_tpu.asset.texture import TexturePool
+
+    tp = TexturePool(512)
+    scene = load_gltf(p, texture_pool=tp)
     b = into_builder(scene, SceneBuilder())
+    b.texture_pool = tp if tp.textures else None     # picked up in main()
     # frame the scene bounds
     los = [m.local_aabb()[0] for m in b.meshes]
     his = [m.local_aabb()[1] for m in b.meshes]
@@ -124,7 +128,9 @@ def main() -> int:
     log = get_logger("viewer")
     b, cam_pos, target = build_scene(args.scene)
     use_nanite = available() and not args.no_nanite
-    pools = build_meshlet_pools(b, nanite=use_nanite)
+    tex_pool = getattr(b, "texture_pool", None)
+    pools = build_meshlet_pools(b, nanite=use_nanite,
+                                texture_pool=tex_pool)
     log.info("scene ready: %d meshlets, %d pairs, nanite=%s",
              pools.num_meshlets, pools.num_pairs, use_nanite)
 
@@ -135,7 +141,11 @@ def main() -> int:
                        interpret=interpret),
         MeshletFrameConfig(draw_capacity=8192, occlusion=True,
                            shadows=args.shadows, atmosphere=args.atmosphere,
-                           gi=args.gi, debug_mode=args.debug))
+                           gi=args.gi, debug_mode=args.debug,
+                           # glTF with textures -> full textured shading
+                           textured=tex_pool is not None,
+                           normal_mapped=tex_pool is not None,
+                           pbr_textures=tex_pool is not None))
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
