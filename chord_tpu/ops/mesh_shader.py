@@ -41,7 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .raster import TriangleSetup, WINDOW
+from .raster import TriangleSetup, WINDOW, _sub_bounds
 
 COEF_ROWS = 40
 
@@ -49,7 +49,7 @@ COEF_ROWS = 40
 def _mesh_shader_kernel(dm_ref, tcnt_ref, count_ref,
                         mat_ref, pos_ref, attr_ref, coef_ref,
                         *, width: int, height: int, payload_base: int,
-                        backface_cull: bool):
+                        backface_cull: bool, sort_tris: bool):
     i = pl.program_id(0)
     count = count_ref[0]
     eps_w = 1e-6
@@ -177,39 +177,76 @@ def _mesh_shader_kernel(dm_ref, tcnt_ref, count_ref,
         a1 = attr_corner(5)
         a2 = attr_corner(10)
 
-        rows = [l0[0], l1[0], l2[0], N[0], D[0],
-                l0[1], l1[1], l2[1], N[1], D[1],
-                l0[2], l1[2], l2[2], N[2], D[2]]
         validf = valid.astype(jnp.float32)
         poison_c = jnp.where(valid, 0.0, -1.0)
+        raster_rows = [l0[0], l1[0], l2[0], N[0], D[0],
+                       l0[1], l1[1], l2[1], N[1], D[1],
+                       l0[2], l1[2], l2[2], N[2], D[2]]
+        out_rows = []
         for r in range(COEF_ROWS):
             if r < 10:
-                coef_ref[r:r + 1, :] = bc(rows[r] * validf)
+                out_rows.append(bc(raster_rows[r] * validf))
             elif r < 15:
                 # poison the constant rows of invalid lanes (λc = -1)
-                coef_ref[r:r + 1, :] = bc(
-                    jnp.where(valid, rows[r], poison_c))
+                out_rows.append(bc(
+                    jnp.where(valid, raster_rows[r], poison_c)))
             elif r == 15:
-                coef_ref[r:r + 1, :] = payload
+                out_rows.append(payload)
             elif r < 31:
                 k = (r - 16) // 3
                 comp = (r - 16) % 3
                 attr_k = (a0[k], a1[k], a2[k])
                 plane = (attr_k[0] * l0[comp] + attr_k[1] * l1[comp] +
                          attr_k[2] * l2[comp])
-                coef_ref[r:r + 1, :] = bc(plane * validf)
+                out_rows.append(bc(plane * validf))
             elif r == 31:
-                coef_ref[r:r + 1, :] = bc(validf)
+                out_rows.append(bc(validf))
             elif r == 32:
-                coef_ref[r:r + 1, :] = bc(jnp.where(valid, ix0, 1e9))
+                out_rows.append(bc(jnp.where(valid, ix0, 1e9)))
             elif r == 33:
-                coef_ref[r:r + 1, :] = bc(jnp.where(valid, iy0, 1e9))
+                out_rows.append(bc(jnp.where(valid, iy0, 1e9)))
             elif r == 34:
-                coef_ref[r:r + 1, :] = bc(jnp.where(valid, ix1, -1.0))
+                out_rows.append(bc(jnp.where(valid, ix1, -1.0)))
             elif r == 35:
-                coef_ref[r:r + 1, :] = bc(jnp.where(valid, iy1, -1.0))
+                out_rows.append(bc(jnp.where(valid, iy1, -1.0)))
             else:
-                coef_ref[r:r + 1, :] = jnp.zeros((1, WINDOW), jnp.uint32)
+                out_rows.append(jnp.zeros((1, WINDOW), jnp.uint32))
+        blk = jnp.concatenate(out_rows, axis=0)            # (R, 128) u32
+
+        if sort_tris:
+            # In-window counting sort by (invalid, y-bucket, x-bucket):
+            # invalid triangles compact to the TAIL (their subwindows end
+            # up empty -> the raster kernel's per-subwindow bounds skip
+            # them entirely), and each surviving 128/S-triangle group
+            # becomes spatially tight, shrinking its row loop. The
+            # permutation is applied with one-hot MXU matmuls on exact
+            # 16-bit halves (bit patterns can't ride f32 matmuls whole:
+            # 24-bit bf16x3 mantissa; two u16 halves are exact).
+            key = jnp.where(valid,
+                            jnp.floor(iy0 * 0.125) * 64.0 +
+                            jnp.floor(ix0 * 0.03125),
+                            jnp.float32(20000.0))          # (1,128)
+            keyj = key + jax.lax.broadcasted_iota(
+                jnp.int32, (1, WINDOW), 1).astype(jnp.float32) * \
+                (1.0 / 256.0)                               # stable tiebreak
+            a_m = jnp.broadcast_to(keyj, (WINDOW, WINDOW))   # A[i,j]=key_j
+            b_m = jnp.transpose(a_m)                         # B[i,j]=key_i
+            rank = jnp.sum((a_m < b_m).astype(jnp.float32), axis=1,
+                           keepdims=True)                    # (128,1)
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (1, WINDOW), 1).astype(jnp.float32)
+            perm = (rank == lane).astype(jnp.float32)        # P[i,r]
+            blk_i = jax.lax.bitcast_convert_type(blk, jnp.int32)
+            hi = jax.lax.shift_right_logical(blk_i, 16).astype(jnp.float32)
+            lo = (blk_i & 0xFFFF).astype(jnp.float32)
+            ph = jax.lax.dot(hi, perm,
+                             precision=jax.lax.Precision.HIGHEST)
+            plo = jax.lax.dot(lo, perm,
+                              precision=jax.lax.Precision.HIGHEST)
+            blk = jax.lax.bitcast_convert_type(
+                jax.lax.shift_left(ph.astype(jnp.int32), 16) |
+                plo.astype(jnp.int32), jnp.uint32)
+        coef_ref[:, :] = blk
 
 
 def mesh_shader_setup(
@@ -221,12 +258,15 @@ def mesh_shader_setup(
     width: int, height: int,
     payload_base: int = 0,
     backface_cull: bool = True,
+    sort_tris: bool = True,
+    sub_s: int = 4,
     interpret: bool = False,
 ) -> TriangleSetup:
     """Run the mesh-shader kernel -> TriangleSetup for bin_windows/raster.
 
     The returned coefT already contains attribute planes (R=40), so
-    RasterConfig must have with_attrs=True."""
+    RasterConfig must have with_attrs=True. sort_tris compacts + spatially
+    sorts each window in-kernel (see _mesh_shader_kernel)."""
     cap = capacity
     n_meshlets = pools.meshlet_sphere.shape[0]
     slot = jnp.arange(cap, dtype=jnp.int32)
@@ -264,7 +304,7 @@ def mesh_shader_setup(
     coefT = pl.pallas_call(
         functools.partial(_mesh_shader_kernel, width=width, height=height,
                           payload_base=payload_base,
-                          backface_cull=backface_cull),
+                          backface_cull=backface_cull, sort_tris=sort_tris),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((COEF_ROWS, cap * WINDOW),
                                        jnp.uint32),
@@ -283,6 +323,12 @@ def mesh_shader_setup(
     wy1 = jnp.where(valid, f(35), -1.0).max(1).astype(jnp.int32)
     window_valid = valid.any(1)
     window_bbox = jnp.stack([wx0, wy0, wx1, wy1], 0)
+    big_i = jnp.int32(1 << 29)
+    vflat = valid.reshape(-1)
+    iv = lambda r, pois: jnp.where(
+        vflat, f(r).reshape(-1).astype(jnp.int32), pois)
+    sub_bounds = _sub_bounds(iv(33, big_i), iv(35, -1),
+                             iv(32, big_i), iv(34, -1), cap, sub_s)
 
     neg1 = np.float32(-1.0).view(np.uint32)
     poison_np = np.zeros(COEF_ROWS, np.uint32)
@@ -292,4 +338,4 @@ def mesh_shader_setup(
                                  (COEF_ROWS, WINDOW))], axis=1)
     return TriangleSetup(coefT=coefT, window_bbox=window_bbox,
                          window_valid=window_valid,
-                         valid=valid.reshape(-1))
+                         valid=valid.reshape(-1), sub_bounds=sub_bounds)

@@ -67,6 +67,14 @@ class RasterConfig(NamedTuple):
                                   # (32px sub-tile binning; narrow windows
                                   # stop paying for unused lanes)
     with_attrs: bool = False      # interpolate normal+uv planes in-kernel
+    sub_s: int = 4                # subwindows per window: the kernel loops
+                                  # S groups of 128/S triangles, each with
+                                  # its own y-bounds + x-skip, so row work
+                                  # scales with each GROUP's bbox, not the
+                                  # whole window's (Morton-ordered meshlet
+                                  # triangles make groups spatially tight).
+                                  # Measured on-device (bench scene, 1080p):
+                                  # S=4 ≈ 0.52x the S=1 vreg work.
     interpret: bool = False       # pallas interpreter (CPU tests)
 
     @property
@@ -118,6 +126,10 @@ class TriangleSetup:
     window_bbox: jnp.ndarray   # (4, D) i32 [x0,y0,x1,y1] inclusive
     window_valid: jnp.ndarray  # (D,) bool — any valid triangle
     valid: jnp.ndarray         # (T,) bool per-triangle
+    # per-subwindow bounds [y0, y1, x0, x1] over groups of 128/S
+    # consecutive triangles, poison window included: (4, (D+1)*S) i32.
+    # None -> the raster kernel falls back to whole-window bounds.
+    sub_bounds: Optional[jnp.ndarray] = None
 
     @property
     def num_windows(self) -> int:   # D (static, from shape)
@@ -242,18 +254,30 @@ def setup_triangles(
     if config.with_attrs:
         assert attrs is not None and attrs.shape[1] == 5, \
             "with_attrs needs (V,5) attributes (nx,ny,nz,u,v)"
+    if n_rows == 40:
         # Attribute numerator planes: attr(p) = (Σ λ_i a_i)(p) / Σ λ_i(p);
         # each plane = a0*l0 + a1*l1 + a2*l2, componentwise over (a,b,c)
         # (the in-rasterizer analog of the reference's attribute
         # interpolation in lighting.hlsl:310-360).
-        a0 = attrs[indices[:, 0]]
-        a1 = attrs[indices[:, 1]]
-        a2 = attrs[indices[:, 2]]
-        for k in range(5):
-            for comp in range(3):
-                plane = (a0[:, k] * (l0[comp]) + a1[:, k] * (l1[comp]) +
-                         a2[:, k] * (l2[comp]))
-                rows.append(bc(plane))
+        if attrs is not None:
+            a0 = attrs[indices[:, 0]]
+            a1 = attrs[indices[:, 1]]
+            a2 = attrs[indices[:, 2]]
+            for k in range(5):
+                for comp in range(3):
+                    plane = (a0[:, k] * (l0[comp]) + a1[:, k] * (l1[comp]) +
+                             a2[:, k] * (l2[comp]))
+                    rows.append(bc(plane))
+        else:
+            rows.extend([jnp.zeros_like(payload)] * 15)
+        # rows 31-35: valid flag + per-triangle pixel bbox (the tri
+        # kernel's skip test / brick bounds; layout matches
+        # ops/mesh_shader.py rows 31-35)
+        rows.append(bc(valid.astype(jnp.float32)))
+        rows.append(bc(jnp.where(valid, ix0.astype(jnp.float32), 1e9)))
+        rows.append(bc(jnp.where(valid, iy0.astype(jnp.float32), 1e9)))
+        rows.append(bc(jnp.where(valid, ix1.astype(jnp.float32), -1.0)))
+        rows.append(bc(jnp.where(valid, iy1.astype(jnp.float32), -1.0)))
         while len(rows) < n_rows:
             rows.append(jnp.zeros_like(payload))   # pad to coef_rows
     coefT = jnp.stack(rows, axis=0)                              # (R,T) u32
@@ -274,8 +298,30 @@ def setup_triangles(
     wy1 = jnp.where(valid, iy1, -1).reshape(d, WINDOW).max(1)
     window_valid = valid.reshape(d, WINDOW).any(1)
     window_bbox = jnp.stack([wx0, wy0, wx1, wy1], axis=0)
+    sub_bounds = _sub_bounds(
+        jnp.where(valid, iy0, big_i), jnp.where(valid, iy1, -1),
+        jnp.where(valid, ix0, big_i), jnp.where(valid, ix1, -1),
+        d, config.sub_s)
     return TriangleSetup(coefT=coefT, window_bbox=window_bbox,
-                         window_valid=window_valid, valid=valid)
+                         window_valid=window_valid, valid=valid,
+                         sub_bounds=sub_bounds)
+
+
+def _sub_bounds(iy0, iy1, ix0, ix1, d: int, s: int) -> jnp.ndarray:
+    """Per-subwindow [y0,y1,x0,x1] over groups of 128/s consecutive
+    triangles (+ s poison entries for the slack window): (4, (d+1)*s)."""
+    cs = WINDOW // s
+    y0 = iy0.reshape(d, s, cs).min(2).reshape(-1)
+    y1 = iy1.reshape(d, s, cs).max(2).reshape(-1)
+    x0 = ix0.reshape(d, s, cs).min(2).reshape(-1)
+    x1 = ix1.reshape(d, s, cs).max(2).reshape(-1)
+    pois_lo = jnp.full((s,), 1 << 29, jnp.int32)
+    pois_hi = jnp.full((s,), -1, jnp.int32)
+    return jnp.stack([
+        jnp.concatenate([y0.astype(jnp.int32), pois_lo]),
+        jnp.concatenate([y1.astype(jnp.int32), pois_hi]),
+        jnp.concatenate([x0.astype(jnp.int32), pois_lo]),
+        jnp.concatenate([x1.astype(jnp.int32), pois_hi])], axis=0)
 
 
 class WorkQueue(NamedTuple):
@@ -372,21 +418,33 @@ def bin_windows(setup: TriangleSetup, config: RasterConfig) -> WorkQueue:
 
 
 def _raster_tile_kernel(win_ref, start_ref, count_ref,
-                        wy0_ref, wy1_ref,         # scalar prefetch
+                        sy0_ref, sy1_ref, sx0_ref, sx1_ref,  # (D+1)*S bounds
                         coef_hbm,                 # (R,(D+1)*128) ANY
                         *refs,                    # seeds, outs, scratch
                         config: RasterConfig):
     """One grid step = one screen tile: loop over the tile's binned windows
-    with double-buffered HBM->VMEM coefficient DMA; per window, an inner
-    dynamic loop covers only the tile rows inside the window's y-bbox
-    (work scales with actual coverage, not tile area). Accumulators live
-    in VMEM scratch, written back once per tile.
+    with double-buffered HBM->VMEM coefficient DMA; per window, process its
+    S subwindows (groups of 128/S consecutive triangles), each through an
+    inner dynamic row loop over only the tile rows inside THAT GROUP's
+    y-bbox, with a scalar x-overlap skip. Meshlet triangles are Morton-
+    ordered at build time, so consecutive groups are spatially tight —
+    row work tracks each group's real coverage instead of the window
+    union's (measured ~0.5x the vreg work at S=4 on the bench scene).
+    Accumulators live in VMEM scratch, written back once per tile.
 
-    Without attrs (R=16): (depth, payload); with attrs (R=32) also
+    Without attrs (R=16): (depth, payload); with attrs (R=40) also
     interpolates 5 attribute planes (nx,ny,nz,u,v) for the winner — the
     in-rasterizer replacement for per-pixel attribute gathers (the
     reference re-fetches vertex data per pixel in lighting.hlsl:270-360;
-    on TPU random gathers cost more than recomputing planes here).
+    on TPU random gathers cost more than recomputing planes here — a
+    (H,W)x16 payload-indexed gather measures ~100 ms at 1080p).
+
+    Design notes from rejected alternatives (measured on v5e): a
+    triangle-sequential scalar kernel (per-triangle SMEM scalars + brick
+    loop) costs ~200+ cycles per triangle VISIT in Mosaic scalar code —
+    slower than the dense vector math it avoids; MXU edge evaluation
+    wastes 42x on the K=3 contraction. Full-lane vector math with
+    data-dependent LOOP BOUNDS (this kernel) is the shape that fits.
 
     coef window (R, 128): sublanes = coefficients
     [λ0a,λ1a,λ2a,Na,Da | *b | *c | payload@15 | 15 attr-plane coeffs...],
@@ -399,7 +457,10 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,
     n_rt = 2 + n_attr
     seeds = refs[:n_rt]
     outs = refs[n_rt:2 * n_rt]
-    coef_scr, acc, acc_v_scr, sems = refs[2 * n_rt:]
+    coef_scr, blkT_scr, acc, acc_v_scr, sems = refs[2 * n_rt:]
+
+    s_cnt = c.sub_s
+    cs = WINDOW // s_cnt
 
     tile = pl.program_id(0)
     start = start_ref[tile]
@@ -407,6 +468,7 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,
     tile_ty = tile // c.tiles_x
     tile_tx = tile % c.tiles_x
     tile_py0 = tile_ty * c.tile_h
+    tile_px0 = tile_tx * c.tile_w
 
     # init accumulators from the seed tiles (payload stays int32: its bit
     # patterns are denormal as floats and would be flushed by f32 math)
@@ -426,7 +488,7 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,
         dma(0, 0).start()
 
     px = jax.lax.broadcasted_iota(jnp.int32, (1, c.tile_w), 1).astype(
-        jnp.float32) + (tile_tx * c.tile_w).astype(jnp.float32)   # (1, TW)
+        jnp.float32) + jnp.float32(tile_px0)                      # (1, TW)
 
     f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
     NEG = jnp.float32(-3e38)
@@ -434,64 +496,81 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,
     def body(j, carry):
         slot = j % 2
         win = win_ref[start + j]
-        y0 = jnp.clip(wy0_ref[win] - tile_py0, 0, c.tile_h)
-        y1 = jnp.clip(wy1_ref[win] + 1 - tile_py0, 0, c.tile_h)
 
         @pl.when(j + 1 < count)
         def _prefetch():
             dma(j + 1, (j + 1) % 2).start()
 
         dma(j, slot).wait()
-        blk = jnp.transpose(coef_scr[slot])               # (R,128)->(128,R)
-        col = lambda k: f32(blk[:, k:k + 1])              # (C,1)
-        a = [col(k) for k in range(5)]
-        b = [col(5 + k) for k in range(5)]
-        cc = [col(10 + k) for k in range(5)]
-        pay = jax.lax.bitcast_convert_type(blk[:, 15:16], jnp.int32)
-        if n_attr:
-            aa = [col(16 + 3 * k) for k in range(n_attr)]
-            ab = [col(17 + 3 * k) for k in range(n_attr)]
-            ac = [col(18 + 3 * k) for k in range(n_attr)]
+        # materialize the transpose ONCE into scratch — consuming it as a
+        # lazy value would re-run the (expensive) relayout per slice below
+        blkT_scr[:, :] = jnp.transpose(coef_scr[slot])    # (R,128)->(128,R)
 
-        ex = [a[k] * px for k in range(5)]                # (C, TW)
-        if n_attr:
-            exa = [aa[k] * px for k in range(n_attr)]
+        for s in range(s_cnt):
+            base = win * s_cnt + s
+            y0 = jnp.clip(sy0_ref[base] - tile_py0, 0, c.tile_h)
+            y1 = jnp.clip(sy1_ref[base] + 1 - tile_py0, 0, c.tile_h)
+            # x-overlap skip folds into the row bounds (no scalar branch)
+            xok = (sx1_ref[base] >= tile_px0) & \
+                  (sx0_ref[base] < tile_px0 + c.tile_w)
+            y1 = jnp.where(xok, y1, 0)
 
-        def row_body(row, _):
-            yf = (tile_py0 + row).astype(jnp.float32)
-            l0 = ex[0] + (b[0] * yf + cc[0])
-            l1 = ex[1] + (b[1] * yf + cc[1])
-            l2 = ex[2] + (b[2] * yf + cc[2])
-            zn = ex[3] + (b[3] * yf + cc[3])
-            zd = ex[4] + (b[4] * yf + cc[4])
-            covered = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0) & \
-                      (zd > 0.0) & (zn > 0.0) & (zn <= zd)
-            z = zn / jnp.where(covered, zd, 1.0)
-            cand = jnp.where(covered, z, 0.0)             # (C, TW)
-            best = jnp.max(cand, axis=0, keepdims=True)   # (1, TW)
-            winner = (cand == best) & (cand > 0.0)
-            pay_sel = jnp.max(jnp.where(winner, pay, 0), axis=0,
-                              keepdims=True)
-            rs = pl.ds(row, 1)
-            acc_d = acc[0, rs, :]
-            acc_v = acc_v_scr[rs, :]
-            better = best > acc_d
-            tie = (best == acc_d) & (pay_sel > acc_v)
-            take = better | tie
-            acc[0, rs, :] = jnp.where(take, best, acc_d)
-            acc_v_scr[rs, :] = jnp.where(take, pay_sel, acc_v)
+            sub = blkT_scr[s * cs:(s + 1) * cs, :]        # (cs, R)
+            col = lambda k: f32(sub[:, k:k + 1])          # (cs, 1)
+            a = [col(k) for k in range(5)]
+            b = [col(5 + k) for k in range(5)]
+            cc = [col(10 + k) for k in range(5)]
+            pay = jax.lax.bitcast_convert_type(sub[:, 15:16], jnp.int32)
             if n_attr:
-                ssum = l0 + l1 + l2
-                inv_s = 1.0 / jnp.where(covered, ssum, 1.0)
-                for k in range(n_attr):
-                    val = (exa[k] + (ab[k] * yf + ac[k])) * inv_s
-                    sel = jnp.max(jnp.where(winner, val, NEG), axis=0,
-                                  keepdims=True)
-                    acc[1 + k, rs, :] = jnp.where(take, sel,
-                                                  acc[1 + k, rs, :])
-            return 0
+                aa = [col(16 + 3 * k) for k in range(n_attr)]
+                ab = [col(17 + 3 * k) for k in range(n_attr)]
+                ac = [col(18 + 3 * k) for k in range(n_attr)]
 
-        jax.lax.fori_loop(y0, y1, row_body, 0)
+            ex = [a[k] * px for k in range(5)]            # (cs, TW)
+            if n_attr:
+                exa = [aa[k] * px for k in range(n_attr)]
+
+            attrs3 = (exa, ab, ac) if n_attr else None
+
+            def make_row_body(b, cc, ex, pay, attrs3):
+                def row_body(row, _):
+                    yf = (tile_py0 + row).astype(jnp.float32)
+                    l0 = ex[0] + (b[0] * yf + cc[0])
+                    l1 = ex[1] + (b[1] * yf + cc[1])
+                    l2 = ex[2] + (b[2] * yf + cc[2])
+                    zn = ex[3] + (b[3] * yf + cc[3])
+                    zd = ex[4] + (b[4] * yf + cc[4])
+                    covered = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0) & \
+                              (zd > 0.0) & (zn > 0.0) & (zn <= zd)
+                    z = zn / jnp.where(covered, zd, 1.0)
+                    cand = jnp.where(covered, z, 0.0)     # (cs, TW)
+                    best = jnp.max(cand, axis=0, keepdims=True)  # (1, TW)
+                    winner = (cand == best) & (cand > 0.0)
+                    pay_sel = jnp.max(jnp.where(winner, pay, 0), axis=0,
+                                      keepdims=True)
+                    rs = pl.ds(row, 1)
+                    acc_d = acc[0, rs, :]
+                    acc_v = acc_v_scr[rs, :]
+                    better = best > acc_d
+                    tie = (best == acc_d) & (pay_sel > acc_v)
+                    take = better | tie
+                    acc[0, rs, :] = jnp.where(take, best, acc_d)
+                    acc_v_scr[rs, :] = jnp.where(take, pay_sel, acc_v)
+                    if attrs3 is not None:
+                        exa_, ab_, ac_ = attrs3
+                        ssum = l0 + l1 + l2
+                        inv_s = 1.0 / jnp.where(covered, ssum, 1.0)
+                        for k in range(n_attr):
+                            val = (exa_[k] + (ab_[k] * yf + ac_[k])) * inv_s
+                            sel = jnp.max(jnp.where(winner, val, NEG),
+                                          axis=0, keepdims=True)
+                            acc[1 + k, rs, :] = jnp.where(
+                                take, sel, acc[1 + k, rs, :])
+                    return 0
+                return row_body
+
+            jax.lax.fori_loop(y0, y1,
+                              make_row_body(b, cc, ex, pay, attrs3), 0)
         return carry
 
     jax.lax.fori_loop(0, count, body, 0)
@@ -533,7 +612,7 @@ def raster_queue(
     for k in range(n_attr):
         seed_arrays.append(padded(seeds[2 + k], 0.0, jnp.float32))
 
-    def tile_block(i, pw, st, ct, wy0, wy1):
+    def tile_block(i, pw, st, ct, sy0, sy1, sx0, sx1):
         return (i // c.tiles_x, i % c.tiles_x)
 
     vmem_tile = pl.BlockSpec((c.tile_h, c.tile_w), tile_block,
@@ -541,20 +620,27 @@ def raster_queue(
     out_shapes = ([jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
                    jax.ShapeDtypeStruct((h_pad, w_pad), jnp.uint32)] +
                   [jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)] * n_attr)
-    # per-window pixel y-bbox for the dynamic row loop (+poison entry
-    # with y1 < y0 so slack windows cover no rows)
-    wy0 = jnp.concatenate([setup.window_bbox[1],
-                           jnp.full((1,), 1, jnp.int32)])
-    wy1 = jnp.concatenate([setup.window_bbox[3],
-                           jnp.full((1,), -1, jnp.int32)])
+    # per-subwindow pixel bboxes for the dynamic row loops (poison entries
+    # have y1 < y0 so slack windows cover no rows)
+    if setup.sub_bounds is not None and \
+            setup.sub_bounds.shape[1] == (setup.num_windows + 1) * c.sub_s:
+        sb = setup.sub_bounds
+    else:   # fall back to whole-window bounds replicated per subwindow
+        rep = lambda v, pois: jnp.concatenate(
+            [jnp.repeat(v, c.sub_s), jnp.full((c.sub_s,), pois, jnp.int32)])
+        sb = jnp.stack([rep(setup.window_bbox[1], 1),
+                        rep(setup.window_bbox[3], -1),
+                        rep(setup.window_bbox[0], 1),
+                        rep(setup.window_bbox[2], -1)], 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,   # pair_win, starts, counts, wy0, wy1
+        num_scalar_prefetch=7,   # pair_win, starts, counts, sy0/sy1/sx0/sx1
         grid=(c.n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] +   # coefT in HBM
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] +     # coefT in HBM
                  [vmem_tile] * n_rt,
         out_specs=[vmem_tile] * n_rt,
         scratch_shapes=[
             pltpu.VMEM((2, c.coef_rows, WINDOW), jnp.uint32),
+            pltpu.VMEM((WINDOW, c.coef_rows), jnp.uint32),
             pltpu.VMEM((1 + n_attr, c.tile_h, c.tile_w), jnp.float32),
             pltpu.VMEM((c.tile_h, c.tile_w), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -566,11 +652,9 @@ def raster_queue(
         out_shape=out_shapes,
         # CPU has no Mosaic backend — interpret there (tests/dry runs).
         interpret=c.interpret or jax.default_backend() == "cpu",
-    )(queue.pair_win, queue.starts, queue.counts, wy0, wy1,
-      setup.coefT, *seed_arrays)
+    )(queue.pair_win, queue.starts, queue.counts,
+      sb[0], sb[1], sb[2], sb[3], setup.coefT, *seed_arrays)
     return tuple(rt[:c.height, :c.width] for rt in rts)
-
-
 def rasterize(
     clip: jnp.ndarray,
     indices: jnp.ndarray,
