@@ -47,7 +47,7 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro"):
 
     cam = Camera(width=width, height=height)
     config = RendererConfig(width=width, height=height,
-                            pair_capacity=32768, big_capacity=512,
+                            pair_capacity=16384, big_capacity=64,
                             enable_bloom=True, enable_tsr=True,
                             tsr_mode="global")
     mcfg = MeshletFrameConfig(draw_capacity=4096, occlusion=True)

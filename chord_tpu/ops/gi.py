@@ -315,7 +315,8 @@ def diffuse_gi(
     irr_q = irr_q * conf_q[..., None]
     # nearest/bilinear upsample back to full res
     h, w = gbuf.valid.shape
-    irr = jnp.repeat(jnp.repeat(irr_q, k, axis=0), k, axis=1)[:h, :w]
+    from .post import upsample_nearest
+    irr = upsample_nearest(irr_q, k, h, w)
     return jnp.where(gbuf.valid[..., None], irr, 0.0)
 
 

@@ -63,8 +63,12 @@ def luminance_histogram(color_ap1: jnp.ndarray, cfg: ExposureConfig
     is_black = luma < 1e-5
     binf = jnp.where(is_black, 0.0, 1.0 + t * (HISTOGRAM_BINS - 2))
     bins = jnp.clip(binf.astype(jnp.int32), 0, HISTOGRAM_BINS - 1)
-    hist = jnp.zeros((HISTOGRAM_BINS,), jnp.float32).at[bins.reshape(-1)].add(
-        1.0, mode="drop")
+    # one-hot compare + sum, NOT .at[].add scatter: XLA lowers the scatter
+    # serially on TPU (~2.7 ms); the fused (N,BINS) compare-reduce is a
+    # plain reduction (~0.3 ms)
+    onehot = (bins.reshape(-1, 1) ==
+              jnp.arange(HISTOGRAM_BINS, dtype=jnp.int32)[None, :])
+    hist = jnp.sum(onehot.astype(jnp.float32), axis=0)
     return hist / jnp.maximum(jnp.sum(hist), 1.0)
 
 
@@ -115,19 +119,44 @@ class BloomConfig(NamedTuple):
     levels: int = 5
 
 
+def upsample_nearest(x: jnp.ndarray, k, out_h: int, out_w: int
+                     ) -> jnp.ndarray:
+    """k-x nearest upsample of (h,w[,c]) via stack+reshape (jnp.repeat
+    lowers to a multi-ms relayout on TPU; this is free). k may be an int
+    or an (kh, kw) pair."""
+    kh, kw = (k, k) if isinstance(k, int) else k
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[..., None]
+    h, w, c = x.shape
+    x = jnp.stack([x] * kh, 1).reshape(h * kh, w, c)
+    x = jnp.stack([x] * kw, 2).reshape(h * kh, w * kw, c)
+    x = x[:out_h, :out_w]
+    return x[..., 0] if squeeze else x
+
+
 def _downsample2(x: jnp.ndarray) -> jnp.ndarray:
-    """2x box downsample, (H,W,3); odd dims are edge-padded to even."""
+    """2x box downsample, (H,W,3); odd dims are edge-padded to even.
+
+    reduce_window, NOT reshape-mean: strided (h,2,w,2,c) reshapes relayout
+    across lanes and measure ~6x slower on TPU (5.2 vs 0.9 ms at 1080p)."""
     h, w, c = x.shape
     if h % 2 or w % 2:
         x = jnp.pad(x, ((0, h % 2), (0, w % 2), (0, 0)), mode="edge")
-        h, w = h + h % 2, w + w % 2
-    return x.reshape(h // 2, 2, w // 2, 2, c).mean(axis=(1, 3))
+    return jax.lax.reduce_window(x, 0.0, jax.lax.add, (2, 2, 1), (2, 2, 1),
+                                 "VALID") * 0.25
 
 
 def _upsample2(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """2x bilinear-ish upsample via nearest + 3x3 tent filter."""
-    up = jnp.repeat(jnp.repeat(x, 2, axis=0), 2, axis=1)[:out_h, :out_w]
-    # tent blur: separable [1,2,1]/4
+    """2x bilinear-ish upsample via nearest + 3x3 tent filter.
+
+    stack+reshape, NOT jnp.repeat: identical semantics but repeat lowers
+    to a ~5 ms relayout at 1080p while stack+reshape is free."""
+    h, w, c = x.shape
+    up = jnp.stack([x, x], 1).reshape(h * 2, w, c)
+    up = jnp.stack([up, up], 2).reshape(h * 2, w * 2, c)
+    up = up[:out_h, :out_w]
+    # tent blur: separable [1,2,1]/4 (rolls are cheap on TPU)
     k = jnp.array([0.25, 0.5, 0.25])
     up = (jnp.roll(up, 1, 0) * k[0] + up * k[1] + jnp.roll(up, -1, 0) * k[2])
     up = (jnp.roll(up, 1, 1) * k[0] + up * k[1] + jnp.roll(up, -1, 1) * k[2])

@@ -51,13 +51,14 @@ class RasterConfig(NamedTuple):
 
     width: int
     height: int
-    tile_h: int = 40              # taller tiles amortize per-pair overhead;
-                                  # the kernel's dynamic row bounds keep
-                                  # uncovered rows free. Must be a multiple
-                                  # of 8 (f32 sublane). Swept on-device at
-                                  # 1080p: 16/24/32 ≈ 144-146, 40-120 ≈
-                                  # 138-143 ms/frame — 40 is the stable pick
-                                  # that also divides 1080 evenly
+    tile_h: int = 120             # taller tiles amortize per-pair overhead;
+                                  # the kernel's dynamic row/pack bounds
+                                  # keep uncovered rows free. Must be a
+                                  # multiple of 8 (f32 sublane) and of
+                                  # sub_s (row packing). Swept on-device
+                                  # with the packed kernel at 1080p:
+                                  # 40≈32.0, 56≈30.8, 120≈30.4, 216≈29.8
+                                  # ms — 120 divides 1080 evenly
     tile_w: int = 128
     pair_capacity: int = 8192     # work-queue length: max (tile,window) pairs
     small_ky: int = 4             # small-path tile rows (window bbox height)
@@ -362,13 +363,17 @@ def bin_windows(setup: TriangleSetup, config: RasterConfig) -> WorkQueue:
             vals_l.append(win_ids)
 
     # Big path: compact big windows to a fixed list, expand vs all tiles.
-    big_rank = jnp.cumsum(big.astype(jnp.int32)) - 1
-    n_big = jnp.sum(big.astype(jnp.int32))
+    # (sort-compaction — element scatters lower serially on TPU)
+    big_i = big.astype(jnp.int32)
+    n_big = jnp.sum(big_i)
     big_overflow = jnp.maximum(n_big - c.big_capacity, 0)
-    slot = jnp.where(big & (big_rank < c.big_capacity), big_rank,
-                     c.big_capacity)
-    big_list = jnp.zeros((c.big_capacity + 1,), jnp.int32).at[slot].set(
-        win_ids, mode="drop")[:c.big_capacity]
+    _, big_sorted = jax.lax.sort((1 - big_i, win_ids), num_keys=1,
+                                 is_stable=True)
+    if big_sorted.shape[0] < c.big_capacity:
+        big_sorted = jnp.concatenate(
+            [big_sorted, jnp.zeros((c.big_capacity - big_sorted.shape[0],),
+                                   jnp.int32)])
+    big_list = big_sorted[:c.big_capacity]
     have = jax.lax.broadcasted_iota(
         jnp.int32, (c.big_capacity, 1), 0)[:, 0] < jnp.minimum(
             n_big, c.big_capacity)
@@ -490,6 +495,13 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,
     px = jax.lax.broadcasted_iota(jnp.int32, (1, c.tile_w), 1).astype(
         jnp.float32) + jnp.float32(tile_px0)                      # (1, TW)
 
+    # rows packed per inner iteration: RP*cs == WINDOW keeps packed ops
+    # at full (128, TW) width
+    RP = s_cnt
+    # sublane-group row offset column: group g handles row base+g
+    yoff_col = (jax.lax.broadcasted_iota(
+        jnp.int32, (RP * cs, 1), 0) // cs).astype(jnp.float32)
+
     f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
     NEG = jnp.float32(-3e38)
 
@@ -516,25 +528,34 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,
             y1 = jnp.where(xok, y1, 0)
 
             sub = blkT_scr[s * cs:(s + 1) * cs, :]        # (cs, R)
-            col = lambda k: f32(sub[:, k:k + 1])          # (cs, 1)
-            a = [col(k) for k in range(5)]
-            b = [col(5 + k) for k in range(5)]
-            cc = [col(10 + k) for k in range(5)]
+            # tile the group's coefficient columns RP times along sublanes:
+            # one inner iteration evaluates RP consecutive rows x cs
+            # triangles as full (RP*cs, TW) ops — a single per-row chain is
+            # LATENCY-bound (~350 cycles however few vregs it touches), so
+            # packing rows restores throughput-bound shapes while keeping
+            # the small per-group bounds.
+            rp = RP
+            col4 = lambda k: f32(jnp.concatenate(
+                [sub[:, k:k + 1]] * rp, axis=0))          # (rp*cs, 1)
+            a = [col4(k) for k in range(5)]
+            b = [col4(5 + k) for k in range(5)]
+            cc = [col4(10 + k) for k in range(5)]
             pay = jax.lax.bitcast_convert_type(sub[:, 15:16], jnp.int32)
             if n_attr:
-                aa = [col(16 + 3 * k) for k in range(n_attr)]
-                ab = [col(17 + 3 * k) for k in range(n_attr)]
-                ac = [col(18 + 3 * k) for k in range(n_attr)]
+                aa = [col4(16 + 3 * k) for k in range(n_attr)]
+                ab = [col4(17 + 3 * k) for k in range(n_attr)]
+                ac = [col4(18 + 3 * k) for k in range(n_attr)]
 
-            ex = [a[k] * px for k in range(5)]            # (cs, TW)
+            ex = [a[k] * px for k in range(5)]            # (rp*cs, TW)
             if n_attr:
                 exa = [aa[k] * px for k in range(n_attr)]
-
             attrs3 = (exa, ab, ac) if n_attr else None
 
-            def make_row_body(b, cc, ex, pay, attrs3):
-                def row_body(row, _):
-                    yf = (tile_py0 + row).astype(jnp.float32)
+            def make_pack_body(b, cc, ex, pay, attrs3):
+                def pack_body(p, _):
+                    # rows p*rp .. p*rp+rp-1; group g of the sublane dim
+                    # evaluates row p*rp+g for all cs triangles
+                    yf = yoff_col + (tile_py0 + p * rp).astype(jnp.float32)
                     l0 = ex[0] + (b[0] * yf + cc[0])
                     l1 = ex[1] + (b[1] * yf + cc[1])
                     l2 = ex[2] + (b[2] * yf + cc[2])
@@ -543,34 +564,41 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,
                     covered = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0) & \
                               (zd > 0.0) & (zn > 0.0) & (zn <= zd)
                     z = zn / jnp.where(covered, zd, 1.0)
-                    cand = jnp.where(covered, z, 0.0)     # (cs, TW)
-                    best = jnp.max(cand, axis=0, keepdims=True)  # (1, TW)
-                    winner = (cand == best) & (cand > 0.0)
-                    pay_sel = jnp.max(jnp.where(winner, pay, 0), axis=0,
-                                      keepdims=True)
-                    rs = pl.ds(row, 1)
-                    acc_d = acc[0, rs, :]
-                    acc_v = acc_v_scr[rs, :]
-                    better = best > acc_d
-                    tie = (best == acc_d) & (pay_sel > acc_v)
-                    take = better | tie
-                    acc[0, rs, :] = jnp.where(take, best, acc_d)
-                    acc_v_scr[rs, :] = jnp.where(take, pay_sel, acc_v)
+                    cand = jnp.where(covered, z, 0.0)     # (rp*cs, TW)
                     if attrs3 is not None:
                         exa_, ab_, ac_ = attrs3
                         ssum = l0 + l1 + l2
                         inv_s = 1.0 / jnp.where(covered, ssum, 1.0)
-                        for k in range(n_attr):
-                            val = (exa_[k] + (ab_[k] * yf + ac_[k])) * inv_s
-                            sel = jnp.max(jnp.where(winner, val, NEG),
+                        vals = [(exa_[k] + (ab_[k] * yf + ac_[k])) * inv_s
+                                for k in range(n_attr)]
+                    # RP independent per-row winner/merge chains
+                    for g in range(rp):
+                        cg = cand[g * cs:(g + 1) * cs, :]
+                        best = jnp.max(cg, axis=0, keepdims=True)  # (1,TW)
+                        winner = (cg == best) & (cg > 0.0)
+                        pay_sel = jnp.max(jnp.where(winner, pay, 0),
                                           axis=0, keepdims=True)
-                            acc[1 + k, rs, :] = jnp.where(
-                                take, sel, acc[1 + k, rs, :])
+                        rs = pl.ds(p * rp + g, 1)
+                        acc_d = acc[0, rs, :]
+                        acc_v = acc_v_scr[rs, :]
+                        take = (best > acc_d) | \
+                               ((best == acc_d) & (pay_sel > acc_v))
+                        acc[0, rs, :] = jnp.where(take, best, acc_d)
+                        acc_v_scr[rs, :] = jnp.where(take, pay_sel, acc_v)
+                        if attrs3 is not None:
+                            for k in range(n_attr):
+                                sel = jnp.max(
+                                    jnp.where(winner,
+                                              vals[k][g * cs:(g + 1) * cs,
+                                                      :], NEG),
+                                    axis=0, keepdims=True)
+                                acc[1 + k, rs, :] = jnp.where(
+                                    take, sel, acc[1 + k, rs, :])
                     return 0
-                return row_body
+                return pack_body
 
-            jax.lax.fori_loop(y0, y1,
-                              make_row_body(b, cc, ex, pay, attrs3), 0)
+            jax.lax.fori_loop(y0 // rp, (y1 + rp - 1) // rp,
+                              make_pack_body(b, cc, ex, pay, attrs3), 0)
         return carry
 
     jax.lax.fori_loop(0, count, body, 0)

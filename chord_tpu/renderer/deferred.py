@@ -130,7 +130,7 @@ class RendererConfig(NamedTuple):
     post_width: int = 0          # 0 = same as render (TSR upscale target)
     post_height: int = 0
     pair_capacity: int = 8192
-    big_capacity: int = 512
+    big_capacity: int = 128
     enable_bloom: bool = True
     enable_tsr: bool = True
     tsr_mode: str = "gather"         # or "global" (gather-free, fast)
@@ -141,6 +141,7 @@ class RendererConfig(NamedTuple):
     def raster_config(self) -> RasterConfig:
         return RasterConfig(
             width=self.width, height=self.height,
+            tile_h=int(cvars.get("r.raster.tileH")),
             pair_capacity=self.pair_capacity,
             big_capacity=self.big_capacity, subtiles=self.subtiles,
             interpret=self.interpret)

@@ -110,6 +110,12 @@ class MeshletFrameConfig(NamedTuple):
     textured: bool = False         # sample material base-color textures
     normal_mapped: bool = False    # tangent-space normal maps (needs textured)
     pbr_textures: bool = False     # metal-rough + emissive maps (ditto)
+    # alpha-masked material bucket (the reference's pipeline_filter +
+    # Masked raster permutation): masked draws cull/raster separately and
+    # punch through via a deferred per-pixel alpha test. One masked layer;
+    # shadows treat masked geometry as opaque.
+    alpha_masked: bool = False
+    masked_draw_capacity: int = 1024
     # debug visualization (reference: renderer/mesh/nanite_visualize.cpp):
     # none | meshlet | lod | normal | depth
     debug_mode: str = "none"
@@ -218,11 +224,12 @@ def render_frame_meshlet(
         prev_hzb = make_hzb(history.hzb_flat)
         # history invalid -> HZB all zeros -> everything passes (depth 0 =
         # far; occluded requires z_near < hzb which never fires at 0).
+        opq = False if mcfg.alpha_masked else None
         with jax.named_scope("cull.phase0"):
             res0 = cull_pairs(
                 pools, instances, view.frustum_planes, proj_scale, cap,
                 hzb=prev_hzb, hzb_tw_to_clip=view.prev_tw_to_clip_nj,
-                lod_threshold=mcfg.lod_threshold_px)
+                lod_threshold=mcfg.lod_threshold_px, masked=opq)
         with jax.named_scope("raster.phase0"):
             setup0 = mesh_shader_setup(
                 res0.draws, pools, instances, view.tw_to_clip, cap, w, h,
@@ -234,15 +241,20 @@ def render_frame_meshlet(
             depth0 = rt0[0]
         with jax.named_scope("hzb.mid"):
             hzb_now = build_hzb(depth0)
+        # phase 1 re-rasters only the previously-occluded remainder —
+        # usually a small fraction; right-size its static capacity so the
+        # capacity-proportional setup/bin work shrinks with it (overflow
+        # is counted as always)
+        cap1 = max(256, -(-cap // 4 // 128) * 128)
         with jax.named_scope("cull.phase1"):
             res1 = cull_pairs(
-                pools, instances, view.frustum_planes, proj_scale, cap,
+                pools, instances, view.frustum_planes, proj_scale, cap1,
                 hzb=hzb_now, hzb_tw_to_clip=view.tw_to_clip_nj,
                 lod_threshold=mcfg.lod_threshold_px,
-                extra_mask=res0.occluded_mask)
+                extra_mask=res0.occluded_mask, masked=opq)
         with jax.named_scope("raster.phase1"):
             setup1 = mesh_shader_setup(
-                res1.draws, pools, instances, view.tw_to_clip, cap, w, h,
+                res1.draws, pools, instances, view.tw_to_clip, cap1, w, h,
                 payload_base=cap, interpret=rc.interpret)
             queue1 = bin_windows(setup1, rc_a)
             rt = list(raster_queue(queue1, setup1, rc_a, seeds=tuple(rt0)))
@@ -262,7 +274,8 @@ def render_frame_meshlet(
         with jax.named_scope("cull"):
             res0 = cull_pairs(pools, instances, view.frustum_planes,
                               proj_scale, cap,
-                              lod_threshold=mcfg.lod_threshold_px)
+                              lod_threshold=mcfg.lod_threshold_px,
+                              masked=False if mcfg.alpha_masked else None)
         with jax.named_scope("raster"):
             setup0 = mesh_shader_setup(
                 res0.draws, pools, instances, view.tw_to_clip, cap, w, h,
@@ -280,7 +293,43 @@ def render_frame_meshlet(
 
     depth, vis = rt[0], rt[1]
     with jax.named_scope("hzb.final"):
+        # opaque-only pyramid: conservative for next-frame occlusion (a
+        # masked surface full of holes must not occlude)
         hzb_final = build_hzb(depth)
+
+    if mcfg.alpha_masked:
+        # Masked material bucket (reference: pipeline_filter re-buckets
+        # draw cmds by alphaMode before raster, mesh_raster.cpp:182,230;
+        # the Masked permutation alpha-discards per pixel). Here: cull the
+        # masked bucket against the fresh opaque HZB, raster it into its
+        # own layer, then punch through with a deferred alpha test.
+        cap_m = min(mcfg.masked_draw_capacity,
+                    -(-pools.num_pairs // 128) * 128)
+        base_m = (cap + max(256, -(-cap // 4 // 128) * 128)
+                  if mcfg.occlusion else cap)
+        with jax.named_scope("masked.cull"):
+            res_m = cull_pairs(
+                pools, instances, view.frustum_planes, proj_scale, cap_m,
+                hzb=hzb_final, hzb_tw_to_clip=view.tw_to_clip_nj,
+                lod_threshold=mcfg.lod_threshold_px, masked=True)
+        with jax.named_scope("masked.raster"):
+            setup_m = mesh_shader_setup(
+                res_m.draws, pools, instances, view.tw_to_clip, cap_m,
+                w, h, payload_base=base_m, interpret=rc.interpret)
+            q_m = bin_windows(setup_m, rc_a)
+            rt_m = list(raster_queue(q_m, setup_m, rc_a))
+        with jax.named_scope("masked.accept"):
+            accept = shading.alpha_mask_accept(
+                rt_m[1], rt_m[0], depth, rt_m[5], rt_m[6],
+                res_m.draws.object_id, base_m, pools, instances)
+            rt = [jnp.where(accept, m_, o_) for m_, o_ in zip(rt_m, rt)]
+            depth, vis = rt[0], rt[1]
+        draw_object = jnp.concatenate([draw_object, res_m.draws.object_id])
+        draw_meshlet = jnp.concatenate([draw_meshlet,
+                                        res_m.draws.meshlet_id])
+        stats["draws_masked"] = res_m.draws.count
+        stats["draw_overflow"] = stats["draw_overflow"] + \
+            res_m.draws.overflow
 
     with jax.named_scope("gbuffer_resolve"):
         gbuf = shading.resolve_gbuffer_raster_rt(
@@ -371,8 +420,7 @@ def render_frame_meshlet(
                 sun_shadow_q = sun_shadow_q + (prev - sun_shadow_q) * alpha
         new_shadow_mask = sun_shadow_q
         with jax.named_scope("shadow.upsample"):
-            sun_shadow = jnp.repeat(jnp.repeat(sun_shadow_q, kdiv, 0),
-                                    kdiv, 1)[:h, :w]
+            sun_shadow = post.upsample_nearest(sun_shadow_q, kdiv, h, w)
             # 3x3-ish smoothing hides the upsample blocks
             sun_shadow = (sun_shadow +
                           jnp.roll(sun_shadow, 1, 0) +
@@ -414,8 +462,7 @@ def render_frame_meshlet(
                 spec_rad_q = (spec_rad_q * (1 - ssr_conf[..., None]) +
                               ssr_col * ssr_conf[..., None])
             hh, ww = gbuf.valid.shape
-            spec_rad = jnp.repeat(jnp.repeat(spec_rad_q, k, 0), k, 1)[
-                :hh, :ww]
+            spec_rad = post.upsample_nearest(spec_rad_q, k, hh, ww)
             lut = brdf.build_env_brdf_lut(64)
             nov = jnp.clip(jnp.sum(
                 -gbuf.position_tw / jnp.maximum(jnp.linalg.norm(
@@ -475,8 +522,8 @@ def render_frame_meshlet(
                     hdr, gbuf.motion, history.tsr_color, history.valid,
                     tsr_cfg)
     elif (post_w, post_h) != (w, h):
-        hdr = jnp.repeat(jnp.repeat(
-            hdr, -(-post_h // h), 0), -(-post_w // w), 1)[:post_h, :post_w]
+        hdr = post.upsample_nearest(hdr, (-(-post_h // h), -(-post_w // w)),
+                                    post_h, post_w)
     tsr_color = hdr
 
     if config.enable_bloom:

@@ -73,6 +73,10 @@ class MeshletScenePools:
     pair_object: jnp.ndarray     # (P,) i32 instance slot
     pair_meshlet: jnp.ndarray    # (P,) i32 meshlet id
     pair_valid: jnp.ndarray      # (P,) bool
+    # pre-gathered per-pair cull data (meshlet tables indexed by
+    # pair_meshlet at BUILD time — per-frame gathers lower poorly on TPU):
+    # [sphere xyzr | cone xyzw | lod_sphere | parent_sphere | err, perr]
+    pair_cull: jnp.ndarray       # (P, 18) f32
     # materials (same layout as the flat path)
     mat_base_color: jnp.ndarray
     mat_metal_rough: jnp.ndarray
@@ -82,6 +86,7 @@ class MeshletScenePools:
     mat_normal_scale: jnp.ndarray  # (M,) f32 normal perturbation scale
     mat_mr_tex: jnp.ndarray      # (M,) i32 metal-rough layer id, -1 = none
     mat_emissive_tex: jnp.ndarray  # (M,) i32 emissive layer id, -1 = none
+    mat_alpha_cutoff: jnp.ndarray  # (M,) f32 (alpha-mask cutoff)
     tex_pool: jnp.ndarray        # (L, total_texels, 4) bf16 flat-mip stack
 
     @property
@@ -214,6 +219,18 @@ def build_meshlet_pools(builder: SceneBuilder,
     mv_posT = np.concatenate([mv_posT, np.zeros((12, 128), np.float32)], 1)
     mv_attrT = np.concatenate([mv_attrT, np.zeros((16, 128), np.float32)], 1)
 
+    sph_all = np.concatenate(sph_l)
+    cone_all = np.concatenate(cone_l)
+    lsph_all = np.concatenate(lsph_l)
+    psph_all = np.concatenate(psph_l)
+    err_all = np.concatenate(err_l)
+    perr_all = np.concatenate(perr_l)
+    pair_cull = np.concatenate(
+        [sph_all[pair_meshlet], cone_all[pair_meshlet],
+         lsph_all[pair_meshlet], psph_all[pair_meshlet],
+         err_all[pair_meshlet, None], perr_all[pair_meshlet, None]],
+        axis=1).astype(np.float32)
+
     mats = builder.materials
     pools = MeshletScenePools(
         positions=jnp.asarray(np.concatenate(pos_l)),
@@ -233,6 +250,7 @@ def build_meshlet_pools(builder: SceneBuilder,
         pair_object=jnp.asarray(pair_object),
         pair_meshlet=jnp.asarray(pair_meshlet),
         pair_valid=jnp.asarray(pair_valid),
+        pair_cull=jnp.asarray(pair_cull),
         mat_base_color=jnp.asarray(
             np.array([m.base_color for m in mats], np.float32)),
         mat_metal_rough=jnp.asarray(
@@ -249,6 +267,8 @@ def build_meshlet_pools(builder: SceneBuilder,
             np.array([m.metal_rough_texture for m in mats], np.int32)),
         mat_emissive_tex=jnp.asarray(
             np.array([m.emissive_texture for m in mats], np.int32)),
+        mat_alpha_cutoff=jnp.asarray(
+            np.array([m.alpha_cutoff for m in mats], np.float32)),
         tex_pool=(texture_pool.device_array()
                   if texture_pool is not None else _empty_tex_pool()),
     )

@@ -127,7 +127,8 @@ cvars = CVarSystem()
 # ---------------------------------------------------------------------------
 # Core renderer cvars — mirrors chord's label set where applicable.
 # ---------------------------------------------------------------------------
-cvars.register("r.raster.tileH", 40, "Raster tile height in pixels.", vtype=int)
+cvars.register("r.raster.tileH", 120, "Raster tile height in pixels.",
+               vtype=int)
 cvars.register("r.raster.tileW", 128, "Raster tile width in pixels.", vtype=int)
 cvars.register("r.raster.binCapacity", 1024,
                "Max binned triangles per tile (overflow counted, logged).", vtype=int)
