@@ -109,6 +109,9 @@ def main() -> int:
     ap.add_argument("--atmosphere", action="store_true")
     ap.add_argument("--gi", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="write a jax.profiler trace (the Tracy/GPU-"
+                         "timestamp analog: every pass is a named_scope)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -135,6 +138,7 @@ def main() -> int:
              pools.num_meshlets, pools.num_pairs, use_nanite)
 
     interpret = jax.default_backend() == "cpu"
+    has_masked = any(m.alpha_mode != "opaque" for m in b.materials)
     r = MeshletRenderer(
         RendererConfig(width=args.width, height=args.height,
                        pair_capacity=16384, big_capacity=512,
@@ -145,12 +149,31 @@ def main() -> int:
                            # glTF with textures -> full textured shading
                            textured=tex_pool is not None,
                            normal_mapped=tex_pool is not None,
-                           pbr_textures=tex_pool is not None))
+                           pbr_textures=tex_pool is not None,
+                           # masked-material bucket when the scene has any
+                           alpha_masked=has_masked))
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
     cam = Camera(width=args.width, height=args.height)
     images = []
+    import contextlib
+    trace_cm = (jax.profiler.trace(args.trace) if args.trace
+                else contextlib.nullcontext())
+    with trace_cm:
+        _render_loop(args, b, cam, cam_pos, target, r, pools, images,
+                     out_dir, log)
+    if args.gif and len(images) > 1:
+        _write_gif(images, out_dir, log)
+    return 0
+
+
+def _render_loop(args, b, cam, cam_pos, target, r, pools, images, out_dir,
+                 log):
+    import time
+
+    import numpy as np
+    from PIL import Image
     for i in range(args.frames):
         if args.orbit:
             ang = i / max(args.frames, 1) * 2 * np.pi
@@ -174,13 +197,15 @@ def main() -> int:
                  int(np.asarray(stats["bin_overflow"])))
         Image.fromarray(img).save(out_dir / f"frame_{i:04d}.png")
         images.append(img)
-
-    if args.gif and len(images) > 1:
-        frames = [Image.fromarray(i) for i in images]
-        frames[0].save(out_dir / "turntable.gif", save_all=True,
-                       append_images=frames[1:], duration=100, loop=0)
     log.info("wrote %d frame(s) to %s", len(images), out_dir)
-    return 0
+
+
+def _write_gif(images, out_dir, log):
+    from PIL import Image
+    frames = [Image.fromarray(i) for i in images]
+    frames[0].save(out_dir / "turntable.gif", save_all=True,
+                   append_images=frames[1:], duration=100, loop=0)
+    log.info("wrote turntable.gif")
 
 
 if __name__ == "__main__":

@@ -154,9 +154,9 @@ def resolve_gbuffer_raster_rt(
 ) -> GBuffer:
     """Zero-big-gather gbuffer resolve: normals/uv come straight from the
     rasterizer's attribute-plane render targets, position from depth
-    unprojection; the only gathers are per-pixel lookups into the tiny
-    draw/material tables. Motion is camera-only reprojection (static
-    objects; per-object motion uses resolve_gbuffer_meshlet)."""
+    unprojection; the only gathers are per-pixel row lookups into the tiny
+    per-draw tables. Motion is per-object (rigid-delta reconstruction of
+    the previous-frame position)."""
     from ..rhi.framebuffer import unpack_visibility
 
     h, w = vis.shape
@@ -182,14 +182,41 @@ def resolve_gbuffer_raster_rt(
         wc = jnp.where(jnp.abs(c[..., 3:4]) > 1e-8, c[..., 3:4], 1.0)
         return c[..., :2] / wc
 
+    # Per-object motion: reconstruct the pixel's previous-frame position
+    # via the draw's rigid delta D = inv(M) @ M_prev (exact for rigid
+    # transforms — the reference interpolates last-frame HS positions for
+    # its motion vectors, lighting.hlsl; one (H,W) row-gather of D here).
+    minv = jnp.linalg.inv(instances.object_to_tw)
+    delta = jnp.einsum("oij,ojk->oik", minv, instances.object_prev_to_tw)
+    delta_d = delta[draw_object].reshape(-1, 16)          # (cap,16)
+    dmat = delta_d[jnp.maximum(slot, 0)].reshape(h, w, 4, 4)
+    prev_pos = (pos_tw[..., 0:1] * dmat[..., 0, :3] +
+                pos_tw[..., 1:2] * dmat[..., 1, :3] +
+                pos_tw[..., 2:3] * dmat[..., 2, :3] + dmat[..., 3, :3])
     motion = project_xy(pos_tw, tw_to_clip) - \
-        project_xy(pos_tw, prev_tw_to_clip)
+        project_xy(prev_pos, prev_tw_to_clip)
 
-    obj = draw_object[jnp.maximum(slot, 0)]
-    mat_id = instances.object_material[obj]
-    base = colorspace.srgb_to_acescg(pools.mat_base_color[mat_id][..., :3])
-    metal_rough = pools.mat_metal_rough[mat_id]
-    emissive = colorspace.srgb_to_acescg(pools.mat_emissive[mat_id])
+    # ONE per-pixel row gather from a per-draw material table (chaining
+    # draw->object->material->per-channel gathers at (H,W) costs ~6 full
+    # screen gathers; building the (cap,16) table first is ~free since cap
+    # is tiny, then a single row gather serves every material channel)
+    mat_id_d = instances.object_material[draw_object]          # (cap,)
+    base_d = colorspace.srgb_to_acescg(
+        pools.mat_base_color[mat_id_d][..., :3])
+    mr_d = pools.mat_metal_rough[mat_id_d]
+    em_d = colorspace.srgb_to_acescg(pools.mat_emissive[mat_id_d])
+    mat_table = jnp.concatenate(
+        [base_d, mr_d, em_d,
+         pools.mat_base_tex[mat_id_d][:, None].astype(jnp.float32),
+         pools.mat_normal_tex[mat_id_d][:, None].astype(jnp.float32),
+         pools.mat_mr_tex[mat_id_d][:, None].astype(jnp.float32),
+         pools.mat_emissive_tex[mat_id_d][:, None].astype(jnp.float32),
+         pools.mat_normal_scale[mat_id_d][:, None],
+         jnp.zeros((draw_object.shape[0], 3), jnp.float32)], axis=1)
+    mrow = mat_table[jnp.maximum(slot, 0)]                     # (H,W,16)
+    base = mrow[..., 0:3]
+    metal_rough = mrow[..., 3:5]
+    emissive = mrow[..., 5:8]
 
     if textured:
         from . import texture as texture_ops
@@ -197,7 +224,7 @@ def resolve_gbuffer_raster_rt(
 
         size = pools.tex_size
         tp = TexturePool(size)     # static mip layout only
-        layer = pools.mat_base_tex[mat_id]
+        layer = mrow[..., 8].astype(jnp.int32)
         mip = texture_ops.mip_from_uv_density(uv, size)
         texel = texture_ops.sample_pool(
             pools.tex_pool, tuple(tp.mip_sizes), tuple(tp.mip_offsets),
@@ -208,13 +235,13 @@ def resolve_gbuffer_raster_rt(
         if pbr_textures:   # static: metal-rough + emissive map layers
             # glTF packing (lighting.hlsl samples the same channels):
             # G = roughness, B = metallic, multiplied onto the factors
-            mr_layer = pools.mat_mr_tex[mat_id]
+            mr_layer = mrow[..., 10].astype(jnp.int32)
             mr_texel = texture_ops.sample_pool(
                 pools.tex_pool, tuple(tp.mip_sizes), tuple(tp.mip_offsets),
                 mr_layer, uv, mip)
             metal_rough = metal_rough * jnp.stack(
                 [mr_texel[..., 2], mr_texel[..., 1]], axis=-1)
-            em_layer = pools.mat_emissive_tex[mat_id]
+            em_layer = mrow[..., 11].astype(jnp.int32)
             em_texel = texture_ops.sample_pool(
                 pools.tex_pool, tuple(tp.mip_sizes), tuple(tp.mip_offsets),
                 em_layer, uv, mip)
@@ -229,11 +256,11 @@ def resolve_gbuffer_raster_rt(
         # are shifted differences, masked to same-surface neighbors so
         # silhouette edges fall back to the geometric normal.
         if normal_mapped:   # static: traced only when normal maps exist
-            n_layer = pools.mat_normal_tex[mat_id]
+            n_layer = mrow[..., 9].astype(jnp.int32)
             n_texel = texture_ops.sample_pool(
                 pools.tex_pool, tuple(tp.mip_sizes), tuple(tp.mip_offsets),
                 n_layer, uv, mip)
-            n_scale = pools.mat_normal_scale[mat_id][..., None]
+            n_scale = mrow[..., 12:13]
             n_ts = n_texel[..., :3] * 2.0 - 1.0   # linear-stored, [-1,1]
 
             def ddx(a):
@@ -277,6 +304,45 @@ def resolve_gbuffer_raster_rt(
         uv=jnp.where(vz, uv, 0.0),
         motion=jnp.where(vz, motion, 0.0),
     )
+
+
+def alpha_mask_accept(
+    vis_m: jnp.ndarray,          # (H,W) u32 masked-pass visibility
+    depth_m: jnp.ndarray,        # (H,W) masked-pass reverse-Z depth
+    depth_o: jnp.ndarray,        # (H,W) opaque depth
+    u_m: jnp.ndarray, v_m: jnp.ndarray,   # masked-pass uv RTs
+    draw_object_m: jnp.ndarray,  # (cap_m,) i32 masked draw table
+    payload_base: int,           # slot offset of the masked pass
+    pools, instances,
+) -> jnp.ndarray:
+    """Per-pixel alpha test for the masked material bucket (the
+    reference's Masked raster permutation does this with `discard` in the
+    pixel shader, mesh_raster.hlsl + pipeline_filter.hlsl; here it's a
+    deferred punch-through: masked fragments that fail the cutoff or lose
+    the depth test against the opaque layer are dropped before the
+    gbuffer resolve). Single masked layer: a masked surface directly
+    behind a FAILING masked texel falls back to the opaque layer."""
+    from . import texture as texture_ops
+    from ..asset.texture import TexturePool
+
+    slot_g, _tri = unpack_visibility(vis_m)
+    slot = slot_g - payload_base
+    hit = slot_g >= 0
+    slot_safe = jnp.where(hit, jnp.maximum(slot, 0), 0)
+    mat_id = instances.object_material[draw_object_m[slot_safe]]
+    cutoff = pools.mat_alpha_cutoff[mat_id]
+    factor = pools.mat_base_color[mat_id][..., 3]
+    layer = pools.mat_base_tex[mat_id]
+
+    uv = jnp.stack([u_m, v_m], axis=-1)
+    size = pools.tex_size
+    tp = TexturePool(size)
+    mip = texture_ops.mip_from_uv_density(uv, size)
+    texel = texture_ops.sample_pool(
+        pools.tex_pool, tuple(tp.mip_sizes), tuple(tp.mip_offsets),
+        layer, uv, mip)
+    alpha = factor * jnp.where(layer >= 0, texel[..., 3], 1.0)
+    return hit & (depth_m > depth_o) & (alpha >= cutoff)
 
 
 def resolve_gbuffer_fast(

@@ -84,10 +84,20 @@ class SceneSubsystem:
             self._pools = build_meshlet_pools(
                 b, nanite=self.nanite and available())
             self._last_keys = keys
+            self._prev_l2w = None     # instance set changed: no history
         else:
             # refresh transforms only
             for i, (mesh_key, mat_key, l2w) in enumerate(collected.instances):
                 mesh_id, mat_id, _ = self._builder.instances[i]
                 self._builder.instances[i] = (mesh_id, mat_id, l2w)
-        inst = self._builder.frame_instances(camera)
+        # per-object motion: last frame's WORLD transforms rebased to the
+        # CURRENT camera origin (translated world) — feeds the rigid-delta
+        # motion vectors in the gbuffer resolve (ops/shading.py)
+        prev = None
+        if getattr(self, "_prev_l2w", None) is not None:
+            prev = {i: camera.rebase_matrix(m)
+                    for i, m in enumerate(self._prev_l2w)}
+        inst = self._builder.frame_instances(camera, prev_matrices=prev)
+        self._prev_l2w = [np.array(l2w)
+                          for _, _, l2w in collected.instances]
         return self._pools, inst

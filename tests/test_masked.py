@@ -1,0 +1,95 @@
+"""Alpha-masked material bucket: pipeline-filter split + deferred alpha
+punch-through (reference: pipeline_filter.hlsl buckets by alphaMode;
+mesh_raster Masked permutation discards on texture alpha)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from chord_tpu.asset.texture import TexturePool
+from chord_tpu.renderer.deferred import RendererConfig
+from chord_tpu.renderer.meshlet_frame import (MeshletFrameConfig,
+                                              MeshletRenderer)
+from chord_tpu.rhi.meshlet_scene import build_meshlet_pools
+from chord_tpu.rhi.scene_arrays import MaterialData, MeshData, SceneBuilder
+from chord_tpu.utils.camera import Camera
+
+
+def _quad(z: float, half: float = 3.0) -> MeshData:
+    return MeshData(
+        positions=np.array([[-half, -half, z], [half, -half, z],
+                            [half, half, z], [-half, half, z]], np.float32),
+        indices=np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+        normals=np.tile([0, 0, 1], (4, 1)).astype(np.float32),
+        uv0=np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32))
+
+
+def test_masked_punch_through():
+    pool = TexturePool(64)
+    # alpha 1 on the left half (u < 0.5), 0 on the right half
+    img = np.ones((64, 64, 4), np.float32)
+    img[:, 32:, 3] = 0.0
+    img[..., 0] = 1.0
+    img[..., 1] = 0.0
+    img[..., 2] = 0.0
+    layer = pool.add("mask", img)
+
+    b = SceneBuilder()
+    front = b.add_mesh(_quad(0.0))
+    back = b.add_mesh(_quad(0.0, half=6.0))
+    m_masked = b.add_material(MaterialData(
+        base_color=(1, 0, 0, 1), alpha_mode="mask", alpha_cutoff=0.5,
+        base_color_texture=layer, roughness=1.0))
+    m_opaque = b.add_material(MaterialData(base_color=(0, 1, 0, 1),
+                                           roughness=1.0))
+    mf = np.eye(4); mf[3, 2] = -4.0
+    mb = np.eye(4); mb[3, 2] = -6.0
+    b.add_instance(front, m_masked, mf)
+    b.add_instance(back, m_opaque, mb)
+    pools = build_meshlet_pools(b, texture_pool=pool)
+
+    cam = Camera(width=64, height=64, fovy_deg=60.0)
+    inst = b.frame_instances(cam)
+    r = MeshletRenderer(
+        RendererConfig(width=64, height=64, pair_capacity=512,
+                       big_capacity=16, interpret=True,
+                       enable_bloom=False, enable_tsr=False),
+        MeshletFrameConfig(draw_capacity=128, occlusion=False,
+                           alpha_masked=True, masked_draw_capacity=128))
+    img_out, stats = r.render(pools, inst, cam.view_uniform(0))
+    img_out = np.asarray(img_out).astype(np.float32)
+    assert int(np.asarray(stats["draw_overflow"])) == 0
+
+    # left-center pixel: masked quad visible (red); right-center: punched
+    # through to the green opaque quad behind
+    left = img_out[32, 16]
+    right = img_out[32, 48]
+    assert left[0] > left[1] + 20, f"left should be red-ish: {left}"
+    assert right[1] > right[0] + 20, f"right should be green-ish: {right}"
+
+
+def test_masked_all_rejected_shows_background():
+    """A masked material whose alpha factor fails the cutoff everywhere
+    disappears entirely."""
+    b = SceneBuilder()
+    front = b.add_mesh(_quad(0.0))
+    m_masked = b.add_material(MaterialData(
+        base_color=(1, 0, 0, 0.2), alpha_mode="mask", alpha_cutoff=0.5))
+    mf = np.eye(4); mf[3, 2] = -4.0
+    b.add_instance(front, m_masked, mf)
+    pools = build_meshlet_pools(b)
+
+    cam = Camera(width=64, height=64, fovy_deg=60.0)
+    inst = b.frame_instances(cam)
+    r = MeshletRenderer(
+        RendererConfig(width=64, height=64, pair_capacity=512,
+                       big_capacity=16, interpret=True,
+                       enable_bloom=False, enable_tsr=False),
+        MeshletFrameConfig(draw_capacity=128, occlusion=False,
+                           alpha_masked=True, masked_draw_capacity=128))
+    img_out, _stats = r.render(pools, inst, cam.view_uniform(0))
+    img_out = np.asarray(img_out).astype(np.float32)
+    center = img_out[28:36, 28:36]
+    corner = img_out[:4, :4]
+    assert np.abs(center.mean(axis=(0, 1)) -
+                  corner.mean(axis=(0, 1))).max() < 8.0, \
+        "masked quad should be fully punched through"

@@ -115,3 +115,55 @@ def test_env_brdf_lut_properties():
     # at high NoV, smooth surfaces reflect more than rough ones (A+B)
     hi_nov = lut[-1]
     assert hi_nov[1, :2].sum() > hi_nov[-1, :2].sum()
+
+
+def test_per_object_motion_vectors():
+    """A translated instance must produce per-object motion vectors from
+    the rigid-delta reconstruction (reference computes motion from
+    last-frame HS positions, lighting.hlsl)."""
+    import jax
+    from chord_tpu.ops.cull import cull_pairs
+    from chord_tpu.ops.mesh_shader import mesh_shader_setup
+    from chord_tpu.ops.raster import bin_windows, raster_queue
+    from chord_tpu.renderer.deferred import DeviceView
+    from chord_tpu.rhi.meshlet_scene import build_meshlet_pools
+
+    b = _quad_scene()
+    pools = build_meshlet_pools(b)
+    cam = Camera(width=64, height=64, fovy_deg=60.0)
+    # the quad sat 0.5 units to the right last frame
+    l2w_prev = np.eye(4)
+    l2w_prev[3, 2] = -5.0
+    l2w_prev[3, 0] = 0.5
+    inst = b.frame_instances(
+        cam, prev_matrices={0: cam.rebase_matrix(l2w_prev)})
+    u = cam.view_uniform(0)
+    view = DeviceView.from_uniform(u)
+
+    cap = 128
+    cfg = RasterConfig(width=64, height=64, tile_h=32, pair_capacity=256,
+                       big_capacity=16, with_attrs=True, interpret=True)
+    proj_scale = jnp.float32(0.5 * 64 * u.translated_world_to_clip[1, 1])
+    res = cull_pairs(pools, inst, view.frustum_planes, proj_scale, cap)
+    setup = mesh_shader_setup(res.draws, pools, inst, view.tw_to_clip,
+                              cap, 64, 64, interpret=True)
+    q = bin_windows(setup, cfg)
+    rt = raster_queue(q, setup, cfg)
+    g = shading.resolve_gbuffer_raster_rt(
+        rt[1], rt[0], rt[2], rt[3], rt[4], rt[5], rt[6],
+        res.draws.object_id, pools, inst, view.clip_to_tw,
+        view.tw_to_clip_nj, view.prev_tw_to_clip_nj)
+    valid = np.asarray(g.valid)
+    assert valid.sum() > 100
+
+    # expected: ndc(p) - ndc(p + (0.5,0,0)) for any p on the quad (pure
+    # translation, static camera) — compute analytically at the center
+    vp = np.asarray(u.translated_world_to_clip_nojitter, np.float64)
+    def ndc(p):
+        c = np.append(p, 1.0) @ vp
+        return c[:2] / c[3]
+    expected = ndc([0, 0, -5.0]) - ndc([0.5, 0, -5.0])
+    mot = np.asarray(g.motion)[valid]
+    assert np.allclose(mot[:, 0], expected[0], atol=1e-3), \
+        f"{mot[:, 0].mean()} vs {expected[0]}"
+    assert np.allclose(mot[:, 1], expected[1], atol=1e-3)
