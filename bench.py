@@ -22,7 +22,8 @@ import time
 import numpy as np
 
 
-def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro"):
+def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
+                render_scale=1.0):
     import functools
 
     import jax
@@ -45,8 +46,12 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro"):
     n_src_tris = sum(m.num_triangles for m, in
                      [(b.meshes[mi],) for mi, _, _ in b.instances])
 
-    cam = Camera(width=width, height=height)
-    config = RendererConfig(width=width, height=height,
+    rw = int(width * render_scale) // 8 * 8
+    rh = int(height * render_scale) // 8 * 8
+    cam = Camera(width=rw, height=rh)
+    config = RendererConfig(width=rw, height=rh,
+                            post_width=width if render_scale != 1.0 else 0,
+                            post_height=height if render_scale != 1.0 else 0,
                             pair_capacity=16384, big_capacity=64,
                             enable_bloom=True, enable_tsr=True,
                             tsr_mode="global")
@@ -63,20 +68,25 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro"):
             cam.look_at(np.array([12.0, 2.0, -2.0]))
         views.append(DeviceView.from_uniform(cam.view_uniform(i)))
     views_stacked = jax.tree.map(lambda *xs: jax.numpy.stack(xs), *views)
-    history = FrameHistory.empty(height, width)
+    history = FrameHistory.empty(
+        rh, rw, post_h=height if render_scale != 1.0 else None,
+        post_w=width if render_scale != 1.0 else None)
     inst = b.frame_instances(cam)
 
     fn = jax.jit(functools.partial(
         render_sequence_meshlet, config=config, mcfg=mcfg))
 
+    # sync on a 1-pixel fetch: the scan output depends on every frame, so
+    # this forces full completion without paying the axon tunnel's ~160 ms
+    # full-frame readback inside the timed region
     t0 = time.time()
     images, hist = fn(pools, inst, views_stacked, history)
-    _ = jax.device_get(images[-1])
+    _ = jax.device_get(images[-1, :1, :1])
     compile_s = time.time() - t0
 
     t0 = time.time()
     images, hist = fn(pools, inst, views_stacked, history)
-    _ = jax.device_get(images[-1])
+    _ = jax.device_get(images[-1, :1, :1])
     dt = time.time() - t0
     ms = dt / frames * 1000.0
 
@@ -95,6 +105,7 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro"):
         "compile_s": compile_s,
         "frames": frames,
         "width": width, "height": height,
+        "render_scale": render_scale,
         "nanite": bool(native_available()),
     }
 
@@ -106,11 +117,15 @@ def main():
     ap.add_argument("--detail", type=int, default=3)
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--scene", default="bistro")
+    ap.add_argument("--render-scale", type=float, default=1.0,
+                    help="TSR upscale: render at scale*res, temporal-"
+                         "upscale to full res (the reference's render-dim"
+                         " -> post-dim DimensionConfig chain)")
     args = ap.parse_args()
 
     try:
         r = bench_frame(args.width, args.height, args.detail, args.frames,
-                        scene=args.scene)
+                        scene=args.scene, render_scale=args.render_scale)
         ms = r["ms_per_frame"]
         north_star_ms = 16.6   # BASELINE.json north star
         print(json.dumps({

@@ -76,3 +76,33 @@ def test_temporal_upscale_shapes():
                                 jnp.zeros(2), cfg, 64, 128)
     assert out.shape == (64, 128, 3)
     assert float(jnp.abs(out - 1.0).max()) < 0.35   # sharpen ringing bound
+
+
+def test_temporal_upscale_global_modes():
+    """Gather-free TSR upscale: constant images stay constant; jitter
+    translation matches the gather path's sampling convention."""
+    import jax
+    from chord_tpu.ops.post import (TSRConfig, temporal_upscale,
+                                    temporal_upscale_global)
+
+    h, w, ph, pw = 12, 16, 18, 24
+    key = jax.random.PRNGKey(3)
+    color = jnp.full((h, w, 3), 0.25)
+    motion = jnp.zeros((h, w, 2))
+    hist = jnp.full((ph, pw, 3), 0.25)
+    jit = jnp.asarray([0.0, 0.0])
+    out = temporal_upscale_global(color, motion, hist, jnp.float32(1.0),
+                                  jit, TSRConfig(sharpness=0.0), ph, pw)
+    # constant in, constant out (interior; borders see zero padding)
+    assert np.allclose(np.asarray(out)[3:-3, 3:-3], 0.25, atol=1e-3)
+
+    # random image: global mode ~ gather mode away from borders when the
+    # motion field is uniform zero
+    color = jax.random.uniform(key, (h, w, 3))
+    cfgg = TSRConfig(sharpness=0.0, mode="global")
+    outg = temporal_upscale(color, motion, hist, jnp.float32(0.0), jit,
+                            cfgg, ph, pw)
+    outr = temporal_upscale(color, motion, hist, jnp.float32(0.0), jit,
+                            TSRConfig(sharpness=0.0, mode="gather"), ph, pw)
+    d = np.abs(np.asarray(outg - outr))[3:-3, 3:-3]
+    assert d.max() < 1e-3, d.max()
