@@ -41,9 +41,26 @@ def build_scene(name: str):
             np.array([50.0, 3.0, -4.0])
     p = Path(name)
     if p.suffix == ".chtp":
-        raise SystemExit("scene assets: load via SceneSubsystem (see "
-                         "tests/test_scene.py) — viewer supports "
-                         "procedural + glTF")
+        # scene asset: load through SceneSubsystem with the builtin mesh
+        # library registered (the flower analog: scene files reference
+        # meshes/materials by key; builtin.* primitives are always there)
+        from chord_tpu.scene import Scene, SceneSubsystem
+        from chord_tpu.utils.camera import Camera as _Cam
+
+        sub = SceneSubsystem()
+        sub.register_builtin_meshes()
+        sub.set_scene(Scene.load(p))
+        col = sub.scene.tick(1 / 60)[0]
+        sub.frame_state(col, _Cam())     # builds the instance builder
+        b = sub._builder
+        b.texture_pool = None
+        los = [m.local_aabb()[0] for m in b.meshes]
+        his = [m.local_aabb()[1] for m in b.meshes]
+        lo = np.min(los, 0)
+        hi = np.max(his, 0)
+        c = (lo + hi) / 2
+        r = float(np.linalg.norm(hi - lo)) * 0.9 + 1.0
+        return b, c + np.array([r, r * 0.4, r]), c
     from chord_tpu.asset.texture import TexturePool
 
     tp = TexturePool(512)

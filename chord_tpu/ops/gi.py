@@ -134,12 +134,11 @@ def inject_surfels(
         ok = valid & inb
         cell = jnp.floor(g + 0.5).astype(jnp.int32)   # nearest probe
         idx = jnp.where(ok, _wrap_index(cell, cfg), cfg.probe_dim ** 3)
-        upd = jnp.zeros((cfg.probe_dim ** 3 + 1, 13))
         w = ok.astype(jnp.float32)
-        upd = upd.at[idx, :12].add(jnp.where(ok[:, None], flat, 0.0),
-                                   mode="drop")
-        upd = upd.at[idx, 12].add(w, mode="drop")
-        upd = upd[:-1]
+        payload = jnp.concatenate(
+            [jnp.where(ok[:, None], flat, 0.0), w[:, None]], axis=1)
+        upd = jnp.zeros((cfg.probe_dim ** 3 + 1, 13)).at[idx].add(
+            payload, mode="drop")[:-1]
         # normalized mean of this frame's surfels, blended temporally
         cnt = jnp.maximum(upd[:, 12:13], 1e-6)
         mean = upd[:, :12] / cnt
@@ -353,4 +352,11 @@ def update_cache(
         only = jnp.remainder(frame_count, cfg.cascades)
     cache = inject_surfels(cache, pos, rad, nrm, val, cam_pos_w, cfg,
                            only_cascade=only)
+    if cfg.inject_round_robin and frame_count is not None:
+        # propagate only the cascade injected this frame (diffusion of the
+        # others advances on their turn — same steady state, 1/C the work)
+        d3 = cfg.probe_dim ** 3
+        one = jax.lax.dynamic_slice(cache, (only, 0, 0), (1, d3, 13))
+        prop1 = propagate(one, cfg._replace(cascades=1))
+        return jax.lax.dynamic_update_slice(cache, prop1, (only, 0, 0))
     return propagate(cache, cfg)

@@ -47,6 +47,11 @@ class ShadowConfig(NamedTuple):
     temporal: bool = True            # temporal mask accumulation (reference:
                                      # shadow_mask temporal blend pass)
     temporal_alpha: float = 0.7      # history weight at zero residual
+    temporal_phase: int = 2          # PCSS evaluates 1/phase^2 of the
+                                     # eval-res pixels per frame (rotating
+                                     # 2x2 phase); the temporal cache
+                                     # carries the rest — quarters the
+                                     # shadow-map gather cost
     jitter: bool = True              # per-pixel/per-frame Poisson rotation
                                      # (IGN, the STBN-texture replacement)
 
@@ -131,8 +136,7 @@ def evaluate_shadow(
     normal: jnp.ndarray,          # (H,W,3)
     sun_dir: jnp.ndarray,         # (3,)
     shadow_maps: jnp.ndarray,     # (N,R,R) f32 reverse-Z depth
-    tw_to_light: jnp.ndarray,     # (N,4,4)
-    splits: jnp.ndarray,          # (N+1,)
+    tw_to_light: jnp.ndarray,     # (N,4,4) the fit of EACH CACHED map
     cfg: ShadowConfig,
     noise: Optional[jnp.ndarray] = None,   # (H,W) in [0,1): per-pixel
                                            # Poisson-disk rotation angle
@@ -140,27 +144,37 @@ def evaluate_shadow(
     """-> (H,W) sun visibility in [0,1] (PCSS: blocker search -> penumbra
     -> variable-radius PCF; reference pcss.hlsl:33-92, which rotates its
     disk by a per-pixel STBN angle — here the caller passes in-register
-    interleaved gradient noise, ops/bluenoise.py)."""
+    interleaved gradient noise, ops/bluenoise.py).
+
+    Cascade selection is by CONTAINMENT (finest cascade whose light-space
+    footprint holds the receiver), not by distance splits: cached cascades
+    (round-robin refresh, reference cascade history caching) carry their
+    own fit matrices, which may be several frames stale — containment
+    against each map's own matrix stays exact regardless."""
     n, r, _ = shadow_maps.shape
     h, w = position_tw.shape[:2]
-
-    # cascade select by distance (camera at origin)
-    dist = jnp.linalg.norm(position_tw, axis=-1)
-    cascade = jnp.zeros((h, w), jnp.int32)
-    for i in range(1, n):
-        cascade = jnp.where(dist > splits[i], i, cascade)
-
-    m = tw_to_light[cascade]                       # (H,W,4,4)
     p = position_tw
-    lp = (p[..., 0:1] * m[..., 0, :] + p[..., 1:2] * m[..., 1, :] +
-          p[..., 2:3] * m[..., 2, :] + m[..., 3, :])          # (H,W,4)
-    # ortho: w == 1
-    u = (lp[..., 0] * 0.5 + 0.5) * r
-    v = (0.5 - lp[..., 1] * 0.5) * r
-    z_recv = lp[..., 2]
 
-    in_map = (u >= 1) & (u < r - 1) & (v >= 1) & (v < r - 1) & \
-        (z_recv > 0.0) & (z_recv <= 1.0)
+    # project into every cascade; finest containing cascade wins
+    u = jnp.zeros((h, w))
+    v = jnp.zeros((h, w))
+    z_recv = jnp.zeros((h, w))
+    cascade = jnp.zeros((h, w), jnp.int32)
+    in_map = jnp.zeros((h, w), bool)
+    for i in reversed(range(n)):          # coarse -> fine; fine overwrites
+        m = tw_to_light[i]
+        lp = (p[..., 0:1] * m[0] + p[..., 1:2] * m[1] +
+              p[..., 2:3] * m[2] + m[3])                      # ortho w == 1
+        ui = (lp[..., 0] * 0.5 + 0.5) * r
+        vi = (0.5 - lp[..., 1] * 0.5) * r
+        zi = lp[..., 2]
+        cont = (ui >= 1) & (ui < r - 1) & (vi >= 1) & (vi < r - 1) & \
+            (zi > 0.0) & (zi <= 1.0)
+        u = jnp.where(cont, ui, u)
+        v = jnp.where(cont, vi, v)
+        z_recv = jnp.where(cont, zi, z_recv)
+        cascade = jnp.where(cont, i, cascade)
+        in_map = in_map | cont
 
     # slope-scaled receiver bias (reverse-Z: receiver is lit if its depth
     # >= map depth - bias  <=>  z_recv + bias >= z_map)

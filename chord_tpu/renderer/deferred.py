@@ -70,6 +70,9 @@ class DeviceView:
     # compute results; ours are plain arrays)
     atmo_t_lut: Optional[jnp.ndarray] = None   # (64,256,3)
     atmo_ms_lut: Optional[jnp.ndarray] = None  # (32,32,3)
+    # split-sum env BRDF LUT (built once by the host driver; the frame
+    # falls back to building it inline when absent)
+    brdf_lut: Optional[jnp.ndarray] = None     # (S,S,2)
     # Shadow cascades (None when shadows are off; reference: GPU cascade
     # setup cascade_setup.hlsl — here fit on host, SURVEY.md §2.6)
     shadow_tw_to_light: Optional[jnp.ndarray] = None   # (N,4,4)
@@ -240,6 +243,8 @@ def render_frame_flat(
         tsr_color=tsr_color,
         gi_cache=history.gi_cache,
         shadow_mask=history.shadow_mask,
+        shadow_maps=history.shadow_maps,
+        shadow_mats=history.shadow_mats,
     )
     stats = dict(raster_stats)
     stats["visible_objects"] = jnp.sum(obj_visible.astype(jnp.int32))

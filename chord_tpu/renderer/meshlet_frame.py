@@ -135,25 +135,27 @@ def pixel_view_dirs(h: int, w: int, clip_to_tw: jnp.ndarray) -> jnp.ndarray:
     return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
 
 
-def render_shadow_cascades(
+def render_shadow_cascade(
     pools, instances, view: DeviceView, rc_main: RasterConfig,
-    mcfg: "MeshletFrameConfig",
+    mcfg: "MeshletFrameConfig", k: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Depth-only raster of each cascade through the same software
+    """Depth-only raster of ONE cascade through the same software
     rasterizer (reference: renderShadow renderer.cpp:350 — cascade setup
     -> per-cascade cull -> depth-only meshlet raster,
-    mesh_raster.cpp:468-486). -> (N,R,R) reverse-Z depth maps."""
+    mesh_raster.cpp:468-486). Cascades refresh round-robin, one per
+    frame (the reference's cascade history caching) — k selects which.
+    -> (R,R) reverse-Z depth map."""
     scfg = mcfg.shadow_cfg
     r = scfg.resolution
     rc = RasterConfig(width=r, height=r,
                       pair_capacity=rc_main.pair_capacity,
                       big_capacity=rc_main.big_capacity,
                       interpret=rc_main.interpret)
-    maps = []
-    for i in range(scfg.cascade_count):
-        m = view.shadow_tw_to_light[i]
-        planes = view.shadow_frustum_planes[i]
-        with jax.named_scope(f"shadow.cascade{i}"):
+
+    def one(i):
+        def f():
+            m = view.shadow_tw_to_light[i]
+            planes = view.shadow_frustum_planes[i]
             res = cull_pairs(pools, instances, planes,
                              jnp.float32(0.5 * r * m[1, 1]),
                              mcfg.shadow_draw_capacity,
@@ -164,8 +166,10 @@ def render_shadow_cascades(
             depth_i, _vis, _stats = rasterize(
                 st.clip, st.indices, st.tri_valid, st.payload, rc,
                 backface_cull=False)
-            maps.append(depth_i)
-    return jnp.stack(maps)
+            return depth_i
+        return f
+
+    return jax.lax.switch(k, [one(i) for i in range(scfg.cascade_count)])
 
 
 def debug_visualize(mode: str, hdr, vis, depth, gbuf, draw_meshlet, pools):
@@ -375,23 +379,60 @@ def render_frame_meshlet(
 
     sun_shadow = None
     new_shadow_mask = history.shadow_mask
+    new_shadow_maps = history.shadow_maps
+    new_shadow_mats = history.shadow_mats
     if mcfg.shadows:
+        n_casc = mcfg.shadow_cfg.cascade_count
+        k = jnp.mod(history.frame_count, n_casc).astype(jnp.int32)
         with jax.named_scope("shadow.render"):
-            shadow_maps = render_shadow_cascades(pools, instances, view,
-                                                 rc, mcfg)
+            new_map = render_shadow_cascade(pools, instances, view, rc,
+                                            mcfg, k)
+            new_shadow_maps = jax.lax.dynamic_update_slice(
+                history.shadow_maps, new_map[None], (k, 0, 0))
+            new_shadow_mats = jax.lax.dynamic_update_slice(
+                history.shadow_mats,
+                jax.lax.dynamic_slice(view.shadow_tw_to_light, (k, 0, 0),
+                                      (1, 4, 4)), (k, 0, 0))
+            shadow_maps = new_shadow_maps
         with jax.named_scope("shadow.evaluate"):
-            kdiv = mcfg.shadow_cfg.eval_res_div
+            scfg_ = mcfg.shadow_cfg
+            kdiv = scfg_.eval_res_div
             pos_qv = gbuf.position_tw[::kdiv, ::kdiv]
+            he, we = pos_qv.shape[:2]
+            # phase-amortized PCSS: evaluate 1/ph^2 of the eval grid per
+            # frame (rotating phase); the temporal mask cache carries the
+            # rest. Effective refresh matches the reference's 1/8-res
+            # cached soft-shadow mask (lighting.h:23-29) at 1/4 the
+            # shadow-map gather cost.
+            ph = scfg_.temporal_phase if scfg_.temporal else 1
+            if ph > 1:
+                pidx = jnp.remainder(history.frame_count, ph * ph)
+                py_, px_ = pidx // ph, pidx % ph
+                shift = lambda a: jnp.roll(a, (-py_, -px_), axis=(0, 1))
+                pos_e = shift(pos_qv)[::ph, ::ph]
+                nrm_e = shift(gbuf.normal[::kdiv, ::kdiv])[::ph, ::ph]
+            else:
+                pos_e = pos_qv
+                nrm_e = gbuf.normal[::kdiv, ::kdiv]
             noise = None
-            if mcfg.shadow_cfg.jitter:
+            if scfg_.jitter:
                 from ..ops.bluenoise import interleaved_gradient_noise
                 noise = interleaved_gradient_noise(
-                    pos_qv.shape[0], pos_qv.shape[1], history.frame_count)
-            sun_shadow_q = shadow_ops.evaluate_shadow(
-                pos_qv,
-                gbuf.normal[::kdiv, ::kdiv], view.sun_direction,
-                shadow_maps, view.shadow_tw_to_light, view.shadow_splits,
-                mcfg.shadow_cfg, noise=noise)
+                    pos_e.shape[0], pos_e.shape[1], history.frame_count)
+            q_eval = shadow_ops.evaluate_shadow(
+                pos_e, nrm_e, view.sun_direction,
+                shadow_maps, new_shadow_mats, scfg_, noise=noise)
+            if ph > 1:
+                sun_shadow_q = jnp.roll(
+                    post.upsample_nearest(q_eval, ph, he, we),
+                    (py_, px_), axis=(0, 1))
+                iy_ = jnp.arange(he, dtype=jnp.int32)[:, None]
+                ix_ = jnp.arange(we, dtype=jnp.int32)[None, :]
+                phase_mask = ((jnp.remainder(iy_, ph) == py_) &
+                              (jnp.remainder(ix_, ph) == px_))
+            else:
+                sun_shadow_q = q_eval
+                phase_mask = None
         if mcfg.shadow_cfg.temporal:
             # Temporal soft-shadow mask (reference caches + temporally
             # blends its PCSS mask, lighting.h:23-29): reproject last
@@ -413,7 +454,13 @@ def render_frame_meshlet(
                 yi = jnp.clip(py.astype(jnp.int32), 0, hq - 1)
                 prev = history.shadow_mask[yi, xi]
                 resid = jnp.abs(prev - sun_shadow_q)
-                alpha = (mcfg.shadow_cfg.temporal_alpha * history.valid *
+                # phase pixels blend toward the fresh PCSS value; the rest
+                # keep the reprojected history unless the residual vs the
+                # nearest fresh value says the shadow moved
+                a0 = mcfg.shadow_cfg.temporal_alpha
+                base = (jnp.where(phase_mask, a0, 1.0)
+                        if phase_mask is not None else a0)
+                alpha = (base * history.valid *
                          on.astype(jnp.float32) *
                          gbuf.valid[::kdiv, ::kdiv].astype(jnp.float32) *
                          jnp.exp(-4.0 * resid))
@@ -432,7 +479,11 @@ def render_frame_meshlet(
     if mcfg.gi:
         gcfg = mcfg.gi_cfg or gi_ops.GIConfig()
         with jax.named_scope("gi.ssao"):
-            ao = gi_ops.ssao(depth, gbuf.position_tw, gbuf.normal, gcfg)
+            # half-res AO + upsample (the taps are the cost; the reference
+            # also runs AO below full res)
+            ao_h = gi_ops.ssao(depth[::2, ::2], gbuf.position_tw[::2, ::2],
+                               gbuf.normal[::2, ::2], gcfg)
+            ao = post.upsample_nearest(ao_h, 2, h, w)
         with jax.named_scope("gi.sample"):
             cam_anchor = jnp.zeros(3)   # camera at the TW origin
             indirect = gi_ops.diffuse_gi(history.gi_cache, gbuf,
@@ -463,7 +514,8 @@ def render_frame_meshlet(
                               ssr_col * ssr_conf[..., None])
             hh, ww = gbuf.valid.shape
             spec_rad = post.upsample_nearest(spec_rad_q, k, hh, ww)
-            lut = brdf.build_env_brdf_lut(64)
+            lut = (view.brdf_lut if view.brdf_lut is not None
+                   else brdf.build_env_brdf_lut(64))
             nov = jnp.clip(jnp.sum(
                 -gbuf.position_tw / jnp.maximum(jnp.linalg.norm(
                     gbuf.position_tw, axis=-1, keepdims=True), 1e-6) *
@@ -543,6 +595,8 @@ def render_frame_meshlet(
         tsr_color=tsr_color,
         gi_cache=new_gi_cache,
         shadow_mask=new_shadow_mask,
+        shadow_maps=new_shadow_maps,
+        shadow_mats=new_shadow_mats,
     )
     return image, new_history, stats
 
@@ -580,6 +634,14 @@ class MeshletRenderer:
     def reset_history(self) -> None:
         self.history = None
 
+    def _brdf_lut(self):
+        if getattr(self, "_brdf_cache", None) is None:
+            import jax as _jax
+            from ..ops import brdf_lut as brdf
+            self._brdf_cache = _jax.jit(
+                brdf.build_env_brdf_lut, static_argnums=0)(64)
+        return self._brdf_cache
+
     def _atmo_luts(self):
         if self._atmo_cache is None:
             from ..ops import atmosphere as atm
@@ -595,13 +657,18 @@ class MeshletRenderer:
 
     def render(self, pools, instances, view_uniform, **light_kwargs):
         c = self.config
-        if self.history is None:
+        fresh = self.history is None
+        if fresh:
             self.history = FrameHistory.empty(
                 c.height, c.width,
                 post_h=c.post_height or None, post_w=c.post_width or None,
                 gi_cfg=(self.mcfg.gi_cfg or gi_ops.GIConfig())
                 if self.mcfg.gi else None,
-                shadow_div=self.mcfg.shadow_cfg.eval_res_div)
+                shadow_div=self.mcfg.shadow_cfg.eval_res_div,
+                shadow_cascades=(self.mcfg.shadow_cfg.cascade_count
+                                 if self.mcfg.shadows else 0),
+                shadow_res=(self.mcfg.shadow_cfg.resolution
+                            if self.mcfg.shadows else 1))
         view = DeviceView.from_uniform(
             view_uniform,
             shadow_cfg=self.mcfg.shadow_cfg if self.mcfg.shadows else None,
@@ -609,6 +676,16 @@ class MeshletRenderer:
         if self.mcfg.atmosphere:
             t, ms = self._atmo_luts()
             view = view.replace(atmo_t_lut=t, atmo_ms_lut=ms)
+        if self.mcfg.gi:
+            view = view.replace(brdf_lut=self._brdf_lut())
+        if fresh and self.mcfg.shadows and \
+                self.mcfg.shadow_cfg.cascade_count > 1:
+            # cascade-cache warmup: cascades refresh round-robin (one per
+            # frame); a camera cut re-runs the frame so every cascade of
+            # the cache is populated before the first presented image
+            for _ in range(self.mcfg.shadow_cfg.cascade_count - 1):
+                _img, self.history, _stats = self._frame_fn(
+                    pools, instances, view, self.history)
         image, self.history, stats = self._frame_fn(
             pools, instances, view, self.history)
         return image, stats

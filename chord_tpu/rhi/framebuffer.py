@@ -76,11 +76,18 @@ class FrameHistory:
     tsr_color: jnp.ndarray       # (Hp,Wp,3) f32 accumulated TSR color
     gi_cache: jnp.ndarray        # (C,D^3,13) f32 world radiance SH cache
     shadow_mask: jnp.ndarray     # (Hs,Ws) f32 temporal PCSS mask (1 = lit)
+    # cached cascaded shadow maps (reference: cascade history caching,
+    # cascade_setup.hlsl): one cascade re-renders per frame round-robin;
+    # each map's OWN fit matrix rides along so stale cascades stay valid
+    shadow_maps: jnp.ndarray     # (N,R,R) f32 reverse-Z (or (1,1,1) off)
+    shadow_mats: jnp.ndarray     # (N,4,4) f32 tw->light of each cached map
 
     @classmethod
     def empty(cls, h: int, w: int, post_h: Optional[int] = None,
               post_w: Optional[int] = None,
-              gi_cfg=None, shadow_div: int = 2) -> "FrameHistory":
+              gi_cfg=None, shadow_div: int = 2,
+              shadow_cascades: int = 0,
+              shadow_res: int = 1) -> "FrameHistory":
         from ..ops.hzb import hzb_layout
         from ..ops.gi import GIConfig, sh_size
 
@@ -98,4 +105,8 @@ class FrameHistory:
             gi_cache=jnp.zeros(gi_shape, jnp.float32),
             shadow_mask=jnp.ones((-(-h // shadow_div), -(-w // shadow_div)),
                                  jnp.float32),
+            shadow_maps=jnp.zeros((max(shadow_cascades, 1),
+                                   shadow_res, shadow_res), jnp.float32),
+            shadow_mats=jnp.zeros((max(shadow_cascades, 1), 4, 4),
+                                  jnp.float32),
         )

@@ -42,6 +42,20 @@ class SceneSubsystem:
         self._max_instances = 0
 
     # --- library ----------------------------------------------------------
+    def register_builtin_meshes(self) -> None:
+        """Register the builtin primitive library (the reference ships
+        builtin meshes for gizmos/debug, graphics.cpp builtin meshes):
+        box, sphere, plane, cylinder under stable keys."""
+        from ..asset.procedural import (make_box, make_cylinder, make_plane,
+                                        make_uv_sphere)
+
+        for key, mesh in (("builtin.box", make_box()),
+                          ("builtin.sphere", make_uv_sphere(1.0)),
+                          ("builtin.plane", make_plane(1.0)),
+                          ("builtin.cylinder", make_cylinder())):
+            if key not in self.meshes:
+                self.register_mesh(key, mesh)
+
     def register_mesh(self, key: str, mesh: MeshData) -> None:
         if key in self.meshes:
             raise KeyError(f"mesh '{key}' already registered")

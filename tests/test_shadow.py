@@ -65,7 +65,7 @@ def test_shadow_occluder_blocks_sun():
     ], np.float32))                                   # (1,2,3)
     nrm = jnp.asarray(np.tile([0.0, 1.0, 0.0], (1, 2, 1)).astype(np.float32))
     vis = evaluate_shadow(pos, nrm, jnp.asarray(sun, jnp.float32),
-                          jnp.asarray(maps), m, jnp.asarray(splits), cfg)
+                          jnp.asarray(maps), m, cfg)
     vis = np.asarray(vis)
     assert vis[0, 0] < 0.2, f"under occluder should be dark, got {vis[0,0]}"
     assert vis[0, 1] > 0.9, f"open point should be lit, got {vis[0,1]}"
@@ -94,6 +94,9 @@ def test_meshlet_frame_with_shadows():
     img = np.asarray(img)
     assert img.std() > 8.0
     assert int(np.asarray(stats["bin_overflow"])) == 0
+    # phased eval keeps the mask bounded + finite
+    m = np.asarray(r.history.shadow_mask)
+    assert np.isfinite(m).all() and m.min() >= 0.0 and m.max() <= 1.0
 
 
 def test_temporal_shadow_mask_accumulates():
@@ -109,7 +112,7 @@ def test_temporal_shadow_mask_accumulates():
 
     scfg = ShadowConfig(cascade_count=2, resolution=256,
                         pcss_blocker_samples=4, pcss_pcf_samples=4,
-                        temporal=True, jitter=False)
+                        temporal=True, temporal_phase=1, jitter=False)
     r = MeshletRenderer(
         RendererConfig(width=96, height=48, pair_capacity=4096,
                        big_capacity=128, interpret=True,
@@ -182,10 +185,9 @@ def test_pcss_jitter_rotates_disk():
     from chord_tpu.ops.bluenoise import interleaved_gradient_noise
     noise = interleaved_gradient_noise(4, 8, 3)
     a = evaluate_shadow(pos, nrm, jnp.asarray(sun, jnp.float32), maps,
-                        jnp.asarray(mats), jnp.asarray(splits), cfg)
+                        jnp.asarray(mats), cfg)
     b = evaluate_shadow(pos, nrm, jnp.asarray(sun, jnp.float32), maps,
-                        jnp.asarray(mats), jnp.asarray(splits), cfg,
-                        noise=noise)
+                        jnp.asarray(mats), cfg, noise=noise)
     # open scene: both fully lit regardless of rotation
     np.testing.assert_allclose(np.asarray(a), 1.0)
     np.testing.assert_allclose(np.asarray(b), 1.0)
