@@ -158,7 +158,7 @@ def main() -> int:
     has_masked = any(m.alpha_mode != "opaque" for m in b.materials)
     r = MeshletRenderer(
         RendererConfig(width=args.width, height=args.height,
-                       pair_capacity=16384, big_capacity=512,
+                       pair_capacity=16384, big_capacity=128,
                        interpret=interpret),
         MeshletFrameConfig(draw_capacity=8192, occlusion=True,
                            shadows=args.shadows, atmosphere=args.atmosphere,

@@ -29,6 +29,7 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
     import jax
 
     from chord_tpu.asset.procedural import (build_bistro_like,
+                                            build_nanite_stress,
                                             build_sponza_like)
     from chord_tpu.native import available as native_available
     from chord_tpu.renderer.deferred import DeviceView, RendererConfig
@@ -40,6 +41,8 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
 
     if scene == "bistro":
         b = build_bistro_like(detail=detail)
+    elif scene == "nanite":
+        b = build_nanite_stress(rings=16 * detail)
     else:
         b = build_sponza_like(detail=detail)
     pools = build_meshlet_pools(b, nanite=native_available())
@@ -63,6 +66,11 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
         if scene == "bistro":
             cam.position = np.array([-45.0 + 70.0 * t, 5.0, 4.0])
             cam.look_at(np.array([55.0, 3.0, -4.0]))
+        elif scene == "nanite":
+            ang = t * 1.5
+            cam.position = np.array([50.0 * np.cos(ang), 9.0,
+                                     50.0 * np.sin(ang)])
+            cam.look_at(np.array([0.0, 2.0, 0.0]))
         else:
             cam.position = np.array([-16.0 + 6.0 * t, 4.5, 3.0])
             cam.look_at(np.array([12.0, 2.0, -2.0]))

@@ -268,3 +268,37 @@ def build_bistro_like(seed: int = 11, detail: int = 3,
                    rng.uniform(-25, 25)), s)
             deficit -= b.meshes[ball_hi].num_triangles
     return b
+
+
+def build_nanite_stress(seed: int = 3, spheres: int = 100,
+                        rings: int = 64) -> SceneBuilder:
+    """Nanite stress scene (BASELINE config #3: cluster-LOD selection +
+    software raster under fly-through): a field of high-resolution
+    spheres — ~2*rings^2 source triangles each, one shared mesh whose
+    full LOD DAG the runtime cut selects per instance by screen size.
+    Source triangle count scales ~spheres * 2 * rings^2 (100 spheres at
+    rings=64 ≈ 1.6M) while DRAWN triangles stay roughly constant."""
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    sph = b.add_mesh(make_uv_sphere(1.0, rings=rings, sectors=2 * rings))
+    floor = b.add_mesh(make_plane(1.0, segments=8))
+    stone = b.add_material(MaterialData(base_color=(0.7, 0.68, 0.62, 1.0),
+                                        roughness=0.9))
+    mats = [b.add_material(MaterialData(
+        base_color=(float(c[0]), float(c[1]), float(c[2]), 1.0),
+        roughness=float(r), metallic=float(m)))
+        for c, r, m in zip(rng.uniform(0.2, 0.9, (8, 3)),
+                           rng.uniform(0.2, 0.9, 8),
+                           rng.uniform(0.0, 0.8, 8))]
+    m = cmath.compose_trs((0, 0, 0), scale=(120, 1, 120))
+    b.add_instance(floor, stone, m)
+    side = int(np.ceil(np.sqrt(spheres)))
+    for i in range(spheres):
+        gx, gz = i % side, i // side
+        t = (gx * 6.0 - side * 3.0 + rng.uniform(-1, 1),
+             1.0 + rng.uniform(0.0, 2.5),
+             gz * 6.0 - side * 3.0 + rng.uniform(-1, 1))
+        s = rng.uniform(0.6, 1.8)
+        b.add_instance(sph, mats[i % len(mats)],
+                       cmath.compose_trs(t, scale=(s, s, s)))
+    return b

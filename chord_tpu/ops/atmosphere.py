@@ -334,7 +334,9 @@ def sun_disk_radiance(p: AtmosphereParams, t_lut: jnp.ndarray,
     c = jnp.einsum("...c,c->...", view_dir, sun_dir)
     cos_rad = np.cos(sun_angular_radius)
     in_disk = (c >= cos_rad)[..., None]
-    t_sun = sample_transmittance(t_lut, p, jnp.asarray(r0), view_dir[..., 1])
+    # within the ~0.27deg disk view ~= sun_dir: ONE transmittance sample
+    # at the sun elevation replaces a per-pixel LUT gather
+    t_sun = sample_transmittance(t_lut, p, jnp.asarray(r0), sun_dir[1])
     return jnp.where(in_disk, t_sun * p.sun_illuminance * 50.0, 0.0)
 
 

@@ -365,7 +365,12 @@ def render_frame_meshlet(
                                              view.sun_direction)
         with jax.named_scope("atmosphere.sky"):
             dirs = pixel_view_dirs(h, w, view.clip_to_tw)
-            sky_srgb = atm.sample_sky(sky_lut, dirs) + \
+            # sky is angularly smooth: sample the LUT at 1/4 res (the
+            # gathers are the cost) + bilinear resize; the sun disk stays
+            # full-res (analytic, gather-free)
+            import jax.image as jimage
+            sky_q = atm.sample_sky(sky_lut, dirs[::4, ::4])
+            sky_srgb = jimage.resize(sky_q, (h, w, 3), "linear") + \
                 atm.sun_disk_radiance(p_atm, t_lut, dirs, view.sun_direction)
             sky_radiance = colorspace.srgb_to_acescg(sky_srgb)
             amb_srgb = atm.sky_ambient_irradiance(sky_lut)
