@@ -29,6 +29,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def build_scene(name: str):
     from chord_tpu.asset.procedural import (build_bistro_like,
+                                            build_nanite_stress,
                                             build_sponza_like)
     from chord_tpu.asset.gltf import into_builder, load_gltf
     from chord_tpu.rhi.scene_arrays import SceneBuilder
@@ -39,6 +40,9 @@ def build_scene(name: str):
     if name == "bistro":
         return build_bistro_like(detail=2), np.array([-40.0, 5.0, 4.0]), \
             np.array([50.0, 3.0, -4.0])
+    if name == "nanite":
+        return build_nanite_stress(rings=64), \
+            np.array([45.0, 10.0, 30.0]), np.array([0.0, 2.0, 0.0])
     p = Path(name)
     if p.suffix == ".chtp":
         # scene asset: load through SceneSubsystem with the builtin mesh
@@ -107,7 +111,7 @@ def bounds_overlay(img_u8: "np.ndarray", builder, cam, view) -> "np.ndarray":
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--scene", default="sponza",
-                    help="sponza | bistro | path/to/model.glb")
+                    help="sponza | bistro | nanite | path/to/model.glb")
     ap.add_argument("--width", type=int, default=960)
     ap.add_argument("--height", type=int, default=540)
     ap.add_argument("--frames", type=int, default=1)
