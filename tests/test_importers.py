@@ -149,3 +149,13 @@ def test_gltf_texture_import(tmp_path):
     # no pool -> ids stay -1, no crash
     scene2 = load_gltf(p)
     assert scene2.materials[0].base_color_texture == -1
+
+
+def test_nanite_stress_scene_builds():
+    """BASELINE config #3 scene: source-tri scale and instancing sanity."""
+    from chord_tpu.asset.procedural import build_nanite_stress
+
+    b = build_nanite_stress(spheres=9, rings=16)
+    per_instance = sum(b.meshes[m].num_triangles for m, _, _ in b.instances)
+    assert per_instance > 9 * 2 * 16 * 16 * 0.8   # ~2*rings^2 per sphere
+    assert len(b.instances) == 10                 # 9 spheres + floor
