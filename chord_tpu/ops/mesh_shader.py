@@ -222,10 +222,14 @@ def _mesh_shader_kernel(dm_ref, tcnt_ref, count_ref,
             # permutation is applied with one-hot MXU matmuls on exact
             # 16-bit halves (bit patterns can't ride f32 matmuls whole:
             # 24-bit bf16x3 mantissa; two u16 halves are exact).
+            # y multiplier = number of 32px x-buckets across the render
+            # width (constant 64 would alias x-buckets into the next y
+            # row at widths over 2048, e.g. 4K)
+            x_buckets = float(-(-width // 32))
             key = jnp.where(valid,
-                            jnp.floor(iy0 * 0.125) * 64.0 +
+                            jnp.floor(iy0 * 0.125) * x_buckets +
                             jnp.floor(ix0 * 0.03125),
-                            jnp.float32(20000.0))          # (1,128)
+                            jnp.float32(x_buckets * 4096.0))   # (1,128)
             keyj = key + jax.lax.broadcasted_iota(
                 jnp.int32, (1, WINDOW), 1).astype(jnp.float32) * \
                 (1.0 / 256.0)                               # stable tiebreak

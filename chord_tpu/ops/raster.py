@@ -620,6 +620,13 @@ def raster_queue(
     `seeds` (same tuple layout) carries a previous phase's targets through
     a re-raster (two-phase HZB occlusion, reference mesh_raster.cpp:269)."""
     c = config
+    # the packed row loop writes accumulator rows in sub_s groups; a
+    # tile_h that is not a multiple of sub_s (or of the f32 sublane) would
+    # index past the VMEM scratch — reject bad cvar combinations early
+    if c.tile_h % 8 != 0 or c.tile_h % c.sub_s != 0:
+        raise ValueError(
+            f"tile_h={c.tile_h} must be a multiple of 8 and of "
+            f"sub_s={c.sub_s} (set via r.raster.tileH)")
     h_pad = c.tiles_y * c.tile_h
     w_pad = c.tiles_x * c.tile_w
     n_attr = 5 if c.with_attrs else 0

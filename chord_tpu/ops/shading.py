@@ -189,7 +189,12 @@ def resolve_gbuffer_raster_rt(
     minv = jnp.linalg.inv(instances.object_to_tw)
     delta = jnp.einsum("oij,ojk->oik", minv, instances.object_prev_to_tw)
     delta_d = delta[draw_object].reshape(-1, 16)          # (cap,16)
+    # miss/sky pixels take the identity delta (pure camera reprojection);
+    # clamping to draw 0 would leak that object's rigid motion into the
+    # background fed to TSR
     dmat = delta_d[jnp.maximum(slot, 0)].reshape(h, w, 4, 4)
+    dmat = jnp.where(valid[..., None, None], dmat,
+                     jnp.eye(4, dtype=dmat.dtype))
     prev_pos = (pos_tw[..., 0:1] * dmat[..., 0, :3] +
                 pos_tw[..., 1:2] * dmat[..., 1, :3] +
                 pos_tw[..., 2:3] * dmat[..., 2, :3] + dmat[..., 3, :3])

@@ -224,6 +224,10 @@ def render_frame_meshlet(
 
     stats = {}
 
+    # phase-1 capacity (also the masked payload base offset must agree
+    # with the draw_object concat layout below — compute it exactly once)
+    cap1 = max(256, -(-cap // 4 // 128) * 128) if mcfg.occlusion else 0
+
     if mcfg.occlusion:
         prev_hzb = make_hzb(history.hzb_flat)
         # history invalid -> HZB all zeros -> everything passes (depth 0 =
@@ -249,7 +253,6 @@ def render_frame_meshlet(
         # usually a small fraction; right-size its static capacity so the
         # capacity-proportional setup/bin work shrinks with it (overflow
         # is counted as always)
-        cap1 = max(256, -(-cap // 4 // 128) * 128)
         with jax.named_scope("cull.phase1"):
             res1 = cull_pairs(
                 pools, instances, view.frustum_planes, proj_scale, cap1,
@@ -309,8 +312,7 @@ def render_frame_meshlet(
         # own layer, then punch through with a deferred alpha test.
         cap_m = min(mcfg.masked_draw_capacity,
                     -(-pools.num_pairs // 128) * 128)
-        base_m = (cap + max(256, -(-cap // 4 // 128) * 128)
-                  if mcfg.occlusion else cap)
+        base_m = cap + cap1
         with jax.named_scope("masked.cull"):
             res_m = cull_pairs(
                 pools, instances, view.frustum_planes, proj_scale, cap_m,
