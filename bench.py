@@ -3,13 +3,16 @@
 
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Headline metric (BASELINE.md): full-pipeline ms/frame at 1080p on the
-Bistro-scale procedural scene through the GPU-driven meshlet pipeline
-(Nanite LOD cut + two-phase HZB occlusion + visbuffer raster + deferred
-PBR + bloom/TAA/tonemap). Measured as an N-frame camera fly-through
-rendered in ONE dispatch (lax.scan) — the honest device-throughput shape
-(the axon tunnel adds ~26ms per dispatch that production serving would
-not pay). `vs_baseline` is against the 16.6 ms/frame north star.
+Headline metric (BASELINE.md): FULL-pipeline ms/frame at 1080p — the
+all-features frame (GPU-driven meshlet cull + Nanite LOD + two-phase HZB
+occlusion + visbuffer raster + deferred PBR + cascaded shadows/PCSS +
+atmosphere + screen-probe GI + SSAO + SSR + BVH ray fallback + bloom/TSR/
+tonemap) on a >=2.5M source-triangle Bistro-scale procedural scene.
+Measured as an N-frame camera fly-through in ONE dispatch (lax.scan) —
+the honest device-throughput shape (the axon tunnel adds ~26ms per
+dispatch that production serving would not pay). `vs_baseline` is against
+the 16.6 ms/frame north star. The feature-off geometry-path number is
+reported as a secondary line in `detail` when time permits.
 """
 
 from __future__ import annotations
@@ -21,45 +24,28 @@ import time
 
 import numpy as np
 
+NORTH_STAR_MS = 16.6   # BASELINE.json
 
-def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
-                render_scale=1.0):
-    import functools
 
-    import jax
-
+def _make_scene(scene, detail, target_tris):
     from chord_tpu.asset.procedural import (build_bistro_like,
                                             build_nanite_stress,
                                             build_sponza_like)
     from chord_tpu.native import available as native_available
-    from chord_tpu.renderer.deferred import DeviceView, RendererConfig
-    from chord_tpu.renderer.meshlet_frame import (MeshletFrameConfig,
-                                                  render_sequence_meshlet)
-    from chord_tpu.rhi.framebuffer import FrameHistory
     from chord_tpu.rhi.meshlet_scene import build_meshlet_pools
-    from chord_tpu.utils.camera import Camera
 
     if scene == "bistro":
-        b = build_bistro_like(detail=detail)
+        b = build_bistro_like(detail=detail, target_tris=target_tris)
     elif scene == "nanite":
         b = build_nanite_stress(rings=16 * detail)
     else:
         b = build_sponza_like(detail=detail)
     pools = build_meshlet_pools(b, nanite=native_available())
-    n_src_tris = sum(m.num_triangles for m, in
-                     [(b.meshes[mi],) for mi, _, _ in b.instances])
+    n_src_tris = sum(b.meshes[mi].num_triangles for mi, _, _ in b.instances)
+    return b, pools, n_src_tris
 
-    rw = int(width * render_scale) // 8 * 8
-    rh = int(height * render_scale) // 8 * 8
-    cam = Camera(width=rw, height=rh)
-    config = RendererConfig(width=rw, height=rh,
-                            post_width=width if render_scale != 1.0 else 0,
-                            post_height=height if render_scale != 1.0 else 0,
-                            pair_capacity=16384, big_capacity=64,
-                            enable_bloom=True, enable_tsr=True,
-                            tsr_mode="global")
-    mcfg = MeshletFrameConfig(draw_capacity=4096, occlusion=True)
 
+def _camera_path(scene, cam, frames):
     views = []
     for i in range(frames):
         t = i / max(frames - 1, 1)
@@ -74,15 +60,79 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
         else:
             cam.position = np.array([-16.0 + 6.0 * t, 4.5, 3.0])
             cam.look_at(np.array([12.0, 2.0, -2.0]))
-        views.append(DeviceView.from_uniform(cam.view_uniform(i)))
-    views_stacked = jax.tree.map(lambda *xs: jax.numpy.stack(xs), *views)
+        views.append(cam.view_uniform(i))
+    return views
+
+
+def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
+                render_scale=1.0, features="all",
+                target_tris=2_600_000, draw_capacity=6144):
+    import functools
+
+    import jax
+
+    from chord_tpu.ops.screen_probe import ScreenProbeConfig
+    from chord_tpu.renderer.deferred import DeviceView, RendererConfig
+    from chord_tpu.renderer.meshlet_frame import (MeshletFrameConfig,
+                                                  render_frame_meshlet,
+                                                  render_sequence_meshlet)
+    from chord_tpu.rhi.framebuffer import FrameHistory
+    from chord_tpu.utils.camera import Camera
+
+    b, pools, n_src_tris = _make_scene(scene, detail, target_tris)
+
+    rw = int(width * render_scale) // 8 * 8
+    rh = int(height * render_scale) // 8 * 8
+    cam = Camera(width=rw, height=rh)
+    config = RendererConfig(width=rw, height=rh,
+                            post_width=width if render_scale != 1.0 else 0,
+                            post_height=height if render_scale != 1.0 else 0,
+                            pair_capacity=16384, big_capacity=64,
+                            enable_bloom=True, enable_tsr=True,
+                            tsr_mode="global")
+    all_on = features == "all"
+    mcfg = MeshletFrameConfig(
+        draw_capacity=draw_capacity, occlusion=True,
+        shadows=all_on, atmosphere=all_on,
+        gi=all_on, gi_mode="probe", gi_rt=all_on, rt_rays=2, ssr=all_on,
+        textured=all_on, alpha_masked=all_on, alpha_blend=all_on,
+        probe_cfg=ScreenProbeConfig(rays=16, steps=6))
+
+    bvh = None
+    if all_on:
+        from chord_tpu.ops.rt import build_scene_bvh
+        bvh = build_scene_bvh(pools, b.frame_instances(cam))
+
+    views_u = _camera_path(scene, cam, frames)
+    shadow_cfg = mcfg.shadow_cfg if all_on else None
+    dviews = [DeviceView.from_uniform(u, shadow_cfg=shadow_cfg)
+              for u in views_u]
+    if all_on:
+        # sun-independent LUTs built once on the host driver
+        from chord_tpu.ops import atmosphere as atm
+        from chord_tpu.ops import brdf_lut as brdf
+        p_atm = atm.AtmosphereParams()
+        t_lut = jax.jit(atm.build_transmittance_lut,
+                        static_argnums=1)(p_atm, 40)
+        ms_lut = jax.jit(lambda tl: atm.build_multiscatter_lut(
+            p_atm, tl, dir_samples=16, steps=12))(t_lut)
+        lut = jax.jit(brdf.build_env_brdf_lut, static_argnums=0)(64)
+        dviews = [v.replace(atmo_t_lut=t_lut, atmo_ms_lut=ms_lut,
+                            brdf_lut=lut) for v in dviews]
+    views_stacked = jax.tree.map(lambda *xs: jax.numpy.stack(xs), *dviews)
+    from chord_tpu.ops.gi import GIConfig
     history = FrameHistory.empty(
         rh, rw, post_h=height if render_scale != 1.0 else None,
-        post_w=width if render_scale != 1.0 else None)
+        post_w=width if render_scale != 1.0 else None,
+        gi_cfg=GIConfig() if all_on else None,
+        shadow_cascades=(mcfg.shadow_cfg.cascade_count if all_on else 0),
+        shadow_res=(mcfg.shadow_cfg.resolution if all_on else 1),
+        shadow_div=mcfg.shadow_cfg.eval_res_div,
+        probe_tile=8 if all_on else 0)
     inst = b.frame_instances(cam)
 
     fn = jax.jit(functools.partial(
-        render_sequence_meshlet, config=config, mcfg=mcfg))
+        render_sequence_meshlet, config=config, mcfg=mcfg, bvh=bvh))
 
     # sync on a 1-pixel fetch: the scan output depends on every frame, so
     # this forces full completion without paying the axon tunnel's ~160 ms
@@ -98,12 +148,13 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
     dt = time.time() - t0
     ms = dt / frames * 1000.0
 
-    # drawn triangle count from a single traced frame (for Mtris/s)
-    from chord_tpu.renderer.meshlet_frame import render_frame_meshlet
+    # drawn triangle count + overflow audit from a single traced frame
     one = jax.jit(functools.partial(render_frame_meshlet, config=config,
-                                    mcfg=mcfg))
-    _img, _h, stats = one(pools, inst, views[frames // 2], history)
+                                    mcfg=mcfg, bvh=bvh))
+    _img, _h, stats = one(pools, inst, dviews[frames // 2], history)
     drawn = int(np.asarray(stats["drawn_tris"]))
+    overflow = {k: int(np.asarray(v)) for k, v in stats.items()
+                if "overflow" in k}
 
     return {
         "ms_per_frame": ms,
@@ -114,7 +165,8 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
         "frames": frames,
         "width": width, "height": height,
         "render_scale": render_scale,
-        "nanite": bool(native_available()),
+        "features": features,
+        "overflow": overflow,
     }
 
 
@@ -125,24 +177,46 @@ def main():
     ap.add_argument("--detail", type=int, default=3)
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--scene", default="bistro")
+    ap.add_argument("--target-tris", type=int, default=2_600_000)
+    ap.add_argument("--features", default="all", choices=["all", "off"])
     ap.add_argument("--render-scale", type=float, default=1.0,
                     help="TSR upscale: render at scale*res, temporal-"
                          "upscale to full res (the reference's render-dim"
                          " -> post-dim DimensionConfig chain)")
+    ap.add_argument("--skip-secondary", action="store_true",
+                    help="skip the feature-off secondary measurement")
     args = ap.parse_args()
 
+    start = time.time()
     try:
         r = bench_frame(args.width, args.height, args.detail, args.frames,
-                        scene=args.scene, render_scale=args.render_scale)
+                        scene=args.scene, render_scale=args.render_scale,
+                        features=args.features,
+                        target_tris=args.target_tris)
+        detail = {k: (round(v, 3) if isinstance(v, float) else v)
+                  for k, v in r.items()}
+        # secondary: feature-off geometry-path number (skipped if the
+        # headline already consumed the time budget)
+        if (args.features == "all" and not args.skip_secondary
+                and time.time() - start < 1500):
+            try:
+                r_off = bench_frame(args.width, args.height, args.detail,
+                                    args.frames, scene=args.scene,
+                                    render_scale=args.render_scale,
+                                    features="off",
+                                    target_tris=args.target_tris)
+                detail["feature_off_ms"] = round(r_off["ms_per_frame"], 3)
+                detail["feature_off_mtris_per_s"] = round(
+                    r_off["mtris_per_s"], 3)
+            except Exception as e:  # noqa: BLE001
+                detail["feature_off_error"] = str(e)
         ms = r["ms_per_frame"]
-        north_star_ms = 16.6   # BASELINE.json north star
         print(json.dumps({
             "metric": "full_pipeline_1080p_ms_per_frame",
             "value": round(ms, 3),
             "unit": "ms",
-            "vs_baseline": round(north_star_ms / ms, 3),
-            "detail": {k: (round(v, 3) if isinstance(v, float) else v)
-                       for k, v in r.items()},
+            "vs_baseline": round(NORTH_STAR_MS / ms, 3),
+            "detail": detail,
         }))
     except Exception as e:  # noqa: BLE001 — bench must always emit a line
         print(json.dumps({

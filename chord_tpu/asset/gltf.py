@@ -187,8 +187,9 @@ def load_gltf(path: str | Path, texture_pool=None) -> GLTFScene:
                 pbr.get("metallicRoughnessTexture"), False),
             emissive_texture=tex_layer(mat.get("emissiveTexture"), True),
             two_sided=mat.get("doubleSided", False),
-            alpha_mode=("opaque" if mat.get("alphaMode", "OPAQUE") == "OPAQUE"
-                        else "mask"),
+            alpha_mode={"OPAQUE": "opaque", "MASK": "mask",
+                        "BLEND": "blend"}.get(
+                            mat.get("alphaMode", "OPAQUE"), "opaque"),
             alpha_cutoff=mat.get("alphaCutoff", 0.5),
             name=mat.get("name", ""),
         ))

@@ -241,6 +241,13 @@ def build_bistro_like(seed: int = 11, detail: int = 3,
             if rng.random() < 0.6:
                 place(box, _mat(b, rng), (x + w / 2, 3.0, side * 10.8),
                       (w * 0.7, 0.1, 2.0), pitch=side * 0.3)
+            # shop window: translucent glass pane (Blend bucket)
+            if rng.random() < 0.5:
+                glass = b.add_material(MaterialData(
+                    base_color=(0.45, 0.62, 0.78, 0.35),
+                    roughness=0.08, two_sided=True, alpha_mode="blend"))
+                place(wall, glass, (x + w / 2, 2.2, side * 11.5),
+                      (w * 0.5, 1, 3.2), pitch=-side * np.pi / 2)
             x += w + rng.uniform(1, 3)
 
     # trees along the street

@@ -32,6 +32,7 @@ def load() -> ctypes.CDLL:
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.chord_nanite_build.restype = ctypes.c_int
     lib.chord_vertex_normals.restype = None
+    lib.chord_bvh_build.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -106,6 +107,39 @@ def nanite_build(positions: np.ndarray, indices: np.ndarray,
         "lod_sphere": lod_sphere[:m].copy(),
         "parent_sphere": parent_sphere[:m].copy(),
     }
+
+
+def bvh_build(spheres: np.ndarray):
+    """C++ 8-wide BVH over leaf bounding spheres (reference:
+    nanite_builder.cpp:77-313 buildBVHTree/flatten; GPUBVHNode
+    shader/gltf.h:16-24). DFS pre-order flatten: `count` is a skip
+    pointer (miss => i += count[i]) for the stackless TPU traversal
+    (ops/rt.py).
+
+    spheres: (N,4) f32 xyzr -> dict {sphere (M,4), children (M,8),
+    count (M,), leaf (M,)}.
+    """
+    lib = load()
+    spheres = np.ascontiguousarray(spheres, np.float32).reshape(-1, 4)
+    n = len(spheres)
+    cap = max(4 * n, 16)
+    out_sphere = np.zeros((cap, 4), np.float32)
+    out_children = np.zeros((cap, 8), np.int32)
+    out_count = np.zeros(cap, np.int32)
+    out_leaf = np.zeros(cap, np.int32)
+    n_nodes = ctypes.c_int(0)
+    rc = lib.chord_bvh_build(
+        _ptr(spheres, ctypes.c_float), n,
+        _ptr(out_sphere, ctypes.c_float), _ptr(out_children, ctypes.c_int),
+        _ptr(out_count, ctypes.c_int), _ptr(out_leaf, ctypes.c_int),
+        cap, ctypes.byref(n_nodes))
+    if rc != 0:
+        raise RuntimeError("chord_bvh_build: capacity exceeded")
+    m = n_nodes.value
+    return {"sphere": out_sphere[:m].copy(),
+            "children": out_children[:m].copy(),
+            "count": out_count[:m].copy(),
+            "leaf": out_leaf[:m].copy()}
 
 
 def vertex_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:

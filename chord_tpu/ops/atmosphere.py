@@ -48,6 +48,10 @@ class AtmosphereParams(NamedTuple):
     ozone_width_km: float = 30.0
     ground_albedo: float = 0.3
     sun_illuminance: float = 20.0       # arbitrary HDR scale
+    # world-unit -> km scale for aerial perspective (scene units are
+    # meters-ish; the reference does its aerial math in km with double
+    # camera positions, manager_atmosphere.h:13-16)
+    km_per_unit: float = 0.05
 
 
 def _densities(p: AtmosphereParams, h: jnp.ndarray):
@@ -345,3 +349,25 @@ def sky_ambient_irradiance(lut: jnp.ndarray) -> jnp.ndarray:
     (the reference feeds its GI sky sampling instead; used until GI)."""
     upper = lut[SKYVIEW_H // 2:]
     return jnp.mean(upper, axis=(0, 1))
+
+
+def aerial_perspective(p: AtmosphereParams, dist_units: jnp.ndarray,
+                       sky_along_view: jnp.ndarray,
+                       cam_alt_km: float = 0.2):
+    """Per-pixel aerial perspective on GEOMETRY (reference:
+    lighting.hlsl:75-135 evaluates the Bruneton LUTs per pixel for
+    distant-surface in-scattering). TPU form: constant-altitude analytic
+    integral — transmittance T = exp(-sigma_ext(h_cam) * d_km) and
+    in-scatter = skyview(dir) * (1 - T), reusing the sky-view radiance
+    already computed for every pixel direction (the in-scatter integral
+    along a ray converges to the sky radiance as d -> inf, so scaling by
+    (1-T) is exact at both limits and smooth in between).
+
+    dist_units (...,) camera distance in world units;
+    sky_along_view (...,3) sky-view radiance along each pixel's dir.
+    -> (transmittance (...,3), in_scatter (...,3))."""
+    d_km = dist_units * p.km_per_unit
+    h = jnp.asarray(cam_alt_km)
+    ext = _extinction(p, h)                       # (3,)
+    t = jnp.exp(-ext * d_km[..., None])
+    return t, sky_along_view * (1.0 - t)

@@ -47,6 +47,7 @@ class PairObjectData(NamedTuple):
     two_sided: jnp.ndarray    # (P,)
     valid: jnp.ndarray        # (P,) bool
     masked: jnp.ndarray       # (P,) bool (alpha-mask material bucket)
+    blend: jnp.ndarray        # (P,) bool (translucent bucket)
     scale: jnp.ndarray        # (P,) max row norm of the linear block
 
 
@@ -57,7 +58,8 @@ def gather_pair_objects(pools, instances) -> PairObjectData:
          instances.object_normal_mat.reshape(n, 9),
          instances.object_two_sided.reshape(n, 1).astype(jnp.float32),
          instances.object_valid.reshape(n, 1).astype(jnp.float32),
-         instances.object_masked.reshape(n, 1).astype(jnp.float32)], axis=1)
+         instances.object_masked.reshape(n, 1).astype(jnp.float32),
+         instances.object_blend.reshape(n, 1).astype(jnp.float32)], axis=1)
     t = table[pools.pair_object]                          # (P,29) one gather
     p = t.shape[0]
     m = t[:, :16].reshape(p, 4, 4)
@@ -67,6 +69,7 @@ def gather_pair_objects(pools, instances) -> PairObjectData:
         two_sided=t[:, 25],
         valid=t[:, 26] > 0.5,
         masked=t[:, 27] > 0.5,
+        blend=t[:, 28] > 0.5,
         scale=jnp.sqrt(jnp.max(jnp.sum(m[:, :3, :3] ** 2, axis=2), axis=1)))
 
 
@@ -192,6 +195,61 @@ def compact_draws(visible: jnp.ndarray, pools, capacity: int) -> DrawList:
                     overflow=jnp.maximum(total - capacity, 0))
 
 
+class ActivePairs(NamedTuple):
+    """Frame-level object pre-cull result: the bounded set of
+    (instance, meshlet) pairs whose OBJECT passed the frustum test.
+
+    TPU-native equivalent of the reference's object-level instance
+    culling (instance_culling.hlsl:48-131: per-object OBB frustum cull
+    FIRST, then append only survivors' cluster groups) — per-phase cull
+    cost scales with visible objects, not the total static pair table.
+    Object-level culling is frustum-only (matching the reference; HZB
+    occlusion stays at meshlet level so phase 1 can recover)."""
+
+    pair_object: jnp.ndarray    # (A,) i32
+    pair_meshlet: jnp.ndarray   # (A,) i32
+    pair_valid: jnp.ndarray     # (A,) bool (slack rows invalid)
+    pair_cull: jnp.ndarray      # (A,18) f32 gathered static cull rows
+    count: jnp.ndarray          # () i32
+    overflow: jnp.ndarray       # () i32 active pairs dropped
+
+    # duck-typed `pools` stand-in for the pair-level helpers
+    @property
+    def num_pairs(self) -> int:
+        return self.pair_object.shape[0]
+
+
+def build_active_pairs(pools, instances, frustum_planes: jnp.ndarray,
+                       capacity: int) -> ActivePairs:
+    """Object frustum cull -> compact the surviving pairs (one sort +
+    one (A,·) row gather; all later per-pair math runs at A, not P)."""
+    with jax.named_scope("cull.objects"):
+        s = instances.object_sphere_tw
+        d = jnp.einsum("oc,kc->ok", s[:, :3], frustum_planes[:, :3]) + \
+            frustum_planes[None, :, 3]
+        obj_ok = jnp.all(d + s[:, 3:4] >= 0.0, axis=1) & \
+            instances.object_valid
+    with jax.named_scope("cull.active_compact"):
+        ok = pools.pair_valid & obj_ok[pools.pair_object]
+        ok_i = ok.astype(jnp.int32)
+        total = jnp.sum(ok_i)
+        p = ok_i.shape[0]
+        idx = jnp.arange(p, dtype=jnp.int32)
+        _, idx_s = jax.lax.sort((1 - ok_i, idx), num_keys=1,
+                                is_stable=True)
+        a = min(capacity, p)
+        idx_a = idx_s[:a]
+        count = jnp.minimum(total, a)
+        live = jnp.arange(a, dtype=jnp.int32) < count
+        return ActivePairs(
+            pair_object=jnp.where(live, pools.pair_object[idx_a], 0),
+            pair_meshlet=jnp.where(live, pools.pair_meshlet[idx_a], 0),
+            pair_valid=live,
+            pair_cull=pools.pair_cull[idx_a],
+            count=count,
+            overflow=jnp.maximum(total - a, 0))
+
+
 class CullResult(NamedTuple):
     draws: DrawList              # pairs to raster this phase
     occluded_mask: jnp.ndarray   # (P,) pairs deferred to phase 2
@@ -212,24 +270,41 @@ def cull_pairs(
                                      # False = opaque only, True = alpha-
                                      # masked only (the reference's
                                      # pipeline_filter bucketing)
+    active: Optional[ActivePairs] = None,   # object-preculled pair set
 ) -> CullResult:
-    """Full meshlet cull -> compacted draw list + occlusion remainder."""
-    od = gather_pair_objects(pools, instances)
+    """Full meshlet cull -> compacted draw list + occlusion remainder.
+
+    With `active` (build_active_pairs), every per-pair test below runs on
+    the bounded object-visible subset instead of the full static table —
+    the reference's object-level pre-cull (instance_culling.hlsl:48-131).
+    """
+    pv = active if active is not None else pools
+    od = gather_pair_objects(pv, instances)
     with jax.named_scope("cull.spheres"):
-        c, r = pair_spheres_tw(pools, instances, od)
+        c, r = pair_spheres_tw(pv, instances, od)
     with jax.named_scope("cull.frustum"):
-        vis = pools.pair_valid & frustum_visible(c, r, frustum_planes)
+        vis = pv.pair_valid & frustum_visible(c, r, frustum_planes)
         vis = vis & od.valid
     if extra_mask is not None:
         vis = vis & extra_mask
-    if masked is not None:
-        vis = vis & (od.masked == masked)
+    # bucket filter (reference pipeline_filter.hlsl): None = opaque+masked
+    # (blend NEVER rasters into the visibility buffer — it has its own
+    # forward pass, or is skipped like the reference's raster loops do),
+    # False = opaque only, True = alpha-masked only, "blend" = blend only
+    if masked is None:
+        vis = vis & ~od.blend
+    elif masked == "blend":
+        vis = vis & od.blend
+    elif masked:
+        vis = vis & od.masked & ~od.blend
+    else:
+        vis = vis & ~od.masked & ~od.blend
     with jax.named_scope("cull.lod"):
-        vis = vis & lod_cut_visible(pools, instances, proj_scale,
+        vis = vis & lod_cut_visible(pv, instances, proj_scale,
                                     lod_threshold, od)
     if enable_cone:
         with jax.named_scope("cull.cone"):
-            vis = vis & cone_visible(pools, instances, c, od)
+            vis = vis & cone_visible(pv, instances, c, od)
     occluded = jnp.zeros_like(vis)
     if hzb is not None:
         with jax.named_scope("cull.hzb"):
@@ -237,7 +312,7 @@ def cull_pairs(
             occluded = vis & ~unoccluded
             vis = vis & unoccluded
     with jax.named_scope("cull.compact"):
-        draws = compact_draws(vis, pools, capacity)
+        draws = compact_draws(vis, pv, capacity)
     stats = {"culled_visible": jnp.sum(vis.astype(jnp.int32)),
              "culled_occluded": jnp.sum(occluded.astype(jnp.int32)),
              "draw_overflow": draws.overflow}

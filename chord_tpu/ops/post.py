@@ -197,6 +197,58 @@ def compute_bloom(color: jnp.ndarray, cfg: BloomConfig) -> jnp.ndarray:
 
 # --- TSR (temporal super resolution) --------------------------------------
 
+def tsr_prepare(motion_ndc: jnp.ndarray, depth: jnp.ndarray
+                ) -> jnp.ndarray:
+    """TSR prepare pass (reference tsr_prepare.hlsl): 3x3 closest-depth
+    motion dilation — every pixel takes the motion vector of its
+    closest-depth (reverse-Z max) neighbor, so silhouette edges reproject
+    with the FOREGROUND object's motion and don't tear during TAA.
+    Shifted-plane taps, no gathers."""
+    best_d = depth
+    best_m = motion_ndc
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if (dy, dx) == (0, 0):
+                continue
+            d2 = jnp.roll(depth, (dy, dx), (0, 1))
+            m2 = jnp.roll(motion_ndc, (dy, dx), (0, 1))
+            take = d2 > best_d
+            best_m = jnp.where(take[..., None], m2, best_m)
+            best_d = jnp.maximum(best_d, d2)
+    return best_m
+
+
+def disocclusion_mask(
+    pos_tw: jnp.ndarray,        # (H,W,3) current surface positions
+    valid: jnp.ndarray,         # (H,W) bool geometry mask
+    prev_depth: jnp.ndarray,    # (H,W) previous frame reverse-Z depth
+    prev_tw_to_clip: jnp.ndarray,  # (4,4) current TW -> previous clip
+    history_valid: jnp.ndarray,    # () f32
+    tol: float = 0.02,
+) -> jnp.ndarray:
+    """Disocclusion mask (reference disocclusion_mask.hlsl, consumed by
+    the TSR/shadow/GI temporal passes, renderer.cpp:370): reproject each
+    surface point into the previous frame and compare the depth the
+    previous frame recorded there with the depth the point would have
+    had — a mismatch means the point was hidden (or offscreen) last
+    frame. -> (H,W) f32, 1 = disoccluded (history unusable)."""
+    h, w = prev_depth.shape
+    c = (pos_tw[..., 0:1] * prev_tw_to_clip[0] +
+         pos_tw[..., 1:2] * prev_tw_to_clip[1] +
+         pos_tw[..., 2:3] * prev_tw_to_clip[2] + prev_tw_to_clip[3])
+    wc = jnp.maximum(c[..., 3], 1e-6)
+    px = (c[..., 0] / wc * 0.5 + 0.5) * w
+    py = (0.5 - c[..., 1] / wc * 0.5) * h
+    z_expect = c[..., 2] / wc
+    on = (px >= 0) & (px < w) & (py >= 0) & (py < h) & (c[..., 3] > 0)
+    xi = jnp.clip(px.astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(py.astype(jnp.int32), 0, h - 1)
+    z_prev = prev_depth[yi, xi]
+    consistent = jnp.abs(z_prev - z_expect) < tol
+    ok = on & consistent & valid & (history_valid > 0.5)
+    return 1.0 - ok.astype(jnp.float32)
+
+
 class TSRConfig(NamedTuple):
     """reference: tsr.cpp:17-28 (+ cvar r.tsr.sharpeness)."""
 
@@ -300,6 +352,7 @@ def temporal_upscale_global(
     jitter_px: jnp.ndarray,    # (2,) this frame's subpixel jitter
     cfg: TSRConfig,
     post_h: int, post_w: int,
+    disocclusion: "jnp.ndarray" = None,   # (h,w) render-res mask
 ) -> jnp.ndarray:
     """Gather-free TSR upscale: the jitter-compensated render->post
     resample uses jax.image.scale_and_translate (fixed-kernel resize —
@@ -330,13 +383,17 @@ def temporal_resolve(
     history: jnp.ndarray,      # (H,W,3) accumulated history
     history_valid: jnp.ndarray,  # () f32 0/1
     cfg: TSRConfig,
+    disocclusion: "jnp.ndarray" = None,   # (H,W) 1 = history unusable
 ) -> jnp.ndarray:
     """TAA-style temporal accumulation at render res (the TSR upscale path
     adds the render->post resolution change on top; reference tsr_*.hlsl:
     reprojection + rectify + sharpen)."""
     if cfg.mode == "global":
-        return temporal_resolve_global(color, motion_ndc, history,
-                                       history_valid, cfg)
+        out = temporal_resolve_global(color, motion_ndc, history,
+                                      history_valid, cfg)
+        if disocclusion is not None:
+            out = color + (out - color) * (1.0 - disocclusion[..., None])
+        return out
     h, w = color.shape[:2]
     ys = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
     xs = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
@@ -364,6 +421,10 @@ def temporal_resolve(
     offscreen = ((px_prev < 0) | (px_prev > w) |
                  (py_prev < 0) | (py_prev > h)).astype(jnp.float32)[..., None]
     alpha = jnp.maximum(cfg.blend, jnp.maximum(1.0 - history_valid, offscreen))
+    if disocclusion is not None:
+        # disoccluded pixels restart accumulation (reference feeds the
+        # disocclusion mask into TSR, renderer.cpp:370)
+        alpha = jnp.maximum(alpha, disocclusion[..., None])
     out = color * alpha + hist * (1.0 - alpha)
 
     # Sharpen (tsr_sharpen.hlsl): unsharp mask against the 4-neighbor mean.
@@ -380,6 +441,7 @@ def temporal_upscale(
     jitter_px: jnp.ndarray,    # (2,) this frame's subpixel jitter (render px)
     cfg: TSRConfig,
     post_h: int, post_w: int,
+    disocclusion: "jnp.ndarray" = None,   # (h,w) render-res mask
 ) -> jnp.ndarray:
     """TSR with render->post upscale (the reference's render-dim ->
     post-dim chain, renderer.h:55-89 DimensionConfig + tsr_*.hlsl):
@@ -388,9 +450,19 @@ def temporal_upscale(
     neighborhood, and blended. Jitter makes the accumulation converge to
     a supersampled image over frames."""
     if cfg.mode == "global":
-        return temporal_upscale_global(color, motion_ndc, history,
-                                       history_valid, jitter_px, cfg,
-                                       post_h, post_w)
+        out = temporal_upscale_global(color, motion_ndc, history,
+                                      history_valid, jitter_px, cfg,
+                                      post_h, post_w)
+        if disocclusion is not None:
+            cur0 = upsample_nearest(color, (-(-post_h // color.shape[0]),
+                                            -(-post_w // color.shape[1])),
+                                    post_h, post_w)
+            dis0 = upsample_nearest(disocclusion,
+                                    (-(-post_h // color.shape[0]),
+                                     -(-post_w // color.shape[1])),
+                                    post_h, post_w)
+            out = cur0 + (out - cur0) * (1.0 - dis0[..., None])
+        return out
     h, w = color.shape[:2]
     # post-pixel centers in render-pixel coordinates, shifted by jitter
     ys = (jnp.arange(post_h, dtype=jnp.float32)[:, None] + 0.5) * (h / post_h)
@@ -418,6 +490,9 @@ def temporal_upscale(
                  ).astype(jnp.float32)[..., None]
     alpha = jnp.maximum(cfg.blend, jnp.maximum(1.0 - history_valid,
                                                offscreen))
+    if disocclusion is not None:
+        dis = _sample_bilinear(disocclusion[..., None], xs, ys)
+        alpha = jnp.maximum(alpha, dis)
     out = cur * alpha + hist * (1.0 - alpha)
     blur = (jnp.roll(out, 1, 0) + jnp.roll(out, -1, 0) +
             jnp.roll(out, 1, 1) + jnp.roll(out, -1, 1)) * 0.25

@@ -1,0 +1,249 @@
+"""Software ray traversal over the flattened 8-wide BVH.
+
+TPU-native replacement for the reference's ray-query infrastructure
+(reference: graphics/helper.h:554-661 TLAS/BLAS builders + per-frame
+async TLAS rebuild renderer.cpp:292-304; rays traced inline via
+RayQuery in gi_raytracing.hlsli:41-45). TPUs have no RT cores, so:
+
+- The BVH is built OFFLINE by the native builder over world-space
+  coarse-LOD (instance, meshlet) bounding spheres (native/nanite.cpp
+  chord_bvh_build — the same 8-wide/level-capped shape as the
+  reference's cluster BVH, nanite_builder.cpp:77-313), flattened DFS
+  pre-order so the subtree count is a skip pointer.
+- Traversal is a branch-free linear scan vectorized over rays: every
+  ray keeps a cursor i; a missed node skips its whole subtree
+  (i += count[i]), a hit internal node descends (i += 1), a hit leaf
+  updates the closest-hit record. No per-ray stack, no divergence —
+  each lax.while_loop step is dense vector math + small gathers.
+- Hits shade from a per-leaf mean albedo + sun/ambient approximation
+  (the Lumen-style "surface cache" stand-in for full hit shading) —
+  enough for GI probe rays and specular-miss fallback to SEE offscreen
+  geometry, which the screen-space march alone cannot.
+
+Rays are intersected against the leaf bounding spheres themselves
+(coarse-LOD geometry proxy). This trades silhouette accuracy for
+throughput — the consumers (SH3 probes, rough specular) are low
+frequency by construction.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SceneBVH(NamedTuple):
+    """Flattened BVH + leaf shading table (device arrays)."""
+
+    node_sphere: jnp.ndarray    # (M,4) xyzr
+    node_count: jnp.ndarray     # (M,) subtree size (skip pointer)
+    node_leaf: jnp.ndarray      # (M,) leaf element id or -1
+    leaf_albedo: jnp.ndarray    # (N,3) AP1 mean albedo per leaf
+    leaf_emissive: jnp.ndarray  # (N,3) AP1
+
+
+def build_bvh_numpy(spheres: np.ndarray):
+    """Pure-NumPy reference of native chord_bvh_build (same DFS pre-order
+    flatten + skip counts) — test oracle and no-toolchain fallback."""
+    spheres = np.asarray(spheres, np.float32).reshape(-1, 4)
+
+    out_sphere, out_count, out_leaf = [], [], []
+
+    def bound(ids):
+        c = spheres[ids, :3].mean(0)
+        r = (np.linalg.norm(spheres[ids, :3] - c, axis=1) +
+             spheres[ids, 3]).max()
+        return np.array([c[0], c[1], c[2], r], np.float32)
+
+    def rec(ids):
+        idx = len(out_sphere)
+        out_sphere.append(bound(ids))
+        out_count.append(1)
+        out_leaf.append(int(ids[0]) if len(ids) == 1 else -1)
+        if len(ids) == 1:
+            return 1
+        def split(a, axis):
+            o = a[np.argsort(spheres[a, axis], kind="stable")]
+            m = len(o) // 2
+            return o[:m], o[m:]
+        total = 1
+        hx = split(np.asarray(ids), 0)
+        for h in hx:
+            if len(h) == 0:
+                continue
+            qx = split(h, 1)
+            for q in qx:
+                if len(q) == 0:
+                    continue
+                ox = split(q, 2)
+                for o in ox:
+                    if len(o) == 0:
+                        continue
+                    total += rec(list(o))
+        out_count[idx] = total
+        return total
+
+    rec(list(range(len(spheres))))
+    return {"sphere": np.stack(out_sphere),
+            "count": np.asarray(out_count, np.int32),
+            "leaf": np.asarray(out_leaf, np.int32)}
+
+
+def build_scene_bvh(pools, instances, coarse_only: bool = True) -> SceneBVH:
+    """World-space BVH over (instance, meshlet) bounding spheres.
+
+    coarse_only keeps just the LOD roots (parentError = +inf meshlets,
+    nanite_shared.hlsli:11 kErrorRadiusRoot) — the few-hundred-cluster
+    proxy that GI rays need. Built host-side at scene load (static
+    scenes; the reference rebuilds its TLAS per frame on a GPU async
+    queue — a host rebuild hook serves dynamic scenes here)."""
+    import numpy as onp
+
+    pair_m = onp.asarray(pools.pair_meshlet)
+    pair_o = onp.asarray(pools.pair_object)
+    valid = onp.asarray(pools.pair_valid)
+    perr = onp.asarray(pools.meshlet_parent_error)[pair_m]
+    keep = valid & (perr > 1e30 if coarse_only else onp.ones_like(valid))
+    ids = onp.nonzero(keep)[0]
+    if len(ids) == 0:
+        ids = onp.nonzero(valid)[0]
+    m = pair_m[ids]
+    o = pair_o[ids]
+    sph = onp.asarray(pools.meshlet_sphere)[m]                  # (N,4)
+    o2w = onp.asarray(instances.object_to_tw)[o]                # (N,4,4)
+    c = onp.concatenate([sph[:, :3], onp.ones((len(ids), 1))], 1)
+    cw = onp.einsum("nj,njk->nk", c, o2w)[:, :3]
+    scale = onp.linalg.norm(o2w[:, :3, :3], axis=2).max(1)
+    world = onp.concatenate([cw, (sph[:, 3] * scale)[:, None]],
+                            1).astype(onp.float32)
+
+    from ..native import available, bvh_build
+    if available():
+        bvh = bvh_build(world)
+    else:
+        bvh = build_bvh_numpy(world)
+
+    mat = onp.asarray(instances.object_material)[o]
+    from . import colorspace
+    albedo = onp.asarray(pools.mat_base_color)[mat][:, :3]
+    albedo = onp.asarray(colorspace.srgb_to_acescg(jnp.asarray(albedo)))
+    emissive = onp.asarray(pools.mat_emissive)[mat][:, :3]
+    leaf = bvh["leaf"]
+    # re-map leaf element ids to leaf-table rows (identity here)
+    return SceneBVH(
+        node_sphere=jnp.asarray(bvh["sphere"]),
+        node_count=jnp.asarray(bvh["count"]),
+        node_leaf=jnp.asarray(leaf),
+        leaf_albedo=jnp.asarray(albedo),
+        leaf_emissive=jnp.asarray(emissive),
+    )
+
+
+def _ray_sphere(o, d, sph):
+    """Entry distance of ray o+t*d into sphere (...,4). -> (hit, t_entry);
+    origin inside => t_entry = 0."""
+    oc = o - sph[..., :3]
+    b = jnp.sum(oc * d, -1)
+    c2 = jnp.sum(oc * oc, -1) - sph[..., 3] * sph[..., 3]
+    disc = b * b - c2
+    ok = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = -b - sq
+    t1 = -b + sq
+    t_entry = jnp.where(c2 < 0.0, 0.0, t0)
+    hit = ok & (t1 > 0.0)
+    return hit, t_entry
+
+
+def trace(origins: jnp.ndarray, dirs: jnp.ndarray, bvh: SceneBVH,
+          t_max: float = 1e9,
+          max_steps: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closest-hit trace. origins/dirs (...,3) -> (t (...,), leaf (...,)
+    with -1 = miss). Stackless skip-pointer scan, vectorized over rays."""
+    shape = origins.shape[:-1]
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+    r = o.shape[0]
+    m = int(bvh.node_sphere.shape[0])
+    if max_steps is None:
+        max_steps = m
+
+    def cond(state):
+        i, _t, _l, steps = state
+        return (steps < max_steps) & jnp.any(i < m)
+
+    def body(state):
+        i, t_best, leaf_best, steps = state
+        ii = jnp.minimum(i, m - 1)
+        sph = bvh.node_sphere[ii]                       # (R,4)
+        cnt = bvh.node_count[ii]
+        lf = bvh.node_leaf[ii]
+        active = i < m
+        hit, t_in = _ray_sphere(o, d, sph)
+        useful = hit & (t_in < t_best) & active
+        is_leaf = lf >= 0
+        take = useful & is_leaf & (t_in > 1e-4)
+        t_best = jnp.where(take, t_in, t_best)
+        leaf_best = jnp.where(take, lf, leaf_best)
+        step = jnp.where(useful & ~is_leaf, 1, cnt)
+        i = jnp.where(active, i + step, i)
+        return i, t_best, leaf_best, steps + 1
+
+    i0 = jnp.zeros((r,), jnp.int32)
+    t0 = jnp.full((r,), t_max, jnp.float32)
+    l0 = jnp.full((r,), -1, jnp.int32)
+    _, t, leaf, _ = jax.lax.while_loop(cond, body, (i0, t0, l0,
+                                                    jnp.zeros((), jnp.int32)))
+    return t.reshape(shape), leaf.reshape(shape)
+
+
+def trace_brute_numpy(origins: np.ndarray, dirs: np.ndarray,
+                      spheres: np.ndarray):
+    """O(R*N) closest-hit oracle over the raw leaf spheres."""
+    o = origins.reshape(-1, 1, 3)
+    d = dirs.reshape(-1, 1, 3)
+    s = spheres.reshape(1, -1, 4)
+    oc = o - s[..., :3]
+    b = (oc * d).sum(-1)
+    c2 = (oc * oc).sum(-1) - s[..., 3] ** 2
+    disc = b * b - c2
+    sq = np.sqrt(np.maximum(disc, 0.0))
+    t0 = -b - sq
+    t1 = -b + sq
+    t_entry = np.where(c2 < 0.0, 0.0, t0)
+    hit = (disc >= 0.0) & (t1 > 0.0) & (t_entry > 1e-4)
+    t = np.where(hit, t_entry, 1e9)
+    best = t.argmin(1)
+    tb = t[np.arange(len(best)), best]
+    leaf = np.where(tb < 1e9, best, -1)
+    return tb, leaf.astype(np.int32)
+
+
+def shade_hits(
+    t: jnp.ndarray, leaf: jnp.ndarray,       # from trace()
+    origins: jnp.ndarray, dirs: jnp.ndarray,
+    bvh: SceneBVH,
+    sun_direction: jnp.ndarray, sun_radiance: jnp.ndarray,
+    ambient: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Approximate hit radiance (the reference shades RT hits with the
+    full material+sun path, raytrace_shared.hlsli:39; here: per-leaf mean
+    albedo x (sun NdotL / pi + ambient), normal = proxy-sphere normal at
+    the hit point). -> (radiance (...,3), confidence (...,))."""
+    ok = leaf >= 0
+    lf = jnp.maximum(leaf, 0)
+    alb = bvh.leaf_albedo[lf]
+    emis = bvh.leaf_emissive[lf]
+    # leaf sphere lookup via the node table is avoided: reconstruct the
+    # normal from the hit point against the leaf sphere center requires a
+    # (N,4) leaf-sphere gather — store it in albedo-sized table instead?
+    # The proxy normal: oppose the ray (grazing-robust, exact for a
+    # sphere hit seen head-on; adequate for cosine-weighted GI)
+    n = -dirs
+    ndl = jnp.clip(jnp.sum(n * sun_direction, -1), 0.0, 1.0)
+    rad = alb * (sun_radiance * ndl[..., None] / np.pi +
+                 ambient) + emis
+    return jnp.where(ok[..., None], rad, 0.0), ok.astype(jnp.float32)

@@ -1,0 +1,487 @@
+"""Screen-probe GI: the Lumen-style two-level gather on TPU.
+
+TPU-native equivalent of the reference's screen-probe stage
+(reference: renderer/gi/screen_probe_gather.cpp:164-182 pass list —
+ScreenProbeSpawn -> ScreenProbeSHReproject -> ScreenProbeTrace ->
+ScreenProbeSH project -> WorldProbeInject -> HistoryReproject ->
+Interpolate -> diffuse SpatialFilter X/Y -> bilateral SpatialUpsample;
+structs shader/gi.h:21-29 (SH3 = 9 coeffs + numSample) and :381-406
+(spawn info = normal, depth, jittered pixelPosition per 8x8 tile)).
+
+TPU adaptation (no ray-query hardware; gathers are the scarce resource):
+- One probe per 8x8 pixel tile, spawned at a per-frame-jittered pixel of
+  the tile (strided slicing after a roll — zero gathers; the reference
+  jitters spawn positions the same way, gi_screen_probe_spawn.hlsl).
+- Probe radiance is SH3 per probe (ops/sh.py), temporally accumulated
+  with numSample weighting exactly like SH3_gi.numSample (gi.h:28,
+  kGIMaxSampleCount=64).
+- The trace is a screen-space march against a quarter-res depth pyramid
+  level; hits shade from the previous frame's lit color (the reference
+  samples its world cache + TLAS hit shading; the screen march is the
+  TPU stand-in, with the world SH cache + sky as the miss fallback).
+  A software-BVH traced fallback (ops/rt.py) can replace the miss path.
+- Interpolate runs as a weight-aware dense RESIZE of the probe SH planes
+  to half resolution (no per-pixel probe gathers), then cosine-lobe SH
+  irradiance eval with half-res normals.
+- History reprojection + separable depth/normal-weighted spatial filter
+  at half res, then a parity-correct bilateral 2x upsample to full res
+  (gi_upsample.hlsl's 4-tap depth/normal weighting, via shifted planes).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import sh
+
+
+class ScreenProbeConfig(NamedTuple):
+    tile: int = 8                # probe spacing in pixels (8x8 tiles)
+    rays: int = 16               # rays traced per probe per frame
+    steps: int = 8               # march steps per ray
+    max_distance: float = 40.0   # world-units march length
+    thickness: float = 0.08      # NDC-depth hit thickness (reverse-Z)
+    depth_div: int = 4           # march against 1/depth_div-res depth
+    max_samples: float = 64.0    # SH numSample cap (gi.h kGIMaxSampleCount)
+    temporal_depth_tol: float = 0.06   # probe reprojection depth gate
+    history_alpha: float = 0.9   # per-pixel half-res history weight
+    sky_leak: float = 0.25       # r.gi.skylightleaking default 0.25
+    filter_taps: int = 2         # spatial filter radius (half-res pixels)
+    intensity: float = 1.0
+
+
+def _octahedral_dirs(n_side: int) -> np.ndarray:
+    """(n_side^2, 3) unit dirs: octahedral map cell centers (full sphere,
+    equal-ish solid angle — the reference's probe ray parameterization)."""
+    u = (np.arange(n_side) + 0.5) / n_side * 2.0 - 1.0
+    uu, vv = np.meshgrid(u, u, indexing="ij")
+    x = uu
+    y = vv
+    az = 1.0 - np.abs(x) - np.abs(y)
+    xo = np.where(az >= 0, x, (1 - np.abs(y)) * np.sign(x + 1e-12))
+    yo = np.where(az >= 0, y, (1 - np.abs(x)) * np.sign(y + 1e-12))
+    d = np.stack([xo, yo, az], -1).reshape(-1, 3)
+    return (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+
+
+def _jitter_rotation(frame_count: jnp.ndarray) -> jnp.ndarray:
+    """Per-frame 3x3 rotation (golden-angle azimuth + alternating tilt) so
+    the fixed ray set covers new directions every frame (the reference
+    jitters per-ray via blue noise; one rotation per frame is the dense
+    equivalent)."""
+    f = frame_count.astype(jnp.float32)
+    a = f * 2.3999632297286533          # golden angle
+    b = f * 1.1
+    ca, sa = jnp.cos(a), jnp.sin(a)
+    cb, sb = jnp.cos(b), jnp.sin(b)
+    zero = jnp.zeros(())
+    one = jnp.ones(())
+    rz = jnp.stack([jnp.stack([ca, -sa, zero]),
+                    jnp.stack([sa, ca, zero]),
+                    jnp.stack([zero, zero, one])])
+    rx = jnp.stack([jnp.stack([one, zero, zero]),
+                    jnp.stack([zero, cb, -sb]),
+                    jnp.stack([zero, sb, cb])])
+    return rz @ rx
+
+
+def probe_ray_dirs(probes: "ProbeState", frame_count: jnp.ndarray,
+                   cfg: ScreenProbeConfig) -> jnp.ndarray:
+    """The frame's per-probe ray set (Ph,Pw,R,3): jitter-rotated
+    octahedral directions flipped into each probe's hemisphere."""
+    ph, pw = probes.depth.shape
+    r = cfg.rays
+    base = jnp.asarray(_octahedral_dirs(int(np.sqrt(r))))     # (R,3)
+    rot = _jitter_rotation(frame_count)
+    dirs = (base @ rot.T)[None, None]                         # (1,1,R,3)
+    dirs = jnp.broadcast_to(dirs, (ph, pw, r, 3))
+    ndot = jnp.sum(dirs * probes.normal[..., None, :], -1, keepdims=True)
+    return jnp.where(ndot < 0.0, -dirs, dirs)
+
+
+class ProbeState(NamedTuple):
+    """Per-frame spawned probe attributes (GIScreenProbeSpawnInfo)."""
+
+    pos_tw: jnp.ndarray     # (Ph,Pw,3) probe surface position
+    normal: jnp.ndarray     # (Ph,Pw,3)
+    depth: jnp.ndarray      # (Ph,Pw) reverse-Z ndc depth
+    valid: jnp.ndarray      # (Ph,Pw) bool — tile had geometry
+
+
+def spawn_probes(gbuf, depth: jnp.ndarray, frame_count: jnp.ndarray,
+                 cfg: ScreenProbeConfig) -> ProbeState:
+    """One probe per tile at a per-frame-jittered in-tile pixel
+    (gi_screen_probe_spawn.hlsl). Strided slice after a roll — the jitter
+    phase cycles through all tile pixels over tile^2 frames."""
+    t = cfg.tile
+    j = jnp.remainder(frame_count * 5, t * t)
+    oy, ox = j // t, j % t
+
+    def sub(a):
+        return jnp.roll(a, (-oy, -ox), axis=(0, 1))[::t, ::t]
+
+    return ProbeState(pos_tw=sub(gbuf.position_tw), normal=sub(gbuf.normal),
+                      depth=sub(depth), valid=sub(gbuf.valid))
+
+
+def reproject_probe_sh(
+    probes: ProbeState,
+    prev_probe_sh: jnp.ndarray,      # (Ph,Pw,28) packed SH + numSample
+    prev_probe_depth: jnp.ndarray,   # (Ph,Pw) prev probes' ndc depth
+    prev_tw_to_clip: jnp.ndarray,    # (4,4) current TW -> prev clip
+    history_valid: jnp.ndarray,      # () f32
+    cfg: ScreenProbeConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Temporal SH reprojection (gi_screen_probe_sh_reproject.hlsl):
+    project each probe's surface point into the previous frame's probe
+    grid, fetch that probe's SH, gate on depth consistency.
+    -> (sh (Ph,Pw,9,3), num_sample (Ph,Pw))."""
+    ph, pw = probes.depth.shape
+    p = probes.pos_tw
+    c = (p[..., 0:1] * prev_tw_to_clip[0] + p[..., 1:2] * prev_tw_to_clip[1] +
+         p[..., 2:3] * prev_tw_to_clip[2] + prev_tw_to_clip[3])
+    wc = jnp.maximum(c[..., 3], 1e-6)
+    # prev probe grid coords (probes tile the screen every `tile` px)
+    px = (c[..., 0] / wc * 0.5 + 0.5) * pw
+    py = (0.5 - c[..., 1] / wc * 0.5) * ph
+    z = c[..., 2] / wc
+    on = ((px >= 0) & (px < pw) & (py >= 0) & (py < ph) & (c[..., 3] > 0) &
+          probes.valid)
+    xi = jnp.clip(px.astype(jnp.int32), 0, pw - 1)
+    yi = jnp.clip(py.astype(jnp.int32), 0, ph - 1)
+    prev = prev_probe_sh[yi, xi]                     # (Ph,Pw,28)
+    prev_z = prev_probe_depth[yi, xi]
+    # reverse-Z consistency: the reprojected point must land at roughly
+    # the depth the previous probe saw (disocclusion gate)
+    ok = on & (jnp.abs(z - prev_z) < cfg.temporal_depth_tol) & \
+        (history_valid > 0.5)
+    sh_prev, n_prev = sh.unpack(prev)
+    n_prev = jnp.where(ok, n_prev, 0.0)
+    return jnp.where(ok[..., None, None], sh_prev, 0.0), n_prev
+
+
+def trace_probes(
+    probes: ProbeState,
+    depth_lo: jnp.ndarray,       # (H/d, W/d) reverse-Z depth (march target)
+    prev_color: jnp.ndarray,     # (H,W,3) previous frame lit color (AP1)
+    tw_to_clip: jnp.ndarray,     # (4,4) current nojitter
+    frame_count: jnp.ndarray,
+    cfg: ScreenProbeConfig,
+    world_cache=None,            # optional (C,D^3,13) SH L1 cache
+    gi_cfg=None,                 # ops.gi.GIConfig for the cache
+    sky_ambient: Optional[jnp.ndarray] = None,   # (3,) AP1 miss radiance
+    traced_miss: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    dirs: Optional[jnp.ndarray] = None,          # precomputed ray set
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-probe hemisphere-ish radiance sampling (gi_screen_probe_trace):
+    R rays per probe march the low-res depth; hits shade from last frame's
+    lit color; misses fall back to the world SH cache then sky.
+    `traced_miss` optionally supplies ((Ph,Pw,R,3) radiance, (Ph,Pw,R)
+    confidence) from a software-BVH trace to upgrade the miss path.
+    -> (radiance (Ph,Pw,R,3), ray dirs (Ph,Pw,R,3) — ready for SH
+    projection; back-facing rays carry zero weight via the cosine clamp
+    at projection time)."""
+    ph, pw = probes.depth.shape
+    hq, wq = depth_lo.shape
+    fh, fw = prev_color.shape[:2]
+    r = cfg.rays
+
+    if dirs is None:
+        dirs = probe_ray_dirs(probes, frame_count, cfg)
+
+    org = probes.pos_tw[..., None, :] + \
+        probes.normal[..., None, :] * 0.02                    # bias off surface
+
+    def project(p3):
+        c = (p3[..., 0:1] * tw_to_clip[0] + p3[..., 1:2] * tw_to_clip[1] +
+             p3[..., 2:3] * tw_to_clip[2] + tw_to_clip[3])
+        wc = jnp.maximum(c[..., 3], 1e-6)
+        x = (c[..., 0] / wc * 0.5 + 0.5)
+        y = (0.5 - c[..., 1] / wc * 0.5)
+        z = c[..., 2] / wc
+        return x, y, z, c[..., 3]
+
+    rad = jnp.zeros((ph, pw, r, 3))
+    found = jnp.zeros((ph, pw, r), bool)
+
+    ts = np.cumsum(np.geomspace(0.06, 1.0, cfg.steps))
+    ts = ts / ts[-1] * cfg.max_distance
+    for t in ts:
+        p = org + dirs * t
+        x, y, z, cw = project(p)
+        on = (x >= 0) & (x < 1) & (y >= 0) & (y < 1) & (cw > 0) & \
+             (z > 0) & (z <= 1.0)
+        xi = jnp.clip((x * wq).astype(jnp.int32), 0, wq - 1)
+        yi = jnp.clip((y * hq).astype(jnp.int32), 0, hq - 1)
+        scene_z = depth_lo[yi, xi]
+        behind = (z < scene_z) & (z > scene_z - cfg.thickness) & \
+            (scene_z > 0.0)
+        hit = on & behind & ~found
+        fx = jnp.clip((x * fw).astype(jnp.int32), 0, fw - 1)
+        fy = jnp.clip((y * fh).astype(jnp.int32), 0, fh - 1)
+        col = prev_color[fy, fx]
+        rad = jnp.where(hit[..., None], col, rad)
+        found = found | hit
+
+    # miss fallback chain: BVH-traced radiance -> world SH cache -> sky
+    miss = ~found
+    if traced_miss is not None:
+        rt_rad, rt_conf = traced_miss
+        use = miss & (rt_conf > 0.5)
+        rad = jnp.where(use[..., None], rt_rad, rad)
+        miss = miss & ~use
+    if world_cache is not None and gi_cfg is not None:
+        from . import gi as gi_ops
+        wc_rad, wc_conf = gi_ops.sample_radiance(
+            world_cache, org, dirs, jnp.zeros(3), gi_cfg)
+        use = miss & (wc_conf > 0.5)
+        rad = jnp.where(use[..., None], wc_rad, rad)
+        miss = miss & ~use
+    if sky_ambient is not None:
+        # sky leaking for rays that exit the known world (upper-hemisphere
+        # weighted — downward escaping rays see darkness, not sky)
+        up = jnp.clip(dirs[..., 1], 0.0, 1.0) * 0.8 + 0.2
+        sky = sky_ambient[None, None, None, :] * up[..., None] * cfg.sky_leak
+        rad = jnp.where(miss[..., None], sky, rad)
+    return rad, dirs
+
+
+def project_and_merge(
+    radiance: jnp.ndarray,       # (Ph,Pw,R,3)
+    dirs: jnp.ndarray,           # (Ph,Pw,R,3)
+    probes: ProbeState,
+    sh_hist: jnp.ndarray,        # (Ph,Pw,9,3) reprojected history SH
+    n_hist: jnp.ndarray,         # (Ph,Pw) history numSample
+    cfg: ScreenProbeConfig,
+) -> jnp.ndarray:
+    """SH-project this frame's rays (gi_screen_probe_project_sh.hlsl) and
+    merge with the reprojected history, numSample-weighted (SH3_gi.add).
+    -> packed (Ph,Pw,28)."""
+    r = radiance.shape[-2]
+    sh_new = sh.project(radiance, dirs)                  # (Ph,Pw,9,3)
+    n_new = jnp.where(probes.valid, float(r), 0.0)
+    n_tot = n_hist + n_new
+    w_h = jnp.where(n_tot > 0, n_hist / jnp.maximum(n_tot, 1e-6), 0.0)
+    merged = sh_hist * w_h[..., None, None] + \
+        sh_new * (1.0 - w_h)[..., None, None]
+    n_keep = jnp.minimum(n_tot, cfg.max_samples)
+    return sh.pack(merged, n_keep)
+
+
+def inject_world_cache(cache: jnp.ndarray, probe_sh: jnp.ndarray,
+                       probes: ProbeState, gi_cfg,
+                       frame_count=None) -> jnp.ndarray:
+    """Feed converged screen probes into the world SH cache
+    (gi_world_probe_sh_inject.hlsl): the probe's L1 radiance (first 4 of
+    the 9 coeffs map 1:1 onto the cache's L1 layout, reordered) scattered
+    to the probe's world cell — replaces the round-1 surfel inject."""
+    from . import gi as gi_ops
+
+    shc, n = sh.unpack(probe_sh)                        # (Ph,Pw,9,3), (Ph,Pw)
+    # cache L1 layout: [Y00, Y1y, Y1z, Y1x] per channel == sh basis 0..3
+    flat = shc[..., :4, :].reshape(-1, 4, 3)
+    flat = jnp.transpose(flat, (0, 2, 1)).reshape(-1, 12)   # rgb-major
+    pos = probes.pos_tw.reshape(-1, 3)
+    ok = (probes.valid & (n > 8.0)).reshape(-1)
+    out = cache
+    only = None
+    if frame_count is not None:
+        only = jnp.remainder(frame_count, gi_cfg.cascades)
+
+        def branch(c):
+            return lambda cc: _inject_cascade(cc, c, pos, flat, ok, gi_cfg)
+        return jax.lax.switch(only,
+                              [branch(c) for c in range(gi_cfg.cascades)],
+                              cache)
+    for c in range(gi_cfg.cascades):
+        out = _inject_cascade(out, c, pos, flat, ok, gi_cfg)
+    return out
+
+
+def _inject_cascade(cache, c, pos, flat, ok, gi_cfg):
+    from . import gi as gi_ops
+
+    g, inb = gi_ops._probe_coords(pos, c, gi_cfg, jnp.zeros(3))
+    use = ok & inb
+    cell = jnp.floor(g + 0.5).astype(jnp.int32)
+    idx = jnp.where(use, gi_ops._wrap_index(cell, gi_cfg),
+                    gi_cfg.probe_dim ** 3)
+    w = use.astype(jnp.float32)
+    payload = jnp.concatenate(
+        [jnp.where(use[:, None], flat, 0.0), w[:, None]], axis=1)
+    upd = jnp.zeros((gi_cfg.probe_dim ** 3 + 1, 13)).at[idx].add(
+        payload, mode="drop")[:-1]
+    cnt = jnp.maximum(upd[:, 12:13], 1e-6)
+    mean = upd[:, :12] / cnt
+    has = (upd[:, 12:13] > 0.0).astype(jnp.float32)
+    a = gi_cfg.temporal_alpha * 2.0 * has      # probes converge faster
+    new_sh = cache[c, :, :12] * (1.0 - a) + mean * a
+    new_w = jnp.minimum(cache[c, :, 12:13] + has, 64.0)
+    return cache.at[c].set(jnp.concatenate([new_sh, new_w], axis=1))
+
+
+def _weighted_resize(planes: jnp.ndarray, weight: jnp.ndarray,
+                     out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Weight-aware bilinear resize: invalid probes don't bleed into the
+    interpolation (resize(planes*w)/resize(w))."""
+    import jax.image as jimage
+
+    h, w = out_hw
+    num = jimage.resize(planes * weight[..., None],
+                        (h, w, planes.shape[-1]), "linear")
+    den = jimage.resize(weight, (h, w), "linear")
+    return num / jnp.maximum(den[..., None], 1e-4)
+
+
+def interpolate_half(probe_sh: jnp.ndarray, probes: ProbeState,
+                     normal_half: jnp.ndarray, valid_half: jnp.ndarray,
+                     cfg: ScreenProbeConfig) -> jnp.ndarray:
+    """Probe SH -> half-res diffuse irradiance
+    (gi_screen_probe_interpolate.hlsl). The probe SH planes are resized
+    (weight-aware, dense — no gathers) to half res, then cosine-lobe
+    evaluated with each pixel's normal. -> (Hh,Wh,3)."""
+    hh, wh = normal_half.shape[:2]
+    shc, n = sh.unpack(probe_sh)
+    w = jnp.where(probes.valid, jnp.minimum(n, cfg.max_samples), 0.0)
+    planes = shc.reshape(shc.shape[:-2] + (27,))
+    up = _weighted_resize(planes, w, (hh, wh))
+    sh_half = up.reshape(hh, wh, 9, 3)
+    e = sh.eval_irradiance(sh_half, normal_half) / np.pi
+    return jnp.where(valid_half[..., None],
+                     jnp.maximum(e, 0.0) * cfg.intensity, 0.0)
+
+
+def history_reproject_half(
+    diffuse: jnp.ndarray,        # (Hh,Wh,3) fresh irradiance
+    motion_half: jnp.ndarray,    # (Hh,Wh,2) NDC motion (curr - prev)
+    prev_diffuse: jnp.ndarray,   # (Hh,Wh,3)
+    history_valid: jnp.ndarray,
+    cfg: ScreenProbeConfig,
+    disocclusion: Optional[jnp.ndarray] = None,   # (Hh,Wh) 1 = invalid
+) -> jnp.ndarray:
+    """Per-pixel temporal accumulation at half res
+    (gi_history_reprojection.hlsl): motion-reprojected history blended
+    with a 3x3 neighborhood clamp (suppresses ghosting on disocclusion,
+    same rectify idea as TSR)."""
+    hh, wh = diffuse.shape[:2]
+    xs = jnp.arange(wh, dtype=jnp.float32)[None, :] + 0.5
+    ys = jnp.arange(hh, dtype=jnp.float32)[:, None] + 0.5
+    px = xs - motion_half[..., 0] * wh * 0.5
+    py = ys + motion_half[..., 1] * hh * 0.5
+    on = (px >= 0) & (px < wh) & (py >= 0) & (py < hh)
+    xi = jnp.clip(px.astype(jnp.int32), 0, wh - 1)
+    yi = jnp.clip(py.astype(jnp.int32), 0, hh - 1)
+    hist = prev_diffuse[yi, xi]
+
+    lo = diffuse
+    hi = diffuse
+    for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        nb = jnp.roll(diffuse, (dy, dx), (0, 1))
+        lo = jnp.minimum(lo, nb)
+        hi = jnp.maximum(hi, nb)
+    pad = (hi - lo) * 0.5 + 1e-3
+    hist = jnp.clip(hist, lo - pad, hi + pad)
+
+    a = cfg.history_alpha * history_valid * on.astype(jnp.float32)
+    if disocclusion is not None:
+        a = a * (1.0 - disocclusion)
+    return diffuse + (hist - diffuse) * a[..., None]
+
+
+def spatial_filter_half(diffuse: jnp.ndarray, depth_half: jnp.ndarray,
+                        normal_half: jnp.ndarray,
+                        cfg: ScreenProbeConfig) -> jnp.ndarray:
+    """Separable depth/normal-weighted blur at half res
+    (gi_spatial_filter_diffuse.hlsl X/Y passes) — shifted-plane taps."""
+    out = diffuse
+    for axis in (1, 0):
+        acc = out
+        wacc = jnp.ones(depth_half.shape)
+        for s in range(1, cfg.filter_taps + 1):
+            for sign in (-1, 1):
+                d2 = jnp.roll(depth_half, s * sign, axis)
+                n2 = jnp.roll(normal_half, s * sign, axis)
+                c2 = jnp.roll(out, s * sign, axis)
+                wd = jnp.exp(-jnp.abs(d2 - depth_half) * 64.0)
+                wn = jnp.clip(jnp.sum(n2 * normal_half, -1), 0.0, 1.0) ** 4
+                w = wd * wn * (0.7 ** s)
+                acc = acc + c2 * w[..., None]
+                wacc = wacc + w
+        out = acc / wacc[..., None]
+    return out
+
+
+def bilateral_upsample(
+    diffuse_half: jnp.ndarray,   # (Hh,Wh,3)
+    depth_half: jnp.ndarray,     # (Hh,Wh)
+    normal_half: jnp.ndarray,    # (Hh,Wh,3)
+    depth_full: jnp.ndarray,     # (H,W)
+    normal_full: jnp.ndarray,    # (H,W,3)
+) -> jnp.ndarray:
+    """Parity-correct 4-tap bilateral 2x upsample (gi_upsample.hlsl):
+    each full-res pixel blends its 4 surrounding half-res taps with
+    bilinear x depth x normal weights — built from shifted planes (no
+    gathers). -> (H,W,3)."""
+    from .post import upsample_nearest
+
+    h, w = depth_full.shape
+    hh, wh = depth_half.shape
+
+    def up(a):
+        return upsample_nearest(a, 2, h, w)
+
+    ys = jnp.arange(h, dtype=jnp.int32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.int32)[None, :]
+    even_y = (ys % 2 == 0)
+    even_x = (xs % 2 == 0)
+    # full pixel y maps to half coord v = (y+0.5)/2 - 0.5: even rows pull
+    # taps (j-1, j) with weights (0.25, 0.75); odd rows (j, j+1) with
+    # (0.75, 0.25) — same in x
+    wy0 = jnp.where(even_y, 0.25, 0.75).astype(jnp.float32)
+    wx0 = jnp.where(even_x, 0.25, 0.75).astype(jnp.float32)
+
+    acc = jnp.zeros((h, w, 3))
+    wacc = jnp.zeros((h, w))
+    for ty in (0, 1):
+        for tx in (0, 1):
+            # tap position in half space depends on pixel parity; rolls
+            # must be static, so build all parity variants and select
+            def tap(a, ry, rx):
+                return up(jnp.roll(a, (ry, rx), (0, 1)))
+            # ry in {1,0} for ty=0/1 on even rows; {0,-1} on odd rows
+            c_ee = tap(diffuse_half, 1 - ty, 1 - tx)
+            c_eo = tap(diffuse_half, 1 - ty, -tx)
+            c_oe = tap(diffuse_half, -ty, 1 - tx)
+            c_oo = tap(diffuse_half, -ty, -tx)
+            d_ee = tap(depth_half[..., None], 1 - ty, 1 - tx)[..., 0]
+            d_eo = tap(depth_half[..., None], 1 - ty, -tx)[..., 0]
+            d_oe = tap(depth_half[..., None], -ty, 1 - tx)[..., 0]
+            d_oo = tap(depth_half[..., None], -ty, -tx)[..., 0]
+            n_ee = tap(normal_half, 1 - ty, 1 - tx)
+            n_eo = tap(normal_half, 1 - ty, -tx)
+            n_oe = tap(normal_half, -ty, 1 - tx)
+            n_oo = tap(normal_half, -ty, -tx)
+            eyb = even_y[..., None] if c_ee.ndim == 3 else even_y
+            exb = even_x[..., None] if c_ee.ndim == 3 else even_x
+            col = jnp.where(eyb & exb, c_ee,
+                            jnp.where(eyb & ~exb, c_eo,
+                                      jnp.where(~eyb & exb, c_oe, c_oo)))
+            dep = jnp.where(even_y & even_x, d_ee,
+                            jnp.where(even_y & ~even_x, d_eo,
+                                      jnp.where(~even_y & even_x, d_oe,
+                                                d_oo)))
+            nrm = jnp.where(eyb & exb, n_ee,
+                            jnp.where(eyb & ~exb, n_eo,
+                                      jnp.where(~eyb & exb, n_oe, n_oo)))
+            wb = (jnp.where(ty == 0, wy0, 1.0 - wy0) *
+                  jnp.where(tx == 0, wx0, 1.0 - wx0))
+            wd = jnp.exp(-jnp.abs(dep - depth_full) * 64.0)
+            wn = jnp.clip(jnp.sum(nrm * normal_full, -1), 0.0, 1.0) ** 4
+            wt = wb * (wd * wn + 1e-3)
+            acc = acc + col * wt[..., None]
+            wacc = wacc + wt
+    return acc / jnp.maximum(wacc[..., None], 1e-6)

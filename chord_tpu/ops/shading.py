@@ -27,6 +27,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import colorspace
 from ..rhi.framebuffer import unpack_visibility
@@ -327,6 +328,22 @@ def alpha_mask_accept(
     the depth test against the opaque layer are dropped before the
     gbuffer resolve). Single masked layer: a masked surface directly
     behind a FAILING masked texel falls back to the opaque layer."""
+    hit, keep = masked_alpha_keep(vis_m, u_m, v_m, draw_object_m,
+                                  payload_base, pools, instances)
+    return hit & (depth_m > depth_o) & keep
+
+
+def masked_alpha_keep(
+    vis_m: jnp.ndarray,          # (H,W) u32 masked-pass visibility
+    u_m: jnp.ndarray, v_m: jnp.ndarray,
+    draw_object_m: jnp.ndarray,
+    payload_base: int,
+    pools, instances,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel masked alpha test -> (hit, alpha >= cutoff). Shared by
+    the main masked bucket and the alpha-tested shadow raster (the
+    reference's Masked shadow permutation discards in the depth-only
+    pixel shader, mesh_raster.hlsl DIM_PASS_TYPE=PASS_TYPE_DEPTH)."""
     from . import texture as texture_ops
     from ..asset.texture import TexturePool
 
@@ -347,7 +364,62 @@ def alpha_mask_accept(
         pools.tex_pool, tuple(tp.mip_sizes), tuple(tp.mip_offsets),
         layer, uv, mip)
     alpha = factor * jnp.where(layer >= 0, texel[..., 3], 1.0)
-    return hit & (depth_m > depth_o) & (alpha >= cutoff)
+    return hit, alpha >= cutoff
+
+
+def shade_blend_layer(
+    vis_b: jnp.ndarray,          # (H,W) u32 blend-pass visibility
+    depth_b: jnp.ndarray,        # (H,W) blend-pass reverse-Z depth
+    depth_o: jnp.ndarray,        # (H,W) opaque depth
+    nx: jnp.ndarray, ny: jnp.ndarray, nz: jnp.ndarray,   # normal RTs
+    u_b: jnp.ndarray, v_b: jnp.ndarray,                  # uv RTs
+    draw_object_b: jnp.ndarray,  # (cap_b,) i32 blend draw table
+    pools, instances,
+    sun: "SunLight",
+    sun_shadow: jnp.ndarray = None,       # (H,W) 1 = lit
+    ambient: jnp.ndarray = None,          # (H,W,3) or (1,1,3) AP1
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward-shade ONE depth-peeled translucent layer (the glTF Blend
+    bucket, asset_gltf.h:55-59 / pipeline_filter.hlsl; NOTE the
+    reference's raster loops draw only opaque+masked — mesh_raster.cpp:
+    178,224 stop at alphaMode 1 — so this pass EXCEEDS reference
+    behavior). The rasterizer's closest-fragment rule is the depth peel;
+    compositing is ordinary src-alpha blending against the lit scene.
+    -> (color (H,W,3) AP1 premultiplied-by-nothing, alpha (H,W))."""
+    from . import colorspace, texture as texture_ops
+    from ..asset.texture import TexturePool
+
+    slot, _tri = unpack_visibility(vis_b)
+    hit = (slot >= 0) & (depth_b > depth_o)      # in front of opaque
+    slot_safe = jnp.maximum(slot, 0)
+    mat_id = instances.object_material[draw_object_b[slot_safe]]
+    base = pools.mat_base_color[mat_id]                     # (H,W,4)
+    alpha = base[..., 3]
+    albedo = colorspace.srgb_to_acescg(base[..., :3])
+    emissive = colorspace.srgb_to_acescg(pools.mat_emissive[mat_id])
+    layer = pools.mat_base_tex[mat_id]
+    uv = jnp.stack([u_b, v_b], axis=-1)
+    size = pools.tex_size
+    tp = TexturePool(size)
+    mip = texture_ops.mip_from_uv_density(uv, size)
+    texel = texture_ops.sample_pool(
+        pools.tex_pool, tuple(tp.mip_sizes), tuple(tp.mip_offsets),
+        layer, uv, mip)
+    has_tex = (layer >= 0)[..., None]
+    albedo = jnp.where(has_tex,
+                       albedo * colorspace.srgb_to_acescg(texel[..., :3]),
+                       albedo)
+    alpha = alpha * jnp.where(layer >= 0, texel[..., 3], 1.0)
+
+    n = jnp.stack([nx, ny, nz], axis=-1)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-6)
+    ndl = jnp.clip(jnp.sum(n * sun.direction, -1), 0.0, 1.0)
+    lit = ndl if sun_shadow is None else ndl * sun_shadow
+    amb = (ambient if ambient is not None
+           else sun.sky_ambient[None, None, :] * 0.5)
+    color = albedo * (sun.radiance * lit[..., None] / np.pi + amb) + emissive
+    alpha = jnp.where(hit, jnp.clip(alpha, 0.0, 1.0), 0.0)
+    return color, alpha
 
 
 def resolve_gbuffer_fast(

@@ -245,6 +245,9 @@ def render_frame_flat(
         shadow_mask=history.shadow_mask,
         shadow_maps=history.shadow_maps,
         shadow_mats=history.shadow_mats,
+        probe_sh=history.probe_sh,
+        probe_depth=history.probe_depth,
+        gi_diffuse=history.gi_diffuse,
     )
     stats = dict(raster_stats)
     stats["visible_objects"] = jnp.sum(obj_visible.astype(jnp.int32))

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..ops import colorspace, gi as gi_ops, post, shading, \
     shadow as shadow_ops
-from ..ops.cull import DrawList, cull_pairs
+from ..ops.cull import DrawList, build_active_pairs, cull_pairs
 from ..ops.hzb import HZBPyramid, build_hzb, hzb_layout
 from ..ops.mesh_shader import mesh_shader_setup
 from ..ops.raster import (RasterConfig, bin_windows, raster_queue,
@@ -100,12 +100,27 @@ class MeshletFrameConfig(NamedTuple):
     draw_capacity: int = 4096      # visible draws per phase
     occlusion: bool = True         # two-phase HZB
     lod_threshold_px: float = 1.0
+    # object-level pre-cull (reference instance_culling.hlsl:48-131):
+    # frustum-cull whole objects once per frame, then every per-pair cull
+    # phase runs on the bounded object-visible pair subset
+    object_precull: bool = True
+    active_pair_capacity: int = 0  # 0 = auto (max(4096, 4x draws))
     shadows: bool = False          # cascaded shadow maps + PCSS
     shadow_cfg: shadow_ops.ShadowConfig = shadow_ops.ShadowConfig()
     shadow_draw_capacity: int = 4096
     atmosphere: bool = False       # physically-based sky / sun / ambient
-    gi: bool = False               # world-radiance-cache diffuse GI + SSAO
+    gi: bool = False               # diffuse GI + SSAO
+    gi_mode: str = "probe"         # "probe" = screen-probe stage (the
+                                   # reference's Lumen-style gather,
+                                   # screen_probe_gather.cpp:164-182);
+                                   # "cache" = world-SH-cache only
+    probe_cfg: "object" = None     # ops.screen_probe.ScreenProbeConfig
     gi_cfg: "gi_ops.GIConfig" = None
+    # software-BVH ray fallback (reference: ray-query TLAS trace,
+    # gi_raytracing.hlsli; here ops/rt.py over coarse meshlet spheres):
+    # probe rays + specular misses see OFFSCREEN geometry
+    gi_rt: bool = False
+    rt_rays: int = 4               # probe rays BVH-traced per frame
     ssr: bool = False              # screen-space mirror reflections
     textured: bool = False         # sample material base-color textures
     normal_mapped: bool = False    # tangent-space normal maps (needs textured)
@@ -116,8 +131,13 @@ class MeshletFrameConfig(NamedTuple):
     # shadows treat masked geometry as opaque.
     alpha_masked: bool = False
     masked_draw_capacity: int = 1024
+    # translucent (Blend) bucket: one depth-peeled forward-shaded layer
+    # composited over the lit scene (exceeds the reference, whose raster
+    # loops stop at alphaMode 1 — mesh_raster.cpp:178,224)
+    alpha_blend: bool = False
+    blend_draw_capacity: int = 512
     # debug visualization (reference: renderer/mesh/nanite_visualize.cpp):
-    # none | meshlet | lod | normal | depth
+    # none | meshlet | lod | normal | depth | disocclusion | motion | gi
     debug_mode: str = "none"
 
 
@@ -156,25 +176,58 @@ def render_shadow_cascade(
         def f():
             m = view.shadow_tw_to_light[i]
             planes = view.shadow_frustum_planes[i]
+            opq = False if mcfg.alpha_masked else None
             res = cull_pairs(pools, instances, planes,
                              jnp.float32(0.5 * r * m[1, 1]),
                              mcfg.shadow_draw_capacity,
                              lod_threshold=mcfg.lod_threshold_px,
-                             enable_cone=False)   # depth pass: no backface
+                             enable_cone=False,   # depth pass: no backface
+                             masked=opq)
             st = expand_draws(res.draws, pools, instances,
                               m, mcfg.shadow_draw_capacity)
             depth_i, _vis, _stats = rasterize(
                 st.clip, st.indices, st.tri_valid, st.payload, rc,
                 backface_cull=False)
+            if mcfg.alpha_masked:
+                # alpha-tested masked casters (the reference's Masked
+                # depth permutation discards in the PS; here: raster the
+                # masked bucket with uv attributes, test, merge closest)
+                cap_m = min(mcfg.masked_draw_capacity,
+                            -(-pools.num_pairs // 128) * 128)
+                res_m = cull_pairs(pools, instances, planes,
+                                   jnp.float32(0.5 * r * m[1, 1]),
+                                   cap_m,
+                                   lod_threshold=mcfg.lod_threshold_px,
+                                   enable_cone=False, masked=True)
+                st_m = expand_draws(res_m.draws, pools, instances, m,
+                                    cap_m)
+                rts_m = rasterize(
+                    st_m.clip, st_m.indices, st_m.tri_valid, st_m.payload,
+                    rc._replace(with_attrs=True), backface_cull=False,
+                    attrs=st_m.attrs)
+                depth_m, vis_m = rts_m[0], rts_m[1]
+                hit_m, keep_m = shading.masked_alpha_keep(
+                    vis_m, rts_m[5], rts_m[6], res_m.draws.object_id, 0,
+                    pools, instances)
+                depth_m = jnp.where(hit_m & keep_m, depth_m, 0.0)
+                depth_i = jnp.maximum(depth_i, depth_m)
             return depth_i
         return f
 
     return jax.lax.switch(k, [one(i) for i in range(scfg.cascade_count)])
 
 
-def debug_visualize(mode: str, hdr, vis, depth, gbuf, draw_meshlet, pools):
+def debug_visualize(mode: str, hdr, vis, depth, gbuf, draw_meshlet, pools,
+                    extras=None):
     """Debug render modes (reference: nanite_visualize.cpp — meshlet/LOD
-    coloring; plus normal/depth views). Colors are AP1-ish 0..1."""
+    coloring; plus normal/depth/disocclusion/gi views, the reference's
+    GI debug-output cvar screen_probe_gather.cpp:33). AP1-ish 0..1."""
+    extras = extras or {}
+    if mode in extras:
+        v = extras[mode]
+        if v.ndim == 2:
+            v = jnp.broadcast_to(v[..., None], v.shape + (3,))
+        return jnp.clip(v, 0.0, 1.0)
     from ..rhi.framebuffer import unpack_visibility
 
     slot, _tri = unpack_visibility(vis)
@@ -205,6 +258,7 @@ def render_frame_meshlet(
     pools, instances, view: DeviceView, history: FrameHistory,
     config: RendererConfig, mcfg: MeshletFrameConfig,
     axis_name: Optional[str] = None,
+    bvh=None,                       # ops.rt.SceneBVH for gi_rt/ssr misses
 ) -> Tuple[jnp.ndarray, FrameHistory, dict]:
     """The GPU-driven frame (BASELINE configs #2/#3 + full post chain)."""
     rc = config.raster_config()
@@ -228,6 +282,16 @@ def render_frame_meshlet(
     # with the draw_object concat layout below — compute it exactly once)
     cap1 = max(256, -(-cap // 4 // 128) * 128) if mcfg.occlusion else 0
 
+    active = None
+    if mcfg.object_precull:
+        with jax.named_scope("cull.object_precull"):
+            acap = mcfg.active_pair_capacity or \
+                min(pools.num_pairs, max(4096, 4 * cap))
+            active = build_active_pairs(pools, instances,
+                                        view.frustum_planes, acap)
+            stats["active_pairs"] = active.count
+            stats["active_overflow"] = active.overflow
+
     if mcfg.occlusion:
         prev_hzb = make_hzb(history.hzb_flat)
         # history invalid -> HZB all zeros -> everything passes (depth 0 =
@@ -237,7 +301,8 @@ def render_frame_meshlet(
             res0 = cull_pairs(
                 pools, instances, view.frustum_planes, proj_scale, cap,
                 hzb=prev_hzb, hzb_tw_to_clip=view.prev_tw_to_clip_nj,
-                lod_threshold=mcfg.lod_threshold_px, masked=opq)
+                lod_threshold=mcfg.lod_threshold_px, masked=opq,
+                active=active)
         with jax.named_scope("raster.phase0"):
             setup0 = mesh_shader_setup(
                 res0.draws, pools, instances, view.tw_to_clip, cap, w, h,
@@ -258,7 +323,7 @@ def render_frame_meshlet(
                 pools, instances, view.frustum_planes, proj_scale, cap1,
                 hzb=hzb_now, hzb_tw_to_clip=view.tw_to_clip_nj,
                 lod_threshold=mcfg.lod_threshold_px,
-                extra_mask=res0.occluded_mask, masked=opq)
+                extra_mask=res0.occluded_mask, masked=opq, active=active)
         with jax.named_scope("raster.phase1"):
             setup1 = mesh_shader_setup(
                 res1.draws, pools, instances, view.tw_to_clip, cap1, w, h,
@@ -282,7 +347,8 @@ def render_frame_meshlet(
             res0 = cull_pairs(pools, instances, view.frustum_planes,
                               proj_scale, cap,
                               lod_threshold=mcfg.lod_threshold_px,
-                              masked=False if mcfg.alpha_masked else None)
+                              masked=False if mcfg.alpha_masked else None,
+                              active=active)
         with jax.named_scope("raster"):
             setup0 = mesh_shader_setup(
                 res0.draws, pools, instances, view.tw_to_clip, cap, w, h,
@@ -317,7 +383,8 @@ def render_frame_meshlet(
             res_m = cull_pairs(
                 pools, instances, view.frustum_planes, proj_scale, cap_m,
                 hzb=hzb_final, hzb_tw_to_clip=view.tw_to_clip_nj,
-                lod_threshold=mcfg.lod_threshold_px, masked=True)
+                lod_threshold=mcfg.lod_threshold_px, masked=True,
+                active=active)
         with jax.named_scope("masked.raster"):
             setup_m = mesh_shader_setup(
                 res_m.draws, pools, instances, view.tw_to_clip, cap_m,
@@ -344,6 +411,16 @@ def render_frame_meshlet(
             view.clip_to_tw, view.tw_to_clip_nj, view.prev_tw_to_clip_nj,
             textured=mcfg.textured, normal_mapped=mcfg.normal_mapped,
             pbr_textures=mcfg.pbr_textures)
+
+    with jax.named_scope("tsr.prepare"):
+        # closest-depth 3x3 motion dilation (reference tsr_prepare.hlsl)
+        motion_dilated = post.tsr_prepare(gbuf.motion, depth)
+    with jax.named_scope("disocclusion_mask"):
+        # consumed by TSR + shadow + GI temporal passes (reference
+        # disocclusion_mask.hlsl, renderer.cpp:370)
+        disocc = post.disocclusion_mask(
+            gbuf.position_tw, gbuf.valid, history.depth,
+            view.prev_tw_to_clip_nj, history.valid)
 
     sky_radiance = None
     ambient = None
@@ -372,9 +449,13 @@ def render_frame_meshlet(
             # full-res (analytic, gather-free)
             import jax.image as jimage
             sky_q = atm.sample_sky(sky_lut, dirs[::4, ::4])
-            sky_srgb = jimage.resize(sky_q, (h, w, 3), "linear") + \
+            sky_base = jimage.resize(sky_q, (h, w, 3), "linear")
+            sky_srgb = sky_base + \
                 atm.sun_disk_radiance(p_atm, t_lut, dirs, view.sun_direction)
             sky_radiance = colorspace.srgb_to_acescg(sky_srgb)
+            # sky radiance along every pixel dir (no sun disk) feeds the
+            # aerial perspective applied to geometry after lighting
+            sky_along_view_ap1 = colorspace.srgb_to_acescg(sky_base)
             amb_srgb = atm.sky_ambient_irradiance(sky_lut)
             ambient = colorspace.srgb_to_acescg(amb_srgb)[None, None, :]
             # sun tinted by atmospheric transmittance at the camera
@@ -470,6 +551,7 @@ def render_frame_meshlet(
                 alpha = (base * history.valid *
                          on.astype(jnp.float32) *
                          gbuf.valid[::kdiv, ::kdiv].astype(jnp.float32) *
+                         (1.0 - disocc[::kdiv, ::kdiv]) *
                          jnp.exp(-4.0 * resid))
                 sun_shadow_q = sun_shadow_q + (prev - sun_shadow_q) * alpha
         new_shadow_mask = sun_shadow_q
@@ -483,6 +565,9 @@ def render_frame_meshlet(
                           jnp.roll(sun_shadow, -1, 1)) * 0.2
 
     new_gi_cache = history.gi_cache
+    new_probe_sh = history.probe_sh
+    new_probe_depth = history.probe_depth
+    new_gi_diffuse = history.gi_diffuse
     if mcfg.gi:
         gcfg = mcfg.gi_cfg or gi_ops.GIConfig()
         with jax.named_scope("gi.ssao"):
@@ -491,10 +576,86 @@ def render_frame_meshlet(
             ao_h = gi_ops.ssao(depth[::2, ::2], gbuf.position_tw[::2, ::2],
                                gbuf.normal[::2, ::2], gcfg)
             ao = post.upsample_nearest(ao_h, 2, h, w)
-        with jax.named_scope("gi.sample"):
-            cam_anchor = jnp.zeros(3)   # camera at the TW origin
-            indirect = gi_ops.diffuse_gi(history.gi_cache, gbuf,
-                                         cam_anchor, gcfg)
+        cam_anchor = jnp.zeros(3)       # camera at the TW origin
+        if mcfg.gi_mode == "probe":
+            # Screen-probe stage (reference pass list
+            # screen_probe_gather.cpp:164-182; ops/screen_probe.py)
+            from ..ops import screen_probe as sp
+
+            spcfg = mcfg.probe_cfg or sp.ScreenProbeConfig()
+            sky_amb = (ambient.reshape(3) if ambient is not None
+                       else view.sky_ambient)
+            with jax.named_scope("gi.probe.spawn"):
+                probes = sp.spawn_probes(gbuf, depth, history.frame_count,
+                                         spcfg)
+            with jax.named_scope("gi.probe.sh_reproject"):
+                sh_hist, n_hist = sp.reproject_probe_sh(
+                    probes, history.probe_sh, history.probe_depth,
+                    view.prev_tw_to_clip_nj, history.valid, spcfg)
+            ray_dirs = sp.probe_ray_dirs(probes, history.frame_count,
+                                         spcfg)
+            traced_miss = None
+            if mcfg.gi_rt and bvh is not None:
+                # BVH-trace the first rt_rays of each probe so misses see
+                # offscreen geometry (the reference's TLAS trace role)
+                from ..ops import rt as rt_ops
+                k = min(mcfg.rt_rays, spcfg.rays)
+                with jax.named_scope("gi.probe.rt_trace"):
+                    org_rt = probes.pos_tw[..., None, :] + \
+                        probes.normal[..., None, :] * 0.05
+                    org_k = jnp.broadcast_to(org_rt,
+                                             ray_dirs.shape)[..., :k, :]
+                    t_rt, leaf_rt = rt_ops.trace(org_k, ray_dirs[..., :k, :],
+                                                 bvh)
+                    rt_rad, rt_conf = rt_ops.shade_hits(
+                        t_rt, leaf_rt, org_k, ray_dirs[..., :k, :], bvh,
+                        view.sun_direction, sun_radiance,
+                        sky_amb * 0.5)
+                    pad = spcfg.rays - k
+                    rt_rad = jnp.pad(rt_rad,
+                                     ((0, 0), (0, 0), (0, pad), (0, 0)))
+                    rt_conf = jnp.pad(rt_conf,
+                                      ((0, 0), (0, 0), (0, pad)))
+                    traced_miss = (rt_rad, rt_conf)
+            with jax.named_scope("gi.probe.trace"):
+                dd = spcfg.depth_div
+                rad, ray_dirs = sp.trace_probes(
+                    probes, depth[::dd, ::dd], history.tsr_color,
+                    view.tw_to_clip_nj, history.frame_count, spcfg,
+                    world_cache=history.gi_cache, gi_cfg=gcfg,
+                    sky_ambient=sky_amb, traced_miss=traced_miss,
+                    dirs=ray_dirs)
+            with jax.named_scope("gi.probe.project_sh"):
+                new_probe_sh = sp.project_and_merge(
+                    rad, ray_dirs, probes, sh_hist, n_hist, spcfg)
+                new_probe_depth = probes.depth
+            with jax.named_scope("gi.probe.world_inject"):
+                new_gi_cache = sp.inject_world_cache(
+                    history.gi_cache, new_probe_sh, probes, gcfg,
+                    frame_count=history.frame_count)
+            depth_half = depth[::2, ::2]
+            normal_half = gbuf.normal[::2, ::2]
+            with jax.named_scope("gi.probe.interpolate"):
+                diff_half = sp.interpolate_half(
+                    new_probe_sh, probes, normal_half,
+                    gbuf.valid[::2, ::2], spcfg)
+            with jax.named_scope("gi.probe.history_reproject"):
+                diff_half = sp.history_reproject_half(
+                    diff_half, motion_dilated[::2, ::2],
+                    history.gi_diffuse, history.valid, spcfg,
+                    disocclusion=disocc[::2, ::2])
+            with jax.named_scope("gi.probe.spatial_filter"):
+                diff_half = sp.spatial_filter_half(diff_half, depth_half,
+                                                   normal_half, spcfg)
+            new_gi_diffuse = diff_half
+            with jax.named_scope("gi.probe.upsample"):
+                indirect = sp.bilateral_upsample(
+                    diff_half, depth_half, normal_half, depth, gbuf.normal)
+                indirect = jnp.where(gbuf.valid[..., None], indirect, 0.0)
+        else:
+            with jax.named_scope("gi.sample"):
+                indirect = gi_ops.diffuse_gi(history.gi_cache, gbuf,
+                                             cam_anchor, gcfg)
         with jax.named_scope("gi.specular"):
             from ..ops import brdf_lut as brdf
             k = gcfg.sample_res_div
@@ -519,6 +680,19 @@ def render_frame_meshlet(
                 ssr_conf = ssr_conf * history.valid
                 spec_rad_q = (spec_rad_q * (1 - ssr_conf[..., None]) +
                               ssr_col * ssr_conf[..., None])
+                if mcfg.gi_rt and bvh is not None:
+                    # SSR misses fall back to BVH-traced hits (offscreen
+                    # reflections) before the SH-cache ambient
+                    from ..ops import rt as rt_ops
+                    with jax.named_scope("gi.specular.rt"):
+                        t_rt, leaf_rt = rt_ops.trace(
+                            pos_q + nrm_q * 0.05, refl_q, bvh)
+                        rt_col, rt_conf = rt_ops.shade_hits(
+                            t_rt, leaf_rt, pos_q, refl_q, bvh,
+                            view.sun_direction, sun_radiance,
+                            view.sky_ambient * 0.5)
+                        take = ((1.0 - ssr_conf) * rt_conf)[..., None]
+                        spec_rad_q = spec_rad_q * (1 - take) + rt_col * take
             hh, ww = gbuf.valid.shape
             spec_rad = post.upsample_nearest(spec_rad_q, k, hh, ww)
             lut = (view.brdf_lut if view.brdf_lut is not None
@@ -546,7 +720,51 @@ def render_frame_meshlet(
         if mcfg.gi:
             hdr = hdr + jnp.where(gbuf.valid[..., None], specular_gi, 0.0)
 
-    if mcfg.gi:
+    if mcfg.alpha_blend:
+        cap_b = min(mcfg.blend_draw_capacity,
+                    -(-pools.num_pairs // 128) * 128)
+        with jax.named_scope("blend.cull"):
+            res_b = cull_pairs(
+                pools, instances, view.frustum_planes, proj_scale, cap_b,
+                hzb=hzb_final, hzb_tw_to_clip=view.tw_to_clip_nj,
+                lod_threshold=mcfg.lod_threshold_px, masked="blend",
+                active=active)
+        with jax.named_scope("blend.raster"):
+            setup_b = mesh_shader_setup(
+                res_b.draws, pools, instances, view.tw_to_clip, cap_b,
+                w, h, interpret=rc.interpret)
+            q_b = bin_windows(setup_b, rc_a)
+            rt_b = list(raster_queue(q_b, setup_b, rc_a))
+        with jax.named_scope("blend.shade"):
+            sun_b = shading.SunLight(direction=view.sun_direction,
+                                     radiance=sun_radiance,
+                                     sky_ambient=view.sky_ambient)
+            b_col, b_alpha = shading.shade_blend_layer(
+                rt_b[1], rt_b[0], depth, rt_b[2], rt_b[3], rt_b[4],
+                rt_b[5], rt_b[6], res_b.draws.object_id, pools, instances,
+                sun_b, sun_shadow=sun_shadow,
+                ambient=ambient)
+            hdr = hdr * (1.0 - b_alpha[..., None]) + \
+                b_col * b_alpha[..., None]
+        stats["draws_blend"] = res_b.draws.count
+
+    if mcfg.atmosphere:
+        # aerial perspective on geometry (reference lighting.hlsl:75-135:
+        # per-pixel LUT eval for distant-surface in-scattering; ours is
+        # the constant-altitude analytic integral, ops/atmosphere.py)
+        with jax.named_scope("atmosphere.aerial"):
+            from ..ops import atmosphere as atm
+
+            dist = jnp.linalg.norm(gbuf.position_tw, axis=-1)
+            t_ap, in_scatter = atm.aerial_perspective(
+                atm.AtmosphereParams(), dist, sky_along_view_ap1)
+            hdr = jnp.where(gbuf.valid[..., None],
+                            hdr * t_ap + in_scatter, hdr)
+
+    if mcfg.gi and mcfg.gi_mode != "probe":
+        # cache mode: lit-surfel inject (round-1 path). Probe mode already
+        # injected the screen probes' SH into the cache above (the
+        # reference's gi_world_probe_sh_inject ordering).
         with jax.named_scope("gi.inject"):
             gcfg = mcfg.gi_cfg or gi_ops.GIConfig()
             new_gi_cache = gi_ops.update_cache(
@@ -554,7 +772,9 @@ def render_frame_meshlet(
                 frame_count=history.frame_count)
 
     with jax.named_scope("auto_exposure"):
-        ecfg = post.ExposureConfig()
+        from ..utils.cvar import cvars
+        ecfg = post.ExposureConfig(
+            fix_exposure=float(cvars.get("r.exposure.fix")))
         hist_lum = post.luminance_histogram(hdr, ecfg)
         if axis_name is not None:
             hist_lum = jax.lax.psum(hist_lum, axis_name) / \
@@ -564,8 +784,14 @@ def render_frame_meshlet(
 
     if mcfg.debug_mode != "none":
         with jax.named_scope("debug_visualize"):
+            extras = {"disocclusion": disocc,
+                      "motion": jnp.concatenate(
+                          [jnp.abs(motion_dilated) * 20.0,
+                           jnp.zeros_like(depth)[..., None]], -1)}
+            if mcfg.gi:
+                extras["gi"] = indirect * 2.0
             hdr = debug_visualize(mcfg.debug_mode, hdr, vis, depth, gbuf,
-                                  draw_meshlet, pools)
+                                  draw_meshlet, pools, extras=extras)
 
     post_w = config.post_width or w
     post_h = config.post_height or h
@@ -574,12 +800,13 @@ def render_frame_meshlet(
             tsr_cfg = post.TSRConfig(mode=config.tsr_mode)
             if (post_w, post_h) != (w, h):
                 hdr = post.temporal_upscale(
-                    hdr, gbuf.motion, history.tsr_color, history.valid,
-                    view.jitter_px, tsr_cfg, post_h, post_w)
+                    hdr, motion_dilated, history.tsr_color, history.valid,
+                    view.jitter_px, tsr_cfg, post_h, post_w,
+                    disocclusion=disocc)
             else:
                 hdr = post.temporal_resolve(
-                    hdr, gbuf.motion, history.tsr_color, history.valid,
-                    tsr_cfg)
+                    hdr, motion_dilated, history.tsr_color, history.valid,
+                    tsr_cfg, disocclusion=disocc)
     elif (post_w, post_h) != (w, h):
         hdr = post.upsample_nearest(hdr, (-(-post_h // h), -(-post_w // w)),
                                     post_h, post_w)
@@ -604,6 +831,9 @@ def render_frame_meshlet(
         shadow_mask=new_shadow_mask,
         shadow_maps=new_shadow_maps,
         shadow_mats=new_shadow_mats,
+        probe_sh=new_probe_sh,
+        probe_depth=new_probe_depth,
+        gi_diffuse=new_gi_diffuse,
     )
     return image, new_history, stats
 
@@ -611,6 +841,7 @@ def render_frame_meshlet(
 def render_sequence_meshlet(
     pools, instances, views_stacked, history: FrameHistory,
     config: RendererConfig, mcfg: MeshletFrameConfig,
+    bvh=None,
 ):
     """Render a whole camera path in ONE XLA dispatch via lax.scan — the
     honest throughput shape for benchmarking (amortizes host->device
@@ -619,7 +850,7 @@ def render_sequence_meshlet(
 
     def step(hist, view):
         image, new_hist, _stats = render_frame_meshlet(
-            pools, instances, view, hist, config, mcfg)
+            pools, instances, view, hist, config, mcfg, bvh=bvh)
         return new_hist, image
 
     new_history, images = jax.lax.scan(step, history, views_stacked)
@@ -635,6 +866,7 @@ class MeshletRenderer:
         self.mcfg = mcfg
         self.history: Optional[FrameHistory] = None
         self._atmo_cache = None
+        self._bvh = None
         self._frame_fn = jax.jit(functools.partial(
             render_frame_meshlet, config=config, mcfg=mcfg))
 
@@ -675,7 +907,12 @@ class MeshletRenderer:
                 shadow_cascades=(self.mcfg.shadow_cfg.cascade_count
                                  if self.mcfg.shadows else 0),
                 shadow_res=(self.mcfg.shadow_cfg.resolution
-                            if self.mcfg.shadows else 1))
+                            if self.mcfg.shadows else 1),
+                probe_tile=(
+                    (self.mcfg.probe_cfg.tile if self.mcfg.probe_cfg
+                     else 8)
+                    if self.mcfg.gi and self.mcfg.gi_mode == "probe"
+                    else 0))
         view = DeviceView.from_uniform(
             view_uniform,
             shadow_cfg=self.mcfg.shadow_cfg if self.mcfg.shadows else None,
@@ -685,6 +922,11 @@ class MeshletRenderer:
             view = view.replace(atmo_t_lut=t, atmo_ms_lut=ms)
         if self.mcfg.gi:
             view = view.replace(brdf_lut=self._brdf_lut())
+        if self.mcfg.gi and self.mcfg.gi_rt and self._bvh is None:
+            # host-side BVH build over the static scene (the reference's
+            # TLAS build; rebuild here if instances move)
+            from ..ops.rt import build_scene_bvh
+            self._bvh = build_scene_bvh(pools, instances)
         if fresh and self.mcfg.shadows and \
                 self.mcfg.shadow_cfg.cascade_count > 1:
             # cascade-cache warmup: cascades refresh round-robin (one per
@@ -692,7 +934,7 @@ class MeshletRenderer:
             # the cache is populated before the first presented image
             for _ in range(self.mcfg.shadow_cfg.cascade_count - 1):
                 _img, self.history, _stats = self._frame_fn(
-                    pools, instances, view, self.history)
+                    pools, instances, view, self.history, bvh=self._bvh)
         image, self.history, stats = self._frame_fn(
-            pools, instances, view, self.history)
+            pools, instances, view, self.history, bvh=self._bvh)
         return image, stats

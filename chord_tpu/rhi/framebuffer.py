@@ -81,13 +81,20 @@ class FrameHistory:
     # each map's OWN fit matrix rides along so stale cascades stay valid
     shadow_maps: jnp.ndarray     # (N,R,R) f32 reverse-Z (or (1,1,1) off)
     shadow_mats: jnp.ndarray     # (N,4,4) f32 tw->light of each cached map
+    # Screen-probe GI state (reference: GIContext — screen probe SH
+    # buffer, probe spawn info, half-res diffuse history): (1,1,*) when
+    # the screen-probe stage is off.
+    probe_sh: jnp.ndarray        # (Ph,Pw,28) f32 packed SH3 + numSample
+    probe_depth: jnp.ndarray     # (Ph,Pw) f32 probe ndc depth (reverse-Z)
+    gi_diffuse: jnp.ndarray      # (Hh,Wh,3) f32 half-res diffuse history
 
     @classmethod
     def empty(cls, h: int, w: int, post_h: Optional[int] = None,
               post_w: Optional[int] = None,
               gi_cfg=None, shadow_div: int = 2,
               shadow_cascades: int = 0,
-              shadow_res: int = 1) -> "FrameHistory":
+              shadow_res: int = 1,
+              probe_tile: int = 0) -> "FrameHistory":
         from ..ops.hzb import hzb_layout
         from ..ops.gi import GIConfig, sh_size
 
@@ -95,6 +102,11 @@ class FrameHistory:
         ws, hs, offs = hzb_layout(w, h)
         total = offs[-1] + ws[-1] * hs[-1]
         gi_shape = sh_size(gi_cfg or GIConfig(cascades=1, probe_dim=2))
+        if probe_tile:
+            pr_h, pr_w = -(-h // probe_tile), -(-w // probe_tile)
+            gh, gw = -(-h // 2), -(-w // 2)
+        else:
+            pr_h = pr_w = gh = gw = 1
         return cls(
             valid=jnp.zeros((), jnp.float32),
             frame_count=jnp.zeros((), jnp.int32),
@@ -109,4 +121,7 @@ class FrameHistory:
                                    shadow_res, shadow_res), jnp.float32),
             shadow_mats=jnp.zeros((max(shadow_cascades, 1), 4, 4),
                                   jnp.float32),
+            probe_sh=jnp.zeros((pr_h, pr_w, 28), jnp.float32),
+            probe_depth=jnp.zeros((pr_h, pr_w), jnp.float32),
+            gi_diffuse=jnp.zeros((gh, gw, 3), jnp.float32),
         )

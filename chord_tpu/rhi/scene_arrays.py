@@ -110,9 +110,10 @@ class MaterialData:
     metal_rough_texture: int = -1  # glTF MR map (G=roughness, B=metallic)
     emissive_texture: int = -1     # sRGB emissive map
     two_sided: bool = False
-    # glTF alphaMode: "opaque" or "mask" ("blend" imports as mask — the
-    # reference buckets raster pipelines by alphaMode the same way,
-    # pipeline_filter.hlsl / mesh_raster.cpp:54-56)
+    # glTF alphaMode: "opaque" | "mask" | "blend" (the reference buckets
+    # raster pipelines by alphaMode the same way, pipeline_filter.hlsl /
+    # mesh_raster.cpp:54-56; its raster loops draw only opaque+masked —
+    # the TPU build also renders one depth-peeled blend layer)
     alpha_mode: str = "opaque"
     alpha_cutoff: float = 0.5
     name: str = ""
@@ -153,6 +154,7 @@ class FrameInstances:
     object_material: jnp.ndarray     # (O,) i32
     object_two_sided: jnp.ndarray    # (O,) f32 0/1 (material doubleSided)
     object_masked: jnp.ndarray       # (O,) f32 0/1 (material alphaMode==mask)
+    object_blend: jnp.ndarray        # (O,) f32 0/1 (material alphaMode==blend)
     object_sphere_tw: jnp.ndarray    # (O,4) f32 center.xyz + radius, translated world
     object_valid: jnp.ndarray        # (O,) bool
 
@@ -261,6 +263,7 @@ class SceneBuilder:
         mat_ids = np.zeros(n, np.int32)
         two_sided = np.zeros(n, np.float32)
         masked = np.zeros(n, np.float32)
+        blend = np.zeros(n, np.float32)
         spheres = np.zeros((n, 4), np.float32)
 
         for oid, (mesh_id, mat_id, l2w) in enumerate(self.instances):
@@ -271,8 +274,9 @@ class SceneBuilder:
             nmat[oid] = cmath.normal_matrix(l2w).astype(np.float32)
             mat_ids[oid] = mat_id
             two_sided[oid] = 1.0 if self.materials[mat_id].two_sided else 0.0
-            masked[oid] = 0.0 if self.materials[mat_id].alpha_mode == "opaque" \
-                else 1.0
+            mode = self.materials[mat_id].alpha_mode
+            masked[oid] = 1.0 if mode == "mask" else 0.0
+            blend[oid] = 1.0 if mode == "blend" else 0.0
             amin, amax = self.meshes[mesh_id].local_aabb()
             center_l = (amin + amax) * 0.5
             # conservative sphere: transform center, scale radius by max axis scale
@@ -289,6 +293,7 @@ class SceneBuilder:
             object_material=jnp.asarray(mat_ids),
             object_two_sided=jnp.asarray(two_sided),
             object_masked=jnp.asarray(masked),
+            object_blend=jnp.asarray(blend),
             object_sphere_tw=jnp.asarray(spheres),
             object_valid=jnp.ones(n, bool),
         )

@@ -562,6 +562,141 @@ void chord_vertex_normals(const float* positions, int n_verts,
   }
 }
 
+// ---------------------------------------------------------------------
+// 8-wide BVH over leaf bounding spheres.
+// TPU-native analog of the reference's cluster-group BVH
+// (reference: source/asset/nanite_builder.cpp:77-313 — 8 children per
+// node via 2x2x2 longest-axis median splits, <=14 levels, flatten with
+// subtree counts, struct shader/gltf.h:16-24 GPUBVHNode). Divergence:
+// the reference flattens BREADTH-first and traverses via the children
+// indices; we flatten DEPTH-first pre-order so the subtree count doubles
+// as a skip pointer — a branch-free linear scan (miss => i += count[i])
+// suits a vector machine better than a per-ray work queue. Both the
+// children indices and the counts are emitted, so either traversal works.
+
+namespace {
+
+struct BvhTmp {
+  float sph[4];
+  int child[8];
+  int leaf_id;    // >= 0 for leaves
+};
+
+void sphereOfSpheres(const float* spheres, const std::vector<int>& ids,
+                     float out[4]) {
+  double cx = 0, cy = 0, cz = 0;
+  for (int i : ids) {
+    cx += spheres[4 * i];
+    cy += spheres[4 * i + 1];
+    cz += spheres[4 * i + 2];
+  }
+  double n = std::max<size_t>(ids.size(), 1);
+  cx /= n; cy /= n; cz /= n;
+  double r = 0;
+  for (int i : ids) {
+    double dx = spheres[4 * i] - cx, dy = spheres[4 * i + 1] - cy,
+           dz = spheres[4 * i + 2] - cz;
+    r = std::max(r, std::sqrt(dx * dx + dy * dy + dz * dz) +
+                        spheres[4 * i + 3]);
+  }
+  out[0] = (float)cx; out[1] = (float)cy; out[2] = (float)cz;
+  out[3] = (float)r;
+}
+
+int buildBvhNode(const float* spheres, std::vector<int> elems,
+                 std::vector<BvhTmp>& nodes, int level) {
+  int idx = (int)nodes.size();
+  nodes.push_back({});
+  BvhTmp& stub = nodes[idx];
+  sphereOfSpheres(spheres, elems, stub.sph);
+  for (int k = 0; k < 8; ++k) stub.child[k] = -1;
+  stub.leaf_id = -1;
+  if (elems.size() == 1) {
+    nodes[idx].leaf_id = elems[0];
+    return idx;
+  }
+  // 2x2x2 median splits on x, then y, then z (nanite_builder.cpp:102-200
+  // longest-axis behavior approximated by fixed axis order — adequate
+  // for near-isotropic scene distributions and deterministic)
+  auto median_split = [&](std::vector<int>& ids, int axis,
+                          std::vector<int>& lo, std::vector<int>& hi) {
+    std::sort(ids.begin(), ids.end(), [&](int a, int b) {
+      return spheres[4 * a + axis] < spheres[4 * b + axis];
+    });
+    size_t mid = ids.size() / 2;
+    lo.assign(ids.begin(), ids.begin() + mid);
+    hi.assign(ids.begin() + mid, ids.end());
+  };
+  std::vector<int> half[2], quad[4], oct[8];
+  median_split(elems, 0, half[0], half[1]);
+  for (int h = 0; h < 2; ++h)
+    median_split(half[h], 1, quad[2 * h], quad[2 * h + 1]);
+  for (int q = 0; q < 4; ++q)
+    median_split(quad[q], 2, oct[2 * q], oct[2 * q + 1]);
+  int nchild = 0;
+  for (int k = 0; k < 8; ++k) {
+    if (oct[k].empty()) continue;
+    int c;
+    if (level + 1 >= 14 && oct[k].size() > 1) {
+      // level cap: degenerate to a leaf per element chained as children
+      // (cannot happen for < 8^14 elements, kept for safety)
+      c = buildBvhNode(spheres, {oct[k][0]}, nodes, level + 1);
+    } else {
+      c = buildBvhNode(spheres, std::move(oct[k]), nodes, level + 1);
+    }
+    nodes[idx].child[nchild++] = c;
+  }
+  return idx;
+}
+
+// DFS pre-order re-flatten with subtree counts (children of a node are
+// its immediate successors' subtrees, contiguous).
+int reflatten(const std::vector<BvhTmp>& nodes, int src,
+              float* out_sphere, int* out_children, int* out_count,
+              int* out_leaf, int& cursor) {
+  int dst = cursor++;
+  memcpy(out_sphere + 4 * dst, nodes[src].sph, 4 * sizeof(float));
+  out_leaf[dst] = nodes[src].leaf_id;
+  int count = 1;
+  int nchild = 0;
+  int kids[8];
+  for (int k = 0; k < 8; ++k) kids[k] = -1;
+  for (int k = 0; k < 8; ++k) {
+    int c = nodes[src].child[k];
+    if (c < 0) continue;
+    kids[nchild++] = reflatten(nodes, c, out_sphere, out_children,
+                               out_count, out_leaf, cursor);
+  }
+  for (int k = 0; k < 8; ++k) out_children[8 * dst + k] = kids[k];
+  for (int k = 0; k < nchild; ++k) count += out_count[kids[k]];
+  out_count[dst] = count;
+  return dst;
+}
+
+}  // namespace
+
+// Build an 8-wide BVH over n leaf spheres (float4 xyzr each).
+// Outputs per node: sphere (4f), children (8 ints, -1 pad), subtree node
+// count (skip pointer in DFS order), leaf element id (-1 internal).
+// Returns 0 on success, -1 if node_cap too small.
+int chord_bvh_build(const float* spheres, int n,
+                    float* out_sphere, int* out_children,
+                    int* out_count, int* out_leaf,
+                    int node_cap, int* out_n_nodes) {
+  if (n <= 0) { *out_n_nodes = 0; return 0; }
+  std::vector<BvhTmp> nodes;
+  nodes.reserve(2 * (size_t)n);
+  std::vector<int> all(n);
+  for (int i = 0; i < n; ++i) all[i] = i;
+  buildBvhNode(spheres, std::move(all), nodes, 0);
+  if ((int)nodes.size() > node_cap) return -1;
+  int cursor = 0;
+  reflatten(nodes, 0, out_sphere, out_children, out_count, out_leaf,
+            cursor);
+  *out_n_nodes = cursor;
+  return 0;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------

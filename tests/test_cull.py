@@ -67,3 +67,59 @@ def test_error_projection_monotone_in_distance():
     inside = project_error_px(jnp.asarray([[0.0, 0.0, 0.001]]),
                               jnp.asarray([1.0]), scale)
     assert float(inside[0]) > 1e8
+
+
+def test_object_precull_equivalence():
+    """With capacity covering every pair, the object-preculled frame
+    culls to the same visible draw SET as the brute-force path
+    (reference: object pre-cull only removes frustum-out objects)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from chord_tpu.asset.procedural import build_sponza_like
+    from chord_tpu.ops.cull import build_active_pairs, cull_pairs
+    from chord_tpu.rhi.meshlet_scene import build_meshlet_pools
+    from chord_tpu.utils.camera import Camera
+
+    b = build_sponza_like(detail=1)
+    pools = build_meshlet_pools(b)
+    cam = Camera(width=128, height=64)
+    cam.position = np.array([-15.0, 4.0, 3.0])
+    cam.look_at(np.array([10.0, 2.0, -2.0]))
+    inst = b.frame_instances(cam)
+    u = cam.view_uniform(0)
+    planes = jnp.asarray(u.frustum_planes)
+    proj_scale = jnp.float32(0.5 * 64 * u.view_to_clip[1, 1])
+
+    res_full = cull_pairs(pools, inst, planes, proj_scale, 512)
+    active = build_active_pairs(pools, inst, planes, pools.num_pairs)
+    assert int(active.overflow) == 0
+    res_act = cull_pairs(pools, inst, planes, proj_scale, 512,
+                         active=active)
+    assert int(res_full.draws.count) == int(res_act.draws.count)
+    n = int(res_full.draws.count)
+    a = set(zip(np.asarray(res_full.draws.object_id[:n]).tolist(),
+                np.asarray(res_full.draws.meshlet_id[:n]).tolist()))
+    bset = set(zip(np.asarray(res_act.draws.object_id[:n]).tolist(),
+                   np.asarray(res_act.draws.meshlet_id[:n]).tolist()))
+    assert a == bset
+
+
+def test_object_precull_drops_out_of_frustum_objects():
+    import jax.numpy as jnp
+    import numpy as np
+    from chord_tpu.asset.procedural import build_sponza_like
+    from chord_tpu.ops.cull import build_active_pairs
+    from chord_tpu.rhi.meshlet_scene import build_meshlet_pools
+    from chord_tpu.utils.camera import Camera
+
+    b = build_sponza_like(detail=1)
+    pools = build_meshlet_pools(b)
+    cam = Camera(width=128, height=64)
+    cam.position = np.array([-15.0, 4.0, 3.0])
+    cam.look_at(np.array([-100.0, 4.0, 3.0]))   # look AWAY from the scene
+    inst = b.frame_instances(cam)
+    u = cam.view_uniform(0)
+    active = build_active_pairs(pools, inst, jnp.asarray(u.frustum_planes),
+                                pools.num_pairs)
+    # far fewer active pairs than the full table
+    assert int(active.count) < pools.num_pairs // 2

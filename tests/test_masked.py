@@ -93,3 +93,60 @@ def test_masked_all_rejected_shows_background():
     assert np.abs(center.mean(axis=(0, 1)) -
                   corner.mean(axis=(0, 1))).max() < 8.0, \
         "masked quad should be fully punched through"
+
+
+def test_masked_shadow_casters_alpha_tested():
+    """A fully-transparent masked plane must not cast a shadow when
+    alpha_masked is on (reference: Masked depth permutation discards)."""
+    import jax.numpy as jnp
+    from chord_tpu.asset.procedural import make_plane
+    from chord_tpu.renderer.deferred import RendererConfig
+    from chord_tpu.renderer.meshlet_frame import (MeshletFrameConfig,
+                                                  MeshletRenderer)
+    from chord_tpu.rhi.meshlet_scene import build_meshlet_pools
+    from chord_tpu.rhi.scene_arrays import MaterialData, SceneBuilder
+    from chord_tpu.utils import math as cmath
+    from chord_tpu.utils.camera import Camera
+    from chord_tpu.ops.shadow import ShadowConfig
+
+    def build(alpha):
+        b = SceneBuilder()
+        plane = b.add_mesh(make_plane(1.0, segments=2))
+        ground = b.add_material(MaterialData(
+            base_color=(0.7, 0.7, 0.7, 1.0)))
+        # masked material with constant base alpha (no texture):
+        # alpha < cutoff = full transparent, > cutoff = solid
+        caster = b.add_material(MaterialData(
+            base_color=(0.5, 0.3, 0.2, alpha), alpha_mode="mask",
+            alpha_cutoff=0.5, two_sided=True))
+        b.add_instance(plane, ground,
+                       cmath.compose_trs((0, 0, 0), scale=(30, 1, 30)))
+        b.add_instance(plane, caster,
+                       cmath.compose_trs((0, 4.0, 0), scale=(6, 1, 6)))
+        return b
+
+    def render(alpha):
+        b = build(alpha)
+        pools = build_meshlet_pools(b)
+        cam = Camera(width=96, height=64)
+        cam.position = np.array([0.0, 8.0, 14.0])
+        cam.look_at(np.array([0.0, 0.0, 0.0]))
+        inst = b.frame_instances(cam)
+        r = MeshletRenderer(
+            RendererConfig(width=96, height=64, pair_capacity=2048,
+                           big_capacity=64, interpret=True,
+                           enable_bloom=False, enable_tsr=False),
+            MeshletFrameConfig(draw_capacity=256, occlusion=False,
+                               alpha_masked=True, shadows=True,
+                               shadow_cfg=ShadowConfig(
+                                   cascade_count=1, resolution=128,
+                                   temporal=False, jitter=False)))
+        img, _ = r.render(pools, inst, cam.view_uniform(0))
+        return np.asarray(img).astype(np.float32)
+
+    solid = render(0.9)        # alpha above cutoff: casts shadow
+    clear = render(0.1)        # below cutoff: no geometry, no shadow
+    # ground under the pane is darker in the solid case
+    mid_solid = solid[34:54, 34:62].mean()
+    mid_clear = clear[34:54, 34:62].mean()
+    assert mid_solid < mid_clear - 3.0

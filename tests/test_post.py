@@ -106,3 +106,51 @@ def test_temporal_upscale_global_modes():
                             TSRConfig(sharpness=0.0, mode="gather"), ph, pw)
     d = np.abs(np.asarray(outg - outr))[3:-3, 3:-3]
     assert d.max() < 1e-3, d.max()
+
+
+def test_tsr_prepare_dilates_foreground_motion():
+    """Silhouette pixels take the closest-depth neighbor's motion
+    (reference tsr_prepare.hlsl)."""
+    import jax.numpy as jnp
+    from chord_tpu.ops import post
+
+    h, w = 16, 16
+    depth = np.zeros((h, w), np.float32)
+    depth[:, :8] = 0.9             # near object on the left (reverse-Z)
+    motion = np.zeros((h, w, 2), np.float32)
+    motion[:, :8, 0] = 0.5         # object moves
+    out = np.asarray(post.tsr_prepare(jnp.asarray(motion),
+                                      jnp.asarray(depth)))
+    # background column adjacent to the silhouette inherits object motion
+    assert np.allclose(out[:, 8, 0], 0.5)
+    # far-away background untouched
+    assert np.allclose(out[:, 12, 0], 0.0)
+
+
+def test_disocclusion_mask_static_and_moved():
+    import jax.numpy as jnp
+    from chord_tpu.ops import post
+
+    h, w = 16, 16
+    # surface plane z = -2 (camera looks -z); ortho-ish prev matrix maps
+    # x,y to ndc and z to a constant depth 0.5
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    pos = np.stack([(xs - w / 2) / (w / 2), (h / 2 - ys) / (h / 2),
+                    np.full((h, w), -2.0, np.float32)], -1)
+    m = np.zeros((4, 4), np.float32)
+    m[0, 0] = 1.0
+    m[1, 1] = 1.0
+    m[3, 2] = 0.5
+    m[3, 3] = 1.0
+    prev_depth = np.full((h, w), 0.5, np.float32)
+    valid = jnp.ones((h, w), bool)
+    mask = np.asarray(post.disocclusion_mask(
+        jnp.asarray(pos), valid, jnp.asarray(prev_depth), jnp.asarray(m),
+        jnp.ones(())))
+    assert mask.max() == 0.0        # static scene: fully consistent
+    # previous depth says something NEARER was there -> disoccluded now
+    prev_depth2 = np.full((h, w), 0.8, np.float32)
+    mask2 = np.asarray(post.disocclusion_mask(
+        jnp.asarray(pos), valid, jnp.asarray(prev_depth2), jnp.asarray(m),
+        jnp.ones(())))
+    assert mask2.min() == 1.0
