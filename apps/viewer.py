@@ -120,7 +120,8 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/chord_view")
     ap.add_argument("--gif", action="store_true")
     ap.add_argument("--debug", default="none",
-                    choices=["none", "meshlet", "lod", "normal", "depth"])
+                    choices=["none", "meshlet", "lod", "normal", "depth",
+                             "disocclusion", "motion", "gi"])
     ap.add_argument("--overlay", default="none",
                     choices=["none", "bounds"],
                     help="wireframe overlay: instance bounding spheres "
@@ -129,6 +130,14 @@ def main() -> int:
     ap.add_argument("--shadows", action="store_true")
     ap.add_argument("--atmosphere", action="store_true")
     ap.add_argument("--gi", action="store_true")
+    ap.add_argument("--gi-mode", default="probe", choices=["probe", "cache"],
+                    help="probe = screen-probe stage (reference "
+                         "screen_probe_gather pass list); cache = world "
+                         "SH cache only")
+    ap.add_argument("--gi-rt", action="store_true",
+                    help="software-BVH ray fallback for probe rays + SSR "
+                         "misses (offscreen geometry)")
+    ap.add_argument("--ssr", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="write a jax.profiler trace (the Tracy/GPU-"
@@ -159,7 +168,8 @@ def main() -> int:
              pools.num_meshlets, pools.num_pairs, use_nanite)
 
     interpret = jax.default_backend() == "cpu"
-    has_masked = any(m.alpha_mode != "opaque" for m in b.materials)
+    has_masked = any(m.alpha_mode == "mask" for m in b.materials)
+    has_blend = any(m.alpha_mode == "blend" for m in b.materials)
     r = MeshletRenderer(
         RendererConfig(width=args.width, height=args.height,
                        pair_capacity=16384, big_capacity=128,
@@ -171,8 +181,11 @@ def main() -> int:
                            textured=tex_pool is not None,
                            normal_mapped=tex_pool is not None,
                            pbr_textures=tex_pool is not None,
-                           # masked-material bucket when the scene has any
-                           alpha_masked=has_masked))
+                           gi_mode=args.gi_mode, gi_rt=args.gi_rt,
+                           ssr=args.ssr,
+                           # masked/blend material buckets when present
+                           alpha_masked=has_masked,
+                           alpha_blend=has_blend))
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -117,8 +117,14 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
         ms_lut = jax.jit(lambda tl: atm.build_multiscatter_lut(
             p_atm, tl, dir_samples=16, steps=12))(t_lut)
         lut = jax.jit(brdf.build_env_brdf_lut, static_argnums=0)(64)
+        # static sun over the fly-through: the sky-view LUT caches too
+        sun_d = np.asarray([0.3, 0.8, 0.5], np.float32)
+        sun_d /= np.linalg.norm(sun_d)
+        sky_lut = jax.jit(lambda tl, msl: atm.build_sky_view_lut(
+            p_atm, tl, msl, jax.numpy.asarray(sun_d)))(t_lut, ms_lut)
         dviews = [v.replace(atmo_t_lut=t_lut, atmo_ms_lut=ms_lut,
-                            brdf_lut=lut) for v in dviews]
+                            atmo_sky_lut=sky_lut, brdf_lut=lut)
+                  for v in dviews]
     views_stacked = jax.tree.map(lambda *xs: jax.numpy.stack(xs), *dviews)
     from chord_tpu.ops.gi import GIConfig
     history = FrameHistory.empty(

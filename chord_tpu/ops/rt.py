@@ -169,7 +169,12 @@ def trace(origins: jnp.ndarray, dirs: jnp.ndarray, bvh: SceneBVH,
     r = o.shape[0]
     m = int(bvh.node_sphere.shape[0])
     if max_steps is None:
-        max_steps = m
+        # the loop is lock-step across rays: its trip count is the MAX
+        # visited-node count over all rays. Cap it — rays that run out of
+        # budget conservatively miss (fall through to the sky/cache
+        # fallback), which for fat coarse-proxy BVHs costs far less than
+        # letting one worst-case ray serialize the whole wavefront
+        max_steps = min(m, 384)
 
     def cond(state):
         i, _t, _l, steps = state

@@ -70,6 +70,10 @@ class DeviceView:
     # compute results; ours are plain arrays)
     atmo_t_lut: Optional[jnp.ndarray] = None   # (64,256,3)
     atmo_ms_lut: Optional[jnp.ndarray] = None  # (32,32,3)
+    # sun-DEPENDENT sky-view LUT: cacheable while the sun is static
+    # (rebuilt by the host driver on sun change; the frame falls back to
+    # building it inline when absent)
+    atmo_sky_lut: Optional[jnp.ndarray] = None  # (SKYVIEW_H,SKYVIEW_W,3)
     # split-sum env BRDF LUT (built once by the host driver; the frame
     # falls back to building it inline when absent)
     brdf_lut: Optional[jnp.ndarray] = None     # (S,S,2)

@@ -439,9 +439,13 @@ def render_frame_meshlet(
                 t_lut = atm.build_transmittance_lut(p_atm)
                 ms_lut = atm.build_multiscatter_lut(p_atm, t_lut,
                                                     dir_samples=16, steps=12)
-            # only the sun-dependent sky-view LUT rebuilds per frame
-            sky_lut = atm.build_sky_view_lut(p_atm, t_lut, ms_lut,
-                                             view.sun_direction)
+            # the sun-dependent sky-view LUT is also host-cacheable for a
+            # static sun (~ms of raymarch saved per frame)
+            if view.atmo_sky_lut is not None:
+                sky_lut = view.atmo_sky_lut
+            else:
+                sky_lut = atm.build_sky_view_lut(p_atm, t_lut, ms_lut,
+                                                 view.sun_direction)
         with jax.named_scope("atmosphere.sky"):
             dirs = pixel_view_dirs(h, w, view.clip_to_tw)
             # sky is angularly smooth: sample the LUT at 1/4 res (the
@@ -881,7 +885,7 @@ class MeshletRenderer:
                 brdf.build_env_brdf_lut, static_argnums=0)(64)
         return self._brdf_cache
 
-    def _atmo_luts(self):
+    def _atmo_luts(self, sun_direction=None):
         if self._atmo_cache is None:
             from ..ops import atmosphere as atm
             import jax as _jax
@@ -892,7 +896,26 @@ class MeshletRenderer:
             ms = _jax.jit(lambda tl: atm.build_multiscatter_lut(
                 p_atm, tl, dir_samples=16, steps=12))(t)
             self._atmo_cache = (t, ms)
-        return self._atmo_cache
+        t, ms = self._atmo_cache
+        sky = None
+        if sun_direction is not None:
+            # cache the sky-view LUT per sun direction (static sun =>
+            # zero per-frame LUT cost; reference rebuilds per frame only
+            # because Vulkan lacks cross-frame compute caching)
+            import numpy as _np
+            import jax as _jax
+            from ..ops import atmosphere as atm
+            key = tuple(_np.round(_np.asarray(sun_direction), 5).tolist())
+            if getattr(self, "_sky_cache_key", None) != key:
+                d = _np.asarray(sun_direction, _np.float32)
+                d = d / _np.linalg.norm(d)
+                self._sky_cache = _jax.jit(
+                    lambda tl, msl: atm.build_sky_view_lut(
+                        atm.AtmosphereParams(), tl, msl,
+                        jnp.asarray(d)))(t, ms)
+                self._sky_cache_key = key
+            sky = self._sky_cache
+        return t, ms, sky
 
     def render(self, pools, instances, view_uniform, **light_kwargs):
         c = self.config
@@ -918,8 +941,10 @@ class MeshletRenderer:
             shadow_cfg=self.mcfg.shadow_cfg if self.mcfg.shadows else None,
             **light_kwargs)
         if self.mcfg.atmosphere:
-            t, ms = self._atmo_luts()
-            view = view.replace(atmo_t_lut=t, atmo_ms_lut=ms)
+            t, ms, sky = self._atmo_luts(
+                light_kwargs.get("sun_direction", (0.3, 0.8, 0.5)))
+            view = view.replace(atmo_t_lut=t, atmo_ms_lut=ms,
+                                atmo_sky_lut=sky)
         if self.mcfg.gi:
             view = view.replace(brdf_lut=self._brdf_lut())
         if self.mcfg.gi and self.mcfg.gi_rt and self._bvh is None:

@@ -3,6 +3,7 @@ alphaMode buckets + asset_gltf.h:55-59; the TPU build renders one
 depth-peeled forward layer, which the reference's raster loops skip)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from chord_tpu.rhi.scene_arrays import MaterialData, MeshData, SceneBuilder
@@ -53,6 +54,7 @@ def _render(alpha_blend):
     return np.asarray(img).astype(np.float32), stats
 
 
+@pytest.mark.slow
 def test_blend_layer_tints_left_half():
     off, _ = _render(False)
     on, stats = _render(True)

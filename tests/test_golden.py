@@ -61,7 +61,9 @@ def _render_scene(mode: str) -> np.ndarray:
     return np.asarray(img)
 
 
-@pytest.mark.parametrize("mode", ["basic", "normal", "full"])
+@pytest.mark.parametrize("mode", [
+    "basic", "normal",
+    pytest.param("full", marks=pytest.mark.slow)])
 def test_golden(mode):
     from PIL import Image
 

@@ -3,6 +3,7 @@ punch-through (reference: pipeline_filter.hlsl buckets by alphaMode;
 mesh_raster Masked permutation discards on texture alpha)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from chord_tpu.asset.texture import TexturePool
@@ -67,6 +68,7 @@ def test_masked_punch_through():
     assert right[1] > right[0] + 20, f"right should be green-ish: {right}"
 
 
+@pytest.mark.slow
 def test_masked_all_rejected_shows_background():
     """A masked material whose alpha factor fails the cutoff everywhere
     disappears entirely."""
@@ -95,6 +97,7 @@ def test_masked_all_rejected_shows_background():
         "masked quad should be fully punched through"
 
 
+@pytest.mark.slow
 def test_masked_shadow_casters_alpha_tested():
     """A fully-transparent masked plane must not cast a shadow when
     alpha_masked is on (reference: Masked depth permutation discards)."""

@@ -46,6 +46,7 @@ def _sphere_scene():
     return b
 
 
+@pytest.mark.slow
 def test_lod_selection_by_distance():
     """Fly-through: the DAG cut must draw fewer triangles when far and
     cover the ball either way (BASELINE config #3 behavior)."""

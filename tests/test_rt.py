@@ -2,6 +2,7 @@
 kernel-vs-NumPy-BVH oracle test)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from chord_tpu.ops import rt
@@ -144,6 +145,7 @@ def test_scene_bvh_and_shading():
     assert float(np.asarray(conf).max()) == 1.0
 
 
+@pytest.mark.slow
 def test_frame_with_rt_fallback_smoke():
     """Frame with gi_rt on: BVH probe rays + SSR miss fallback compile and
     produce finite output."""

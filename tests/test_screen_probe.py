@@ -2,6 +2,7 @@
 screen_probe_gather.cpp:164-182)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -179,6 +180,7 @@ def test_trace_probes_hits_screen_geometry():
     assert np.isfinite(r).all()
 
 
+@pytest.mark.slow
 def test_frame_with_probe_gi_smoke():
     """Full meshlet frame with the screen-probe stage on: runs, finite,
     history pytree carries probe state across frames."""

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from chord_tpu.asset.procedural import build_sponza_like
 from chord_tpu.ops.shadow import ShadowConfig, evaluate_shadow, fit_cascades
@@ -71,6 +72,7 @@ def test_shadow_occluder_blocks_sun():
     assert vis[0, 1] > 0.9, f"open point should be lit, got {vis[0,1]}"
 
 
+@pytest.mark.slow
 def test_meshlet_frame_with_shadows():
     b = build_sponza_like(detail=1)
     pools = build_meshlet_pools(b)
@@ -99,6 +101,7 @@ def test_meshlet_frame_with_shadows():
     assert np.isfinite(m).all() and m.min() >= 0.0 and m.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_temporal_shadow_mask_accumulates():
     """Static scene + static view: the temporal mask converges (frame 2
     matches frame 1 closely) and stays in [0,1]; history carries the

@@ -18,6 +18,7 @@ from chord_tpu.utils.camera import Camera
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs virtual devices")
+@pytest.mark.slow
 def test_strips_match_single_chip():
     n_dev = 4
     b = build_sponza_like(detail=1)

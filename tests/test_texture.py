@@ -3,6 +3,7 @@ asset/texture/asset_texture_helper.cpp import + mip chain)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from chord_tpu.asset.texture import TexturePool, build_mips
 from chord_tpu.ops.texture import mip_from_uv_density, sample_pool
@@ -92,6 +93,7 @@ def _render_plane_debug_normal(normal_mapped: bool):
     return np.asarray(img).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_normal_mapping_tilts_shading_normal():
     flat = _render_plane_debug_normal(False)
     bump = _render_plane_debug_normal(True)
