@@ -35,12 +35,15 @@ def _make_scene(scene, detail, target_tris):
     from chord_tpu.rhi.meshlet_scene import build_meshlet_pools
 
     if scene == "bistro":
-        b = build_bistro_like(detail=detail, target_tris=target_tris)
+        b = build_bistro_like(detail=detail, target_tris=target_tris,
+                              textures=True)
     elif scene == "nanite":
         b = build_nanite_stress(rings=16 * detail)
     else:
         b = build_sponza_like(detail=detail)
-    pools = build_meshlet_pools(b, nanite=native_available())
+    pools = build_meshlet_pools(b, nanite=native_available(),
+                                texture_pool=getattr(b, "texture_pool",
+                                                     None))
     n_src_tris = sum(b.meshes[mi].num_triangles for mi, _, _ in b.instances)
     return b, pools, n_src_tris
 
@@ -101,7 +104,8 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
     bvh = None
     if all_on:
         from chord_tpu.ops.rt import build_scene_bvh
-        bvh = build_scene_bvh(pools, b.frame_instances(cam))
+        bvh = build_scene_bvh(pools, b.frame_instances(cam),
+                              granularity="object")
 
     views_u = _camera_path(scene, cam, frames)
     shadow_cfg = mcfg.shadow_cfg if all_on else None

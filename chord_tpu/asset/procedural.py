@@ -137,6 +137,64 @@ def _mat(builder: SceneBuilder, rng, rough_range=(0.4, 0.95), metal_p=0.1):
         roughness=float(rng.uniform(*rough_range))))
 
 
+def _noise2d(rng, size, octaves=4):
+    """Value-noise texture in [0,1] (seeded, fast)."""
+    img = np.zeros((size, size), np.float32)
+    amp, cells = 1.0, 4
+    for _ in range(octaves):
+        g = rng.uniform(0, 1, (cells + 1, cells + 1)).astype(np.float32)
+        ys = np.linspace(0, cells, size, endpoint=False)
+        xs = np.linspace(0, cells, size, endpoint=False)
+        y0 = ys.astype(int)
+        x0 = xs.astype(int)
+        fy = (ys - y0)[:, None]
+        fx = (xs - x0)[None, :]
+        v = (g[y0][:, x0] * (1 - fy) * (1 - fx) +
+             g[y0][:, x0 + 1] * (1 - fy) * fx +
+             g[y0 + 1][:, x0] * fy * (1 - fx) +
+             g[y0 + 1][:, x0 + 1] * fy * fx)
+        img += amp * v
+        amp *= 0.5
+        cells *= 2
+    return img / img.max()
+
+
+def bench_texture_pool(seed: int = 5, size: int = 256):
+    """Procedural texture set for the benchmark scenes (the reference
+    benches on Bistro's real texture set; these stand-ins make the
+    texture-sampling path do real work): brick/plaster/asphalt albedo +
+    a leaf card with alpha (masked bucket content)."""
+    from .texture import TexturePool
+
+    rng = np.random.default_rng(seed)
+    pool = TexturePool(size)
+
+    def rgba(rgb, a=None):
+        out = np.zeros((size, size, 4), np.float32)
+        out[..., :3] = rgb
+        out[..., 3] = 1.0 if a is None else a
+        return out
+
+    n = _noise2d(rng, size)
+    # brick: horizontal bands + noise
+    rows = (np.arange(size)[:, None] // (size // 16)) % 2
+    brick = np.stack([0.45 + 0.2 * n + 0.08 * rows,
+                      0.22 + 0.12 * n, 0.18 + 0.08 * n], -1)
+    pool.add("bench:brick", rgba(np.clip(brick, 0, 1)))
+    plaster = np.stack([0.7 + 0.2 * n] * 3, -1) * \
+        np.asarray([1.0, 0.97, 0.9])
+    pool.add("bench:plaster", rgba(np.clip(plaster, 0, 1)))
+    asphalt = np.stack([0.18 + 0.12 * n] * 3, -1)
+    pool.add("bench:asphalt", rgba(np.clip(asphalt, 0, 1)))
+    # leaf card: radial blobs with alpha holes (masked content)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size - 0.5
+    rr = np.sqrt(yy * yy + xx * xx)
+    alpha = ((n > 0.45) & (rr < 0.5)).astype(np.float32)
+    leaf = np.stack([0.15 + 0.1 * n, 0.4 + 0.3 * n, 0.12 + 0.05 * n], -1)
+    pool.add("bench:leaf", rgba(np.clip(leaf, 0, 1), alpha))
+    return pool
+
+
 def build_sponza_like(seed: int = 7, detail: int = 2) -> SceneBuilder:
     """Atrium scene: floor, two-story colonnade, walls. ~(detail²)·90k tris."""
     rng = np.random.default_rng(seed)
@@ -190,7 +248,8 @@ def build_sponza_like(seed: int = 7, detail: int = 2) -> SceneBuilder:
 
 
 def build_bistro_like(seed: int = 11, detail: int = 3,
-                      target_tris: Optional[int] = None) -> SceneBuilder:
+                      target_tris: Optional[int] = None,
+                      textures: bool = False) -> SceneBuilder:
     """Street scene at Bistro scale (~2.8M source tris at detail=3).
 
     Buildings along a street, high-tessellation facades, trees with sphere
@@ -206,12 +265,27 @@ def build_bistro_like(seed: int = 11, detail: int = 3,
                                         sectors=16 * detail))
     trunk = b.add_mesh(make_cylinder(0.15, 3.0, sectors=8))
 
-    asphalt = b.add_material(MaterialData(base_color=(0.22, 0.22, 0.24, 1.0),
-                                          roughness=0.95))
+    tex = {"asphalt": -1, "brick": -1, "plaster": -1, "leaf": -1}
+    if textures:
+        pool = bench_texture_pool()
+        b.texture_pool = pool
+        tex = {k: pool.descs[f"bench:{k}"].layer for k in tex}
+
+    asphalt = b.add_material(MaterialData(base_color=(0.6, 0.6, 0.62, 1.0)
+                                          if textures else
+                                          (0.22, 0.22, 0.24, 1.0),
+                                          roughness=0.95,
+                                          base_color_texture=tex["asphalt"]))
     bark = b.add_material(MaterialData(base_color=(0.35, 0.25, 0.15, 1.0),
                                        roughness=0.9))
-    leaf = b.add_material(MaterialData(base_color=(0.20, 0.45, 0.15, 1.0),
-                                       roughness=0.8))
+    leaf = b.add_material(MaterialData(base_color=(0.6, 0.9, 0.5, 1.0)
+                                       if textures else
+                                       (0.20, 0.45, 0.15, 1.0),
+                                       roughness=0.8,
+                                       base_color_texture=tex["leaf"],
+                                       alpha_mode="mask" if textures
+                                       else "opaque",
+                                       alpha_cutoff=0.5, two_sided=textures))
 
     def place(mesh, mat, t, s=(1, 1, 1), yaw=0.0, pitch=0.0):
         qy = (0, np.sin(yaw / 2), 0, np.cos(yaw / 2))
@@ -232,7 +306,15 @@ def build_bistro_like(seed: int = 11, detail: int = 3,
             h = rng.uniform(8, 18)
             d = rng.uniform(8, 12)
             z = side * (12 + d / 2)
-            mat = _mat(b, rng, rough_range=(0.5, 0.9))
+            if textures and rng.random() < 0.7:
+                layer = tex["brick"] if rng.random() < 0.5 else \
+                    tex["plaster"]
+                mat = b.add_material(MaterialData(
+                    base_color=tuple(rng.uniform(0.7, 1.0, 3)) + (1.0,),
+                    roughness=float(rng.uniform(0.5, 0.9)),
+                    base_color_texture=layer))
+            else:
+                mat = _mat(b, rng, rough_range=(0.5, 0.9))
             place(box, mat, (x + w / 2, h / 2, z), (w, h, d))
             # facade detail: tessellated wall quad facing the street
             place(wall, mat, (x + w / 2, h / 2, side * 11.95),

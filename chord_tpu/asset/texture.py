@@ -122,9 +122,17 @@ class TexturePool:
         return layer
 
     def device_array(self):
-        """-> (layers, total_texels, 4) bf16 jnp array (empty-safe)."""
+        """-> (layers, total_texels, 4) u8 jnp array (empty-safe).
+
+        u8 unorm: the standard 8-bit texture quantization — 1/4 the HBM
+        footprint of the round-1 bf16 pool (still 4x BC1; block
+        compression has no TPU decode path, the remaining deliberate
+        divergence). Values are sRGB-encoded as imported; decode happens
+        after sampling (ops/texture.py)."""
         import jax.numpy as jnp
 
         if not self.textures:
-            return jnp.zeros((1, self.total_texels, 4), jnp.bfloat16)
-        return jnp.asarray(np.stack(self.textures), jnp.bfloat16)
+            return jnp.zeros((1, self.total_texels, 4), jnp.uint8)
+        stack = np.stack(self.textures)
+        return jnp.asarray(np.clip(stack * 255.0 + 0.5, 0, 255).astype(
+            np.uint8))

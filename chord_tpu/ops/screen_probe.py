@@ -41,7 +41,10 @@ from . import sh
 
 class ScreenProbeConfig(NamedTuple):
     tile: int = 8                # probe spacing in pixels (8x8 tiles)
-    rays: int = 16               # rays traced per probe per frame
+    trace_mode: str = "taps"     # "taps" = gather-free neighbor-surface
+                                 # sampling (rolls; production path) or
+                                 # "march" = per-ray depth-buffer march
+    rays: int = 16               # rays traced per probe per frame (march)
     steps: int = 8               # march steps per ray
     max_distance: float = 40.0   # world-units march length
     thickness: float = 0.08      # NDC-depth hit thickness (reverse-Z)
@@ -250,6 +253,70 @@ def trace_probes(
     return rad, dirs
 
 
+TAP_OFFSETS = [(-2, 0), (2, 0), (0, -2), (0, 2),
+               (-1, -1), (-1, 1), (1, -1), (1, 1),
+               (-5, -2), (-5, 2), (5, -2), (5, 2),
+               (-2, -6), (2, -6), (-2, 6), (2, 6)]
+
+# fixed sky sample directions (upper hemisphere) for the miss term
+_SKY_DIRS = np.array([[0, 1, 0],
+                      [0.8, 0.6, 0], [-0.8, 0.6, 0],
+                      [0, 0.6, 0.8], [0, 0.6, -0.8],
+                      [0.55, 0.62, 0.55], [-0.55, 0.62, -0.55]],
+                     np.float32)
+_SKY_DIRS /= np.linalg.norm(_SKY_DIRS, axis=1, keepdims=True)
+
+
+def gather_probe_taps(
+    probes: ProbeState,
+    scene_rad: jnp.ndarray,      # (Ph,Pw,3) prev-frame lit color at the
+                                 # probe pixels (radiance leaving those
+                                 # surfaces — invariant along the ray)
+    sky_ambient: jnp.ndarray,    # (3,) AP1
+    cfg: ScreenProbeConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Gather-free probe radiance sampling: each probe reads its
+    neighbors' spawned surface points via SHIFTED PLANES (rolls — no
+    gathers) and treats them as diffuse emitters along the real
+    probe->surface directions; outgoing radiance is invariant along the
+    ray so the neighbor's lit color IS the incident radiance. Sky
+    directions are appended as fixed virtual taps. The spawn jitter
+    rotates the tap geometry every frame, so the SH accumulation
+    integrates over the neighborhood like the reference's traced rays
+    (gi_screen_probe_trace.hlsl role, re-designed for a machine where a
+    depth-march gather costs ~100 ns and a roll is free).
+    -> (radiance (Ph,Pw,S,3), dirs (Ph,Pw,S,3), weights (Ph,Pw,S))."""
+    ph, pw = probes.depth.shape
+    rads, dirs, ws = [], [], []
+    for dy, dx in TAP_OFFSETS:
+        tp = jnp.roll(probes.pos_tw, (dy, dx), (0, 1))
+        tr = jnp.roll(scene_rad, (dy, dx), (0, 1))
+        tv = jnp.roll(probes.valid, (dy, dx), (0, 1))
+        d = tp - probes.pos_tw
+        dist = jnp.linalg.norm(d, axis=-1)
+        dirn = d / jnp.maximum(dist[..., None], 1e-6)
+        # taps below the tangent plane see the probe's own surface from
+        # behind — reject; distant taps lose weight (their surface is
+        # unlikely to actually subtend this direction)
+        cosn = jnp.sum(dirn * probes.normal, -1)
+        w = (tv & probes.valid & (dist > 1e-3) & (cosn > 0.05)
+             ).astype(jnp.float32) * jnp.exp(-dist * 0.02)
+        rads.append(tr)
+        dirs.append(dirn)
+        ws.append(w)
+    # sky taps: sun-independent ambient along fixed upper directions
+    for k in range(_SKY_DIRS.shape[0]):
+        d = jnp.broadcast_to(jnp.asarray(_SKY_DIRS[k]), (ph, pw, 3))
+        rads.append(jnp.broadcast_to(sky_ambient * cfg.sky_leak * 2.0,
+                                     (ph, pw, 3)))
+        dirs.append(d)
+        ws.append(jnp.full((ph, pw), 0.6))
+    rad = jnp.stack(rads, axis=2)
+    dr = jnp.stack(dirs, axis=2)
+    w = jnp.stack(ws, axis=2)
+    return rad, dr, w
+
+
 def project_and_merge(
     radiance: jnp.ndarray,       # (Ph,Pw,R,3)
     dirs: jnp.ndarray,           # (Ph,Pw,R,3)
@@ -257,13 +324,18 @@ def project_and_merge(
     sh_hist: jnp.ndarray,        # (Ph,Pw,9,3) reprojected history SH
     n_hist: jnp.ndarray,         # (Ph,Pw) history numSample
     cfg: ScreenProbeConfig,
+    weights: Optional[jnp.ndarray] = None,   # (Ph,Pw,S) per-sample
 ) -> jnp.ndarray:
     """SH-project this frame's rays (gi_screen_probe_project_sh.hlsl) and
     merge with the reprojected history, numSample-weighted (SH3_gi.add).
     -> packed (Ph,Pw,28)."""
     r = radiance.shape[-2]
-    sh_new = sh.project(radiance, dirs)                  # (Ph,Pw,9,3)
-    n_new = jnp.where(probes.valid, float(r), 0.0)
+    sh_new = sh.project(radiance, dirs, weights)         # (Ph,Pw,9,3)
+    if weights is not None:
+        n_new = jnp.where(probes.valid,
+                          jnp.minimum(jnp.sum(weights, -1), float(r)), 0.0)
+    else:
+        n_new = jnp.where(probes.valid, float(r), 0.0)
     n_tot = n_hist + n_new
     w_h = jnp.where(n_tot > 0, n_hist / jnp.maximum(n_tot, 1e-6), 0.0)
     merged = sh_hist * w_h[..., None, None] + \

@@ -38,12 +38,14 @@ class ShadowConfig(NamedTuple):
     depth_bias: float = 2.0e-4       # constant receiver bias (reverse-Z)
     slope_bias: float = 3.0
     pcf_radius_px: float = 2.0       # base PCF radius (texels)
-    pcss_blocker_samples: int = 6
-    pcss_pcf_samples: int = 8
+    pcss_blocker_samples: int = 5
+    pcss_pcf_samples: int = 6
     light_size_world: float = 0.5    # virtual sun disk size for penumbra
-    eval_res_div: int = 2            # PCSS evaluated at 1/2 res + upsample
-                                     # (the reference caches its soft-shadow
-                                     # mask at 1/8 res, lighting.h:23-29)
+    eval_res_div: int = 4            # PCSS evaluated at 1/4 res + upsample;
+                                     # with the 2x2 temporal phase the
+                                     # per-frame evaluated density is 1/8 —
+                                     # matching the reference's cached
+                                     # soft-shadow mask res (lighting.h:23)
     temporal: bool = True            # temporal mask accumulation (reference:
                                      # shadow_mask temporal blend pass)
     temporal_alpha: float = 0.7      # history weight at zero residual
@@ -176,11 +178,24 @@ def evaluate_shadow(
         cascade = jnp.where(cont, i, cascade)
         in_map = in_map | cont
 
-    # slope-scaled receiver bias (reverse-Z: receiver is lit if its depth
-    # >= map depth - bias  <=>  z_recv + bias >= z_map)
+    # per-cascade metric constants from each cached fit matrix: the ortho
+    # projection encodes world-units-per-NDC directly (m00 = 1/radius,
+    # m22 = -1/depth_range) — so bias and penumbra can be computed in
+    # WORLD units and converted exactly (reference pcss.hlsl:33-92 works
+    # in light-view units the same way)
+    m00 = jnp.abs(tw_to_light[:, 0, 0])              # (N,)
+    m22 = jnp.abs(tw_to_light[:, 2, 2])
+    depth_range_n = 1.0 / jnp.maximum(m22, 1e-9)     # world z across [0,1]
+    texel_w_n = 2.0 / jnp.maximum(m00, 1e-9) / r     # world per texel
+    dr = depth_range_n[cascade]                      # (H,W)
+    tx = texel_w_n[cascade]
+
+    # slope-scaled receiver bias, scaled by the CASCADE's texel footprint
+    # (one texel of depth error at slope tan(theta)), converted to NDC
     nol = jnp.clip(jnp.sum(normal * sun_dir, axis=-1), 0.05, 1.0)
-    bias = cfg.depth_bias * (1.0 + cfg.slope_bias * (1.0 - nol))
-    # cascade texel footprint shrinks with cascade index; scale bias down
+    tan_t = jnp.sqrt(jnp.maximum(1.0 - nol * nol, 0.0)) / nol
+    bias = cfg.depth_bias + \
+        cfg.slope_bias * jnp.minimum(tan_t, 4.0) * tx / jnp.maximum(dr, 1e-6)
     z_cmp = z_recv + bias
 
     flat = shadow_maps.reshape(n * r * r)
@@ -215,12 +230,15 @@ def evaluate_shadow(
     has_blocker = blocker_cnt > 0.0
     avg_blocker = blocker_sum / jnp.maximum(blocker_cnt, 1.0)
 
-    # penumbra estimate: (z_blocker - z_recv) in NDC ~ distance ratio
-    penumbra = jnp.where(
-        has_blocker,
-        jnp.clip((avg_blocker - z_recv) / jnp.maximum(z_recv, 1e-4), 0.0,
-                 1.0) * cfg.light_size_world * r * 0.5,
-        0.0)
+    # PCSS similar-triangles penumbra for a directional light
+    # (pcss.hlsl:33-92): the sun's angular size w projects a blocker at
+    # world-depth distance d into a penumbra of width d*w on the
+    # receiver. delta_ndc * depth_range = world distance; / texel size
+    # = radius in texels. light_size_world acts as tan(sun half-angle).
+    delta_world = jnp.maximum(avg_blocker - z_recv, 0.0) * dr
+    penumbra_texels = delta_world * cfg.light_size_world / \
+        jnp.maximum(tx, 1e-6)
+    penumbra = jnp.where(has_blocker, penumbra_texels, 0.0)
     pcf_r = jnp.clip(cfg.pcf_radius_px + penumbra, 1.0, 16.0)
 
     # --- variable-radius PCF ---

@@ -21,7 +21,7 @@ import numpy as np
 
 
 def sample_pool(
-    pool: jnp.ndarray,        # (L, total, 4) bf16
+    pool: jnp.ndarray,        # (L, total, 4) u8 unorm
     mip_sizes,                # static tuple of edge sizes per mip
     mip_offsets,              # static tuple of flat offsets
     layer: jnp.ndarray,       # (...,) i32, -1 = untextured
@@ -41,10 +41,12 @@ def sample_pool(
     u = (uv[..., 0] % 1.0) * s.astype(jnp.float32)
     v = (uv[..., 1] % 1.0) * s.astype(jnp.float32)
 
+    scale = (1.0 / 255.0) if pool.dtype == jnp.uint8 else 1.0
+
     def tex(xi, yi):
         xi = jnp.clip(xi, 0, s - 1)
         yi = jnp.clip(yi, 0, s - 1)
-        return pool[l_safe, off + yi * s + xi].astype(jnp.float32)
+        return pool[l_safe, off + yi * s + xi].astype(jnp.float32) * scale
 
     if not bilinear:
         out = tex(u.astype(jnp.int32), v.astype(jnp.int32))

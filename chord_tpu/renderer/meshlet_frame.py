@@ -107,7 +107,10 @@ class MeshletFrameConfig(NamedTuple):
     active_pair_capacity: int = 0  # 0 = auto (max(4096, 4x draws))
     shadows: bool = False          # cascaded shadow maps + PCSS
     shadow_cfg: shadow_ops.ShadowConfig = shadow_ops.ShadowConfig()
-    shadow_draw_capacity: int = 4096
+    shadow_draw_capacity: int = 2048
+    # shadow maps tolerate a coarser Nanite cut than the main view (the
+    # depth signal is filtered by PCSS anyway): scale the error threshold
+    shadow_lod_scale: float = 4.0
     atmosphere: bool = False       # physically-based sky / sun / ambient
     gi: bool = False               # diffuse GI + SSAO
     gi_mode: str = "probe"         # "probe" = screen-probe stage (the
@@ -177,14 +180,16 @@ def render_shadow_cascade(
             m = view.shadow_tw_to_light[i]
             planes = view.shadow_frustum_planes[i]
             opq = False if mcfg.alpha_masked else None
+            cap_s = min(mcfg.shadow_draw_capacity,
+                        -(-pools.num_pairs // 128) * 128)
             res = cull_pairs(pools, instances, planes,
                              jnp.float32(0.5 * r * m[1, 1]),
-                             mcfg.shadow_draw_capacity,
-                             lod_threshold=mcfg.lod_threshold_px,
+                             cap_s,
+                             lod_threshold=mcfg.lod_threshold_px *
+                             mcfg.shadow_lod_scale,
                              enable_cone=False,   # depth pass: no backface
                              masked=opq)
-            st = expand_draws(res.draws, pools, instances,
-                              m, mcfg.shadow_draw_capacity)
+            st = expand_draws(res.draws, pools, instances, m, cap_s)
             depth_i, _vis, _stats = rasterize(
                 st.clip, st.indices, st.tri_valid, st.payload, rc,
                 backface_cull=False)
@@ -197,7 +202,8 @@ def render_shadow_cascade(
                 res_m = cull_pairs(pools, instances, planes,
                                    jnp.float32(0.5 * r * m[1, 1]),
                                    cap_m,
-                                   lod_threshold=mcfg.lod_threshold_px,
+                                   lod_threshold=mcfg.lod_threshold_px *
+                                   mcfg.shadow_lod_scale,
                                    enable_cone=False, masked=True)
                 st_m = expand_draws(res_m.draws, pools, instances, m,
                                     cap_m)
@@ -417,10 +423,15 @@ def render_frame_meshlet(
         motion_dilated = post.tsr_prepare(gbuf.motion, depth)
     with jax.named_scope("disocclusion_mask"):
         # consumed by TSR + shadow + GI temporal passes (reference
-        # disocclusion_mask.hlsl, renderer.cpp:370)
-        disocc = post.disocclusion_mask(
-            gbuf.position_tw, gbuf.valid, history.depth,
-            view.prev_tw_to_clip_nj, history.valid)
+        # disocclusion_mask.hlsl, renderer.cpp:370). Computed at quarter
+        # res: the per-pixel prev-depth lookup is a gather, and gathers
+        # are ~100 ns/elem on this device — 2M full-res gathers would
+        # cost more than every temporal pass it protects combined
+        dq = post.disocclusion_mask(
+            gbuf.position_tw[::4, ::4], gbuf.valid[::4, ::4],
+            history.depth[::4, ::4], view.prev_tw_to_clip_nj,
+            history.valid)
+        disocc = post.upsample_nearest(dq, 4, h, w)
 
     sky_radiance = None
     ambient = None
@@ -596,42 +607,60 @@ def render_frame_meshlet(
                 sh_hist, n_hist = sp.reproject_probe_sh(
                     probes, history.probe_sh, history.probe_depth,
                     view.prev_tw_to_clip_nj, history.valid, spcfg)
-            ray_dirs = sp.probe_ray_dirs(probes, history.frame_count,
-                                         spcfg)
-            traced_miss = None
+            # --- per-frame radiance samples for the SH projection ---
+            sample_w = None
+            rt_parts = None
             if mcfg.gi_rt and bvh is not None:
-                # BVH-trace the first rt_rays of each probe so misses see
-                # offscreen geometry (the reference's TLAS trace role)
+                # BVH-trace rt_rays per probe so probes see OFFSCREEN
+                # geometry (the reference's TLAS trace role); dense MXU
+                # path over the coarse proxy set (ops/rt.py)
                 from ..ops import rt as rt_ops
-                k = min(mcfg.rt_rays, spcfg.rays)
+                k = mcfg.rt_rays
                 with jax.named_scope("gi.probe.rt_trace"):
+                    rt_dirs = sp.probe_ray_dirs(
+                        probes, history.frame_count,
+                        spcfg._replace(rays=max(k, 4)))[..., :k, :]
                     org_rt = probes.pos_tw[..., None, :] + \
                         probes.normal[..., None, :] * 0.05
-                    org_k = jnp.broadcast_to(org_rt,
-                                             ray_dirs.shape)[..., :k, :]
-                    t_rt, leaf_rt = rt_ops.trace(org_k, ray_dirs[..., :k, :],
-                                                 bvh)
+                    org_k = jnp.broadcast_to(
+                        org_rt, rt_dirs.shape)
+                    t_rt, leaf_rt = rt_ops.trace(org_k, rt_dirs, bvh)
                     rt_rad, rt_conf = rt_ops.shade_hits(
-                        t_rt, leaf_rt, org_k, ray_dirs[..., :k, :], bvh,
+                        t_rt, leaf_rt, org_k, rt_dirs, bvh,
                         view.sun_direction, sun_radiance,
                         sky_amb * 0.5)
-                    pad = spcfg.rays - k
-                    rt_rad = jnp.pad(rt_rad,
-                                     ((0, 0), (0, 0), (0, pad), (0, 0)))
-                    rt_conf = jnp.pad(rt_conf,
-                                      ((0, 0), (0, 0), (0, pad)))
-                    traced_miss = (rt_rad, rt_conf)
-            with jax.named_scope("gi.probe.trace"):
-                dd = spcfg.depth_div
-                rad, ray_dirs = sp.trace_probes(
-                    probes, depth[::dd, ::dd], history.tsr_color,
-                    view.tw_to_clip_nj, history.frame_count, spcfg,
-                    world_cache=history.gi_cache, gi_cfg=gcfg,
-                    sky_ambient=sky_amb, traced_miss=traced_miss,
-                    dirs=ray_dirs)
+                    rt_parts = (rt_rad, rt_dirs, rt_conf)
+            if spcfg.trace_mode == "taps":
+                with jax.named_scope("gi.probe.taps"):
+                    # prev-frame lit color at (roughly) the probe pixels
+                    ph_n, pw_n = probes.depth.shape
+                    tc = history.tsr_color
+                    sy = max(tc.shape[0] // ph_n, 1)
+                    sx = max(tc.shape[1] // pw_n, 1)
+                    scene_rad = tc[::sy, ::sx][:ph_n, :pw_n]
+                    rad, ray_dirs, sample_w = sp.gather_probe_taps(
+                        probes, scene_rad, sky_amb, spcfg)
+            else:
+                ray_dirs = sp.probe_ray_dirs(probes, history.frame_count,
+                                             spcfg)
+                with jax.named_scope("gi.probe.trace"):
+                    dd = spcfg.depth_div
+                    rad, ray_dirs = sp.trace_probes(
+                        probes, depth[::dd, ::dd], history.tsr_color,
+                        view.tw_to_clip_nj, history.frame_count, spcfg,
+                        world_cache=history.gi_cache, gi_cfg=gcfg,
+                        sky_ambient=sky_amb, dirs=ray_dirs)
+                sample_w = jnp.ones(rad.shape[:-1])
+            if rt_parts is not None:
+                rad = jnp.concatenate([rad, rt_parts[0]], axis=2)
+                ray_dirs = jnp.concatenate([ray_dirs, rt_parts[1]],
+                                           axis=2)
+                sample_w = jnp.concatenate([sample_w, rt_parts[2]],
+                                           axis=2)
             with jax.named_scope("gi.probe.project_sh"):
                 new_probe_sh = sp.project_and_merge(
-                    rad, ray_dirs, probes, sh_hist, n_hist, spcfg)
+                    rad, ray_dirs, probes, sh_hist, n_hist, spcfg,
+                    weights=sample_w)
                 new_probe_depth = probes.depth
             with jax.named_scope("gi.probe.world_inject"):
                 new_gi_cache = sp.inject_world_cache(

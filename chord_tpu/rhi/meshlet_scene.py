@@ -40,7 +40,7 @@ MESHLET_TRIS = 128   # raster chunk width == meshlet max tris
 
 def _empty_tex_pool():
     """1-layer 1x1 placeholder (total texels for size=1 is 1)."""
-    return jnp.ones((1, 1, 4), jnp.bfloat16)
+    return jnp.full((1, 1, 4), 255, jnp.uint8)
 
 
 @chex.dataclass(frozen=True)
@@ -87,7 +87,7 @@ class MeshletScenePools:
     mat_mr_tex: jnp.ndarray      # (M,) i32 metal-rough layer id, -1 = none
     mat_emissive_tex: jnp.ndarray  # (M,) i32 emissive layer id, -1 = none
     mat_alpha_cutoff: jnp.ndarray  # (M,) f32 (alpha-mask cutoff)
-    tex_pool: jnp.ndarray        # (L, total_texels, 4) bf16 flat-mip stack
+    tex_pool: jnp.ndarray        # (L, total_texels, 4) u8 flat-mip stack
 
     @property
     def tex_size(self) -> int:

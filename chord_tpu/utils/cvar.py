@@ -127,7 +127,7 @@ cvars = CVarSystem()
 # ---------------------------------------------------------------------------
 # Core renderer cvars — mirrors chord's label set where applicable.
 # ---------------------------------------------------------------------------
-cvars.register("r.raster.tileH", 120, "Raster tile height in pixels.",
+cvars.register("r.raster.tileH", 216, "Raster tile height in pixels.",
                vtype=int)
 cvars.register("r.raster.tileW", 128, "Raster tile width in pixels.", vtype=int)
 cvars.register("r.raster.binCapacity", 1024,

@@ -176,3 +176,18 @@ def test_frame_with_rt_fallback_smoke():
     assert r._bvh is not None
     assert np.isfinite(np.asarray(r.history.probe_sh)).all()
     assert np.asarray(img).dtype == np.uint8
+
+
+def test_dense_trace_matches_brute():
+    """The MXU dense path returns the same closest hits as the O(R*N)
+    oracle (and therefore the BVH path, tested above)."""
+    sph = _random_scene(300, seed=11)
+    o, d = _random_rays(512, seed=12)
+    t, leaf = rt.trace_dense(jnp.asarray(o), jnp.asarray(d),
+                             jnp.asarray(sph))
+    t_ref, leaf_ref = rt.trace_brute_numpy(o, d, sph)
+    hit = np.asarray(leaf) >= 0
+    np.testing.assert_array_equal(hit, leaf_ref >= 0)
+    np.testing.assert_allclose(np.asarray(t)[hit], t_ref[hit], rtol=1e-3)
+    # identical closest LEAF too (strictly ordered ts in the random scene)
+    np.testing.assert_array_equal(np.asarray(leaf)[hit], leaf_ref[hit])
