@@ -44,6 +44,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 WINDOW = 128   # triangles per window == meshlet max tris == kernel block
+BRICK_W = 32   # brick-layout x extent (lanes per brick)
+BRICK_H = 4    # brick-layout y extent (y-rows folded into lanes)
 
 
 class RasterConfig(NamedTuple):
@@ -67,6 +69,16 @@ class RasterConfig(NamedTuple):
     subtiles: bool = False        # 4 windows share a tile's 128 lanes
                                   # (32px sub-tile binning; narrow windows
                                   # stop paying for unused lanes)
+    bricks: bool = False          # brick accumulator layout: one vreg row
+                                  # covers a 4-row x 32-px brick instead of
+                                  # 1 row x 128 px, so a subwindow only
+                                  # pays for the 32-px x-bricks its bbox
+                                  # overlaps (the fused x-binning design;
+                                  # the separate `subtiles` mode measured
+                                  # slower because it multiplied per-pair
+                                  # DMA/transpose overhead — this keeps
+                                  # pairs identical and re-shapes only the
+                                  # inner loop)
     with_attrs: bool = False      # interpolate normal+uv planes in-kernel
     sub_s: int = 4                # subwindows per window: the kernel loops
                                   # S groups of 128/S triangles, each with
@@ -608,6 +620,201 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,
         outs[2 + k][:] = acc[1 + k, :, :]
 
 
+def bricks_pack(x: jnp.ndarray, c: RasterConfig) -> jnp.ndarray:
+    """Linear (h_pad, w_pad) -> brick layout (same shape): within each
+    (tile_h, tile_w) tile, row r' = b*(tile_h/4) + y//4 and lane
+    l = (y%4)*32 + x%32, where b = x//32 is the 32-px x-brick. One vreg
+    row then covers a 4x32 pixel brick instead of a 1x128 strip."""
+    th4 = c.tile_h // BRICK_H
+    nb = c.tile_w // BRICK_W
+    t = x.reshape(c.tiles_y, th4, BRICK_H, c.tiles_x, nb, BRICK_W)
+    t = t.transpose(0, 4, 1, 3, 2, 5)
+    return t.reshape(c.tiles_y * c.tile_h, c.tiles_x * c.tile_w)
+
+
+def bricks_unpack(x: jnp.ndarray, c: RasterConfig) -> jnp.ndarray:
+    """Inverse of bricks_pack."""
+    th4 = c.tile_h // BRICK_H
+    nb = c.tile_w // BRICK_W
+    t = x.reshape(c.tiles_y, nb, th4, c.tiles_x, BRICK_H, BRICK_W)
+    t = t.transpose(0, 2, 4, 3, 1, 5)
+    return t.reshape(c.tiles_y * c.tile_h, c.tiles_x * c.tile_w)
+
+
+def _raster_tile_kernel_bricks(win_ref, start_ref, count_ref,
+                               sy0_ref, sy1_ref, sx0_ref, sx1_ref,
+                               coef_hbm, *refs, config: RasterConfig):
+    """Brick-layout variant of _raster_tile_kernel (the fused x-binning).
+
+    Same (tile, window) pairs, same DMA/transpose/coefficient slicing —
+    only the accumulator layout and row loop change: acc row
+    r' = b*(tile_h/4) + y//4 holds the 4x32-px brick (y%4, x%32) in its
+    lanes. A pack iteration evaluates RP acc rows = RP*4 y-rows x 32 x —
+    so a subwindow pays ceil(h/16) iterations per overlapped 32-px brick
+    instead of ceil(h/4) full-width iterations. The brick x-offset folds
+    into the per-coefficient COLUMN constant (cc + a*32b), so per-brick
+    overhead is ~10 column vectors guarded by pl.when; x-binning costs
+    nothing when a brick doesn't overlap.
+
+    Seeds and outputs are in brick layout (driver converts via
+    bricks_pack/bricks_unpack)."""
+    c = config
+    n_attr = 5 if c.with_attrs else 0
+    n_rt = 2 + n_attr
+    seeds = refs[:n_rt]
+    outs = refs[n_rt:2 * n_rt]
+    coef_scr, blkT_scr, acc, acc_v_scr, sems = refs[2 * n_rt:]
+
+    s_cnt = c.sub_s
+    cs = WINDOW // s_cnt
+    nb = c.tile_w // BRICK_W
+    th4 = c.tile_h // BRICK_H
+
+    tile = pl.program_id(0)
+    start = start_ref[tile]
+    count = count_ref[tile]
+    tile_ty = tile // c.tiles_x
+    tile_tx = tile % c.tiles_x
+    tile_py0 = tile_ty * c.tile_h
+    tile_px0 = tile_tx * c.tile_w
+
+    acc[0, :, :] = seeds[0][:]
+    acc_v_scr[:, :] = jax.lax.bitcast_convert_type(seeds[1][:], jnp.int32)
+    for k in range(n_attr):
+        acc[1 + k, :, :] = seeds[2 + k][:]
+
+    def dma(j, slot):
+        win = win_ref[start + j]
+        return pltpu.make_async_copy(
+            coef_hbm.at[:, pl.ds(win * WINDOW, WINDOW)],
+            coef_scr.at[slot], sems.at[slot])
+
+    @pl.when(count > 0)
+    def _warmup():
+        dma(0, 0).start()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, c.tile_w), 1)
+    pxl = (lane % BRICK_W).astype(jnp.float32) + jnp.float32(tile_px0)
+    ylane = (lane // BRICK_W).astype(jnp.float32)          # 0..3  (1, TW)
+
+    RP = s_cnt
+    rows_it = RP * BRICK_H      # y-rows covered per pack iteration
+    # sublane-group acc-row offset column, pre-scaled to pixels
+    yoff4_col = ((jax.lax.broadcasted_iota(
+        jnp.int32, (RP * cs, 1), 0) // cs) * BRICK_H).astype(jnp.float32)
+
+    f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+    NEG = jnp.float32(-3e38)
+
+    def body(j, carry):
+        slot = j % 2
+        win = win_ref[start + j]
+
+        @pl.when(j + 1 < count)
+        def _prefetch():
+            dma(j + 1, (j + 1) % 2).start()
+
+        dma(j, slot).wait()
+        blkT_scr[:, :] = jnp.transpose(coef_scr[slot])    # (R,128)->(128,R)
+
+        for s in range(s_cnt):
+            base = win * s_cnt + s
+            y0 = jnp.clip(sy0_ref[base] - tile_py0, 0, c.tile_h)
+            y1 = jnp.clip(sy1_ref[base] + 1 - tile_py0, 0, c.tile_h)
+            sx0 = sx0_ref[base]
+            sx1 = sx1_ref[base]
+
+            sub = blkT_scr[s * cs:(s + 1) * cs, :]        # (cs, R)
+            rp = RP
+            col4 = lambda k: f32(jnp.concatenate(
+                [sub[:, k:k + 1]] * rp, axis=0))          # (rp*cs, 1)
+            a = [col4(k) for k in range(5)]
+            b = [col4(5 + k) for k in range(5)]
+            cc = [col4(10 + k) for k in range(5)]
+            pay = jax.lax.bitcast_convert_type(sub[:, 15:16], jnp.int32)
+            if n_attr:
+                aa = [col4(16 + 3 * k) for k in range(n_attr)]
+                ab = [col4(17 + 3 * k) for k in range(n_attr)]
+                ac = [col4(18 + 3 * k) for k in range(n_attr)]
+
+            # loop-invariant lane part: a*x_local + b*y_sub
+            ex = [a[k] * pxl + b[k] * ylane for k in range(5)]
+            if n_attr:
+                exa = [aa[k] * pxl + ab[k] * ylane for k in range(n_attr)]
+
+            p0 = y0 // rows_it
+            for bx in range(nb):
+                bx0 = tile_px0 + bx * BRICK_W
+                xok = (sx1 >= bx0) & (sx0 < bx0 + BRICK_W)
+                y1b = jnp.where(xok, y1, 0)
+                p1 = (y1b + rows_it - 1) // rows_it
+
+                @pl.when(p1 > p0)
+                def _run_brick(bx=bx, p1=p1):
+                    xoff = jnp.float32(bx * BRICK_W)
+                    ccb = [cc[k] + a[k] * xoff for k in range(5)]
+                    if n_attr:
+                        acb = [ac[k] + aa[k] * xoff for k in range(n_attr)]
+                        attrs3 = (exa, ab, acb)
+                    else:
+                        attrs3 = None
+                    row_base = bx * th4
+
+                    def pack_body(p, _):
+                        yf = yoff4_col + jnp.float32(tile_py0) + \
+                            (p * rows_it).astype(jnp.float32)
+                        l0 = ex[0] + (b[0] * yf + ccb[0])
+                        l1 = ex[1] + (b[1] * yf + ccb[1])
+                        l2 = ex[2] + (b[2] * yf + ccb[2])
+                        zn = ex[3] + (b[3] * yf + ccb[3])
+                        zd = ex[4] + (b[4] * yf + ccb[4])
+                        covered = (l0 >= 0.0) & (l1 >= 0.0) & \
+                            (l2 >= 0.0) & (zd > 0.0) & (zn > 0.0) & \
+                            (zn <= zd)
+                        z = zn / jnp.where(covered, zd, 1.0)
+                        cand = jnp.where(covered, z, 0.0)
+                        if attrs3 is not None:
+                            exa_, ab_, ac_ = attrs3
+                            ssum = l0 + l1 + l2
+                            inv_s = 1.0 / jnp.where(covered, ssum, 1.0)
+                            vals = [(exa_[k] + (ab_[k] * yf + ac_[k]))
+                                    * inv_s for k in range(n_attr)]
+                        for g in range(rp):
+                            cg = cand[g * cs:(g + 1) * cs, :]
+                            best = jnp.max(cg, axis=0, keepdims=True)
+                            winner = (cg == best) & (cg > 0.0)
+                            pay_sel = jnp.max(jnp.where(winner, pay, 0),
+                                              axis=0, keepdims=True)
+                            rs = pl.ds(row_base + p * rp + g, 1)
+                            acc_d = acc[0, rs, :]
+                            acc_v = acc_v_scr[rs, :]
+                            take = (best > acc_d) | \
+                                   ((best == acc_d) & (pay_sel > acc_v))
+                            acc[0, rs, :] = jnp.where(take, best, acc_d)
+                            acc_v_scr[rs, :] = jnp.where(take, pay_sel,
+                                                         acc_v)
+                            if attrs3 is not None:
+                                for k in range(n_attr):
+                                    sel = jnp.max(
+                                        jnp.where(
+                                            winner,
+                                            vals[k][g * cs:(g + 1) * cs,
+                                                    :], NEG),
+                                        axis=0, keepdims=True)
+                                    acc[1 + k, rs, :] = jnp.where(
+                                        take, sel, acc[1 + k, rs, :])
+                        return 0
+
+                    jax.lax.fori_loop(p0, p1, pack_body, 0)
+        return carry
+
+    jax.lax.fori_loop(0, count, body, 0)
+    outs[0][:] = acc[0, :, :]
+    outs[1][:] = jax.lax.bitcast_convert_type(acc_v_scr[:, :], jnp.uint32)
+    for k in range(n_attr):
+        outs[2 + k][:] = acc[1 + k, :, :]
+
+
 def raster_queue(
     queue: WorkQueue,
     setup: TriangleSetup,
@@ -627,6 +834,11 @@ def raster_queue(
         raise ValueError(
             f"tile_h={c.tile_h} must be a multiple of 8 and of "
             f"sub_s={c.sub_s} (set via r.raster.tileH)")
+    if c.bricks and (c.tile_w % BRICK_W != 0 or
+                     c.tile_h % (BRICK_H * c.sub_s) != 0):
+        raise ValueError(
+            f"bricks mode needs tile_w % {BRICK_W} == 0 and tile_h % "
+            f"{BRICK_H * c.sub_s} == 0 (got {c.tile_w}x{c.tile_h})")
     h_pad = c.tiles_y * c.tile_h
     w_pad = c.tiles_x * c.tile_w
     n_attr = 5 if c.with_attrs else 0
@@ -646,6 +858,9 @@ def raster_queue(
                    padded(seeds[1], 0, jnp.uint32)]
     for k in range(n_attr):
         seed_arrays.append(padded(seeds[2 + k], 0.0, jnp.float32))
+    if c.bricks:
+        with jax.named_scope("raster.bricks_pack"):
+            seed_arrays = [bricks_pack(sa, c) for sa in seed_arrays]
 
     def tile_block(i, pw, st, ct, sy0, sy1, sx0, sx1):
         return (i // c.tiles_x, i % c.tiles_x)
@@ -681,14 +896,18 @@ def raster_queue(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    kern = _raster_tile_kernel_bricks if c.bricks else _raster_tile_kernel
     rts = pl.pallas_call(
-        functools.partial(_raster_tile_kernel, config=c),
+        functools.partial(kern, config=c),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         # CPU has no Mosaic backend — interpret there (tests/dry runs).
         interpret=c.interpret or jax.default_backend() == "cpu",
     )(queue.pair_win, queue.starts, queue.counts,
       sb[0], sb[1], sb[2], sb[3], setup.coefT, *seed_arrays)
+    if c.bricks:
+        with jax.named_scope("raster.bricks_unpack"):
+            rts = [bricks_unpack(rt, c) for rt in rts]
     return tuple(rt[:c.height, :c.width] for rt in rts)
 def rasterize(
     clip: jnp.ndarray,

@@ -146,11 +146,16 @@ class RendererConfig(NamedTuple):
     interpret: bool = False          # pallas interpreter (CPU tests)
 
     def raster_config(self) -> RasterConfig:
+        bricks = bool(cvars.get("r.raster.bricks"))
+        tile_h = int(cvars.get("r.raster.tileH"))
+        if bricks and tile_h % 16 != 0:
+            tile_h = max(16, tile_h // 16 * 16)
         return RasterConfig(
             width=self.width, height=self.height,
-            tile_h=int(cvars.get("r.raster.tileH")),
+            tile_h=tile_h,
             pair_capacity=self.pair_capacity,
             big_capacity=self.big_capacity, subtiles=self.subtiles,
+            bricks=bricks,
             interpret=self.interpret)
 
     @classmethod

@@ -130,6 +130,10 @@ cvars = CVarSystem()
 cvars.register("r.raster.tileH", 216, "Raster tile height in pixels.",
                vtype=int)
 cvars.register("r.raster.tileW", 128, "Raster tile width in pixels.", vtype=int)
+cvars.register("r.raster.bricks", False,
+               "Brick accumulator layout: vreg rows cover 4x32-px bricks "
+               "so narrow triangle groups skip non-overlapped 32-px "
+               "x-bricks (requires tileH % 16 == 0).")
 cvars.register("r.raster.binCapacity", 1024,
                "Max binned triangles per tile (overflow counted, logged).", vtype=int)
 cvars.register("r.raster.bigTriCapacity", 256,

@@ -191,3 +191,71 @@ def test_pair_overflow_counted():
     queue = bin_windows(setup, cfg)
     assert int(queue.overflow) > 0
     assert int(queue.n_pairs) == 4
+
+
+# ---------------------------------------------------------------------------
+# Brick-layout kernel (fused x-binning): same oracle, bricks=True
+# ---------------------------------------------------------------------------
+BCFG = RasterConfig(width=W, height=H, tile_h=16, tile_w=128,
+                    pair_capacity=512, big_capacity=32, bricks=True,
+                    interpret=True)
+
+
+def test_bricks_pack_roundtrip():
+    from chord_tpu.ops.raster import bricks_pack, bricks_unpack
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(BCFG.tiles_y * BCFG.tile_h,
+                                     BCFG.tiles_x * BCFG.tile_w))
+                    .astype(np.float32))
+    y = bricks_unpack(bricks_pack(x, BCFG), BCFG)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_bricks_matches_oracle_random():
+    rng = np.random.default_rng(7)
+    clip, indices, valid, payload = make_random_tris(150, rng)
+    d, v, d_ref, v_ref, stats = run_both(clip, indices, valid, payload,
+                                         cfg=BCFG)
+    assert int(stats["bin_overflow"]) == 0
+    assert_images_close(d, v, d_ref, v_ref)
+
+
+def test_bricks_matches_flat_kernel_with_attrs():
+    """Brick and flat kernels agree up to edge-pixel ULP divergence (the
+    brick kernel folds a*32b into the column constant — a different FMA
+    association, so coverage at razor-edge pixels can flip)."""
+    rng = np.random.default_rng(11)
+    clip, indices, valid, payload = make_random_tris(120, rng)
+    attrs = rng.normal(size=(clip.shape[0], 5)).astype(np.float32)
+    flat_cfg = BCFG._replace(bricks=False, with_attrs=True)
+    brick_cfg = BCFG._replace(with_attrs=True)
+    outs_f = rasterize(jnp.asarray(clip), jnp.asarray(indices),
+                       jnp.asarray(valid), jnp.asarray(payload),
+                       flat_cfg, attrs=jnp.asarray(attrs))
+    outs_b = rasterize(jnp.asarray(clip), jnp.asarray(indices),
+                       jnp.asarray(valid), jnp.asarray(payload),
+                       brick_cfg, attrs=jnp.asarray(attrs))
+    v_f, v_b = np.asarray(outs_f[1]), np.asarray(outs_b[1])
+    assert np.mean(v_f != v_b) < 0.01
+    same = v_f == v_b
+    for f, b in zip(outs_f[2:-1], outs_b[2:-1]):   # attr planes
+        fa, ba = np.asarray(f)[same], np.asarray(b)[same]
+        assert np.percentile(np.abs(fa - ba), 99) < 1e-3
+
+
+def test_bricks_seeded_accumulate():
+    """Phase-1 style re-raster over brick seeds matches the flat kernel
+    (same tolerance as the oracle gate)."""
+    rng = np.random.default_rng(13)
+    clip0, idx0, val0, pay0 = make_random_tris(60, rng)
+    clip1, idx1, val1, pay1 = make_random_tris(60, rng)
+    res = {}
+    for cfg in (BCFG, BCFG._replace(bricks=False)):
+        d0, v0, s0 = rasterize(jnp.asarray(clip0), jnp.asarray(idx0),
+                               jnp.asarray(val0), jnp.asarray(pay0), cfg)
+        d1, v1, s1 = rasterize(jnp.asarray(clip1), jnp.asarray(idx1),
+                               jnp.asarray(val1), jnp.asarray(pay1), cfg,
+                               seeds=(d0, v0))
+        res[cfg.bricks] = (np.asarray(d1), np.asarray(v1))
+    assert_images_close(res[True][0], res[True][1],
+                        res[False][0], res[False][1])
