@@ -40,6 +40,9 @@ def build_scene(name: str):
     if name == "bistro":
         return build_bistro_like(detail=2), np.array([-40.0, 5.0, 4.0]), \
             np.array([50.0, 3.0, -4.0])
+    if name == "bistro_tex":   # textured variant (paged-sampler showcase)
+        return build_bistro_like(detail=2, textures=True), \
+            np.array([-40.0, 5.0, 4.0]), np.array([50.0, 3.0, -4.0])
     if name == "nanite":
         return build_nanite_stress(rings=64), \
             np.array([45.0, 10.0, 30.0]), np.array([0.0, 2.0, 0.0])

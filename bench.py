@@ -27,7 +27,27 @@ import numpy as np
 NORTH_STAR_MS = 16.6   # BASELINE.json
 
 
+_SCENE_CACHE_V = 1   # bump when builder/pool layout changes
+
+
 def _make_scene(scene, detail, target_tris):
+    import os
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    cache = (f"/tmp/chord_scene_v{_SCENE_CACHE_V}_{scene}_{detail}_"
+             f"{target_tris}.pkl")
+    if os.path.exists(cache):
+        try:
+            with open(cache, "rb") as f:
+                b, pools_np, n_src_tris = pickle.load(f)
+            pools = jax.tree.map(jnp.asarray, pools_np)
+            return b, pools, n_src_tris
+        except Exception:   # noqa: BLE001 — stale cache: rebuild
+            os.remove(cache)
+
     from chord_tpu.asset.procedural import (build_bistro_like,
                                             build_nanite_stress,
                                             build_sponza_like)
@@ -45,6 +65,13 @@ def _make_scene(scene, detail, target_tris):
                                 texture_pool=getattr(b, "texture_pool",
                                                      None))
     n_src_tris = sum(b.meshes[mi].num_triangles for mi, _, _ in b.instances)
+    try:
+        pools_np = jax.tree.map(np.asarray, pools)
+        with open(cache + ".tmp", "wb") as f:
+            pickle.dump((b, pools_np, n_src_tris), f)
+        os.replace(cache + ".tmp", cache)
+    except Exception:   # noqa: BLE001 — cache is best-effort
+        pass
     return b, pools, n_src_tris
 
 

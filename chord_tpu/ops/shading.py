@@ -226,33 +226,33 @@ def resolve_gbuffer_raster_rt(
 
     if textured:
         from . import texture as texture_ops
-        from ..asset.texture import TexturePool
 
         size = pools.tex_size
-        tp = TexturePool(size)     # static mip layout only
         layer = mrow[..., 8].astype(jnp.int32)
         mip = texture_ops.mip_from_uv_density(uv, size)
-        texel = texture_ops.sample_pool(
-            pools.tex_pool, tuple(tp.mip_sizes), tuple(tp.mip_offsets),
-            layer, uv, mip)
+        # ONE fused paged-sampler pass covers every material map (they
+        # share uv/mip/size, so tap math + page gathers amortize across
+        # channels — ops/paged_texture.py)
+        layer_list = [layer]
+        if pbr_textures:
+            layer_list.append(mrow[..., 10].astype(jnp.int32))
+            layer_list.append(mrow[..., 11].astype(jnp.int32))
+        if normal_mapped:
+            layer_list.append(mrow[..., 9].astype(jnp.int32))
+        texels = texture_ops.sample_material_maps(
+            pools, jnp.stack(layer_list), uv, mip)
+        texel = texels[0]
         # textures are stored linear-sRGB primaries; convert to AP1
         base = base * colorspace.srgb_to_acescg(texel[..., :3])
 
         if pbr_textures:   # static: metal-rough + emissive map layers
             # glTF packing (lighting.hlsl samples the same channels):
             # G = roughness, B = metallic, multiplied onto the factors
-            mr_layer = mrow[..., 10].astype(jnp.int32)
-            mr_texel = texture_ops.sample_pool(
-                pools.tex_pool, tuple(tp.mip_sizes), tuple(tp.mip_offsets),
-                mr_layer, uv, mip)
+            mr_texel = texels[1]
             metal_rough = metal_rough * jnp.stack(
                 [mr_texel[..., 2], mr_texel[..., 1]], axis=-1)
-            em_layer = mrow[..., 11].astype(jnp.int32)
-            em_texel = texture_ops.sample_pool(
-                pools.tex_pool, tuple(tp.mip_sizes), tuple(tp.mip_offsets),
-                em_layer, uv, mip)
             emissive = emissive * colorspace.srgb_to_acescg(
-                em_texel[..., :3])
+                texels[2][..., :3])
 
         # Tangent-space normal mapping WITHOUT stored tangents: build the
         # cotangent frame per pixel from screen-space derivatives of
@@ -262,10 +262,8 @@ def resolve_gbuffer_raster_rt(
         # are shifted differences, masked to same-surface neighbors so
         # silhouette edges fall back to the geometric normal.
         if normal_mapped:   # static: traced only when normal maps exist
-            n_layer = mrow[..., 9].astype(jnp.int32)
-            n_texel = texture_ops.sample_pool(
-                pools.tex_pool, tuple(tp.mip_sizes), tuple(tp.mip_offsets),
-                n_layer, uv, mip)
+            n_layer = layer_list[-1]
+            n_texel = texels[len(layer_list) - 1]
             n_scale = mrow[..., 12:13]
             n_ts = n_texel[..., :3] * 2.0 - 1.0   # linear-stored, [-1,1]
 
@@ -345,24 +343,32 @@ def masked_alpha_keep(
     reference's Masked shadow permutation discards in the depth-only
     pixel shader, mesh_raster.hlsl DIM_PASS_TYPE=PASS_TYPE_DEPTH)."""
     from . import texture as texture_ops
-    from ..asset.texture import TexturePool
 
     slot_g, _tri = unpack_visibility(vis_m)
     slot = slot_g - payload_base
     hit = slot_g >= 0
     slot_safe = jnp.where(hit, jnp.maximum(slot, 0), 0)
-    mat_id = instances.object_material[draw_object_m[slot_safe]]
-    cutoff = pools.mat_alpha_cutoff[mat_id]
-    factor = pools.mat_base_color[mat_id][..., 3]
-    layer = pools.mat_base_tex[mat_id]
+    # per-draw row table + ONE (H,W) 16-wide row gather (the chained
+    # per-pixel scalar gathers draw->material->cutoff/factor/layer
+    # measured ~30-43 ms/frame at 1080p; same pattern as
+    # resolve_gbuffer_raster_rt's mat_table)
+    mat_d = instances.object_material[draw_object_m]          # (cap_m,)
+    row_d = jnp.concatenate(
+        [pools.mat_alpha_cutoff[mat_d][:, None],
+         pools.mat_base_color[mat_d][:, 3:4],
+         pools.mat_base_tex[mat_d][:, None].astype(jnp.float32),
+         jnp.zeros((draw_object_m.shape[0], 13), jnp.float32)], axis=1)
+    rows = row_d[slot_safe]                                   # (H,W,16)
+    cutoff = rows[..., 0]
+    factor = rows[..., 1]
+    layer = rows[..., 2].astype(jnp.int32)
 
     uv = jnp.stack([u_m, v_m], axis=-1)
-    size = pools.tex_size
-    tp = TexturePool(size)
-    mip = texture_ops.mip_from_uv_density(uv, size)
-    texel = texture_ops.sample_pool(
-        pools.tex_pool, tuple(tp.mip_sizes), tuple(tp.mip_offsets),
-        layer, uv, mip)
+    mip = texture_ops.mip_from_uv_density(uv, pools.tex_size)
+    # nearest sampling: the alpha TEST is binary, bilinear only shifts
+    # the cutoff crossing by <1 texel while costing 4x the tap gathers
+    texel = texture_ops.sample_material_maps(
+        pools, layer[None], uv, mip, bilinear=False)[0]
     alpha = factor * jnp.where(layer >= 0, texel[..., 3], 1.0)
     return hit, alpha >= cutoff
 
@@ -387,24 +393,29 @@ def shade_blend_layer(
     compositing is ordinary src-alpha blending against the lit scene.
     -> (color (H,W,3) AP1 premultiplied-by-nothing, alpha (H,W))."""
     from . import colorspace, texture as texture_ops
-    from ..asset.texture import TexturePool
 
     slot, _tri = unpack_visibility(vis_b)
     hit = (slot >= 0) & (depth_b > depth_o)      # in front of opaque
     slot_safe = jnp.maximum(slot, 0)
-    mat_id = instances.object_material[draw_object_b[slot_safe]]
-    base = pools.mat_base_color[mat_id]                     # (H,W,4)
-    alpha = base[..., 3]
-    albedo = colorspace.srgb_to_acescg(base[..., :3])
-    emissive = colorspace.srgb_to_acescg(pools.mat_emissive[mat_id])
-    layer = pools.mat_base_tex[mat_id]
+    # per-draw row table + ONE (H,W) 16-wide row gather (chained
+    # per-pixel scalar gathers are ~10x the cost — see masked_alpha_keep)
+    mat_d = instances.object_material[draw_object_b]          # (cap_b,)
+    row_d = jnp.concatenate(
+        [colorspace.srgb_to_acescg(
+            pools.mat_base_color[mat_d][:, :3]),              # 0:3 AP1
+         pools.mat_base_color[mat_d][:, 3:4],                 # 3
+         colorspace.srgb_to_acescg(pools.mat_emissive[mat_d]),  # 4:7 AP1
+         pools.mat_base_tex[mat_d][:, None].astype(jnp.float32),  # 7
+         jnp.zeros((draw_object_b.shape[0], 8), jnp.float32)], axis=1)
+    rows = row_d[slot_safe]                                   # (H,W,16)
+    alpha = rows[..., 3]
+    albedo = rows[..., 0:3]
+    emissive = rows[..., 4:7]
+    layer = rows[..., 7].astype(jnp.int32)
     uv = jnp.stack([u_b, v_b], axis=-1)
-    size = pools.tex_size
-    tp = TexturePool(size)
-    mip = texture_ops.mip_from_uv_density(uv, size)
-    texel = texture_ops.sample_pool(
-        pools.tex_pool, tuple(tp.mip_sizes), tuple(tp.mip_offsets),
-        layer, uv, mip)
+    mip = texture_ops.mip_from_uv_density(uv, pools.tex_size)
+    texel = texture_ops.sample_material_maps(
+        pools, layer[None], uv, mip)[0]
     has_tex = (layer >= 0)[..., None]
     albedo = jnp.where(has_tex,
                        albedo * colorspace.srgb_to_acescg(texel[..., :3]),

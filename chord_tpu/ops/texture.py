@@ -64,6 +64,42 @@ def sample_pool(
     return jnp.where((layer >= 0)[..., None], out, 1.0)
 
 
+def sample_material_maps(
+    pools,                    # rhi.MeshletScenePools (tex_pages/tex_meta)
+    layers: jnp.ndarray,      # (C,H,W) i32 texture layer per channel
+    uv: jnp.ndarray,          # (H,W,2) f32
+    mip: jnp.ndarray,         # (H,W) i32
+    paged: bool = True,
+    bilinear: bool = True,
+) -> jnp.ndarray:
+    """Fused multi-channel material-texture fetch -> (C,H,W,4) f32.
+
+    Routes to the paged virtual-texture Pallas sampler (the full-res fast
+    path, ~50x cheaper than XLA per-pixel gathers at 1080p — see
+    ops/paged_texture.py) or falls back to per-channel sample_pool
+    gathers (paged=False, and the oracle for tests)."""
+    size = pools.tex_size
+    mip_sizes, mip_offsets = [], []
+    off, s = 0, size
+    while s >= 1:
+        mip_sizes.append(s)
+        mip_offsets.append(off)
+        off += s * s
+        s //= 2
+    if paged:
+        from . import paged_texture as pt
+
+        C = layers.shape[0]
+        return pt.paged_sample(
+            pools.tex_pages, pools.tex_meta, len(mip_sizes), mip_sizes,
+            layers, uv, mip, bilinear=bilinear,
+            block_h=16, k_pages=(10 if C == 1 else 16))
+    return jnp.stack([
+        sample_pool(pools.tex_pool, tuple(mip_sizes), tuple(mip_offsets),
+                    layers[c], uv, mip, bilinear=bilinear)
+        for c in range(layers.shape[0])])
+
+
 def mip_from_uv_density(uv: jnp.ndarray, base_size: int) -> jnp.ndarray:
     """Estimate mip level from screen-space uv derivatives via shifted
     differences (the TPU stand-in for the reference's analytic ddx/ddy,

@@ -88,6 +88,10 @@ class MeshletScenePools:
     mat_emissive_tex: jnp.ndarray  # (M,) i32 emissive layer id, -1 = none
     mat_alpha_cutoff: jnp.ndarray  # (M,) f32 (alpha-mask cutoff)
     tex_pool: jnp.ndarray        # (L, total_texels, 4) u8 flat-mip stack
+    # paged virtual-texture pool (ops/paged_texture.py): apron-tiled
+    # (8,128)-vreg pages + entry table, the fast full-res sampling path
+    tex_pages: jnp.ndarray       # (n_pages*8, 128) i32 RGBA8-packed
+    tex_meta: jnp.ndarray        # (2, E_pad) i32 [page base | avg color]
 
     @property
     def tex_size(self) -> int:
@@ -232,6 +236,17 @@ def build_meshlet_pools(builder: SceneBuilder,
         axis=1).astype(np.float32)
 
     mats = builder.materials
+    # paged virtual-texture pool (apron-tiled vreg pages; the full-res
+    # sampling fast path — ops/paged_texture.py)
+    from ..ops.paged_texture import pack_paged_pool
+    if texture_pool is not None and texture_pool.textures:
+        np_tex = np.clip(np.stack(texture_pool.textures) * 255.0 + 0.5,
+                         0, 255).astype(np.uint8)
+        tex_pages, tex_meta, _ = pack_paged_pool(
+            np_tex, texture_pool.mip_sizes, texture_pool.mip_offsets)
+    else:
+        tex_pages, tex_meta, _ = pack_paged_pool(
+            np.full((1, 1, 4), 255, np.uint8), (1,), (0,))
     pools = MeshletScenePools(
         positions=jnp.asarray(np.concatenate(pos_l)),
         normals=jnp.asarray(np.concatenate(nrm_l)),
@@ -271,6 +286,8 @@ def build_meshlet_pools(builder: SceneBuilder,
             np.array([m.alpha_cutoff for m in mats], np.float32)),
         tex_pool=(texture_pool.device_array()
                   if texture_pool is not None else _empty_tex_pool()),
+        tex_pages=tex_pages,
+        tex_meta=tex_meta,
     )
     log.info("MeshletScenePools: %d meshes, %d meshlets, %d pairs, %d verts",
              len(builder.meshes), m_base, n_pairs, v_base)

@@ -109,7 +109,18 @@ def main():
     ap.add_argument("--detail", type=int, default=3)
     ap.add_argument("--target-tris", type=int, default=2_600_000)
     ap.add_argument("--configs", default="")
+    ap.add_argument("--cvar", action="append", default=[],
+                    help="name=value cvar overrides (e.g. r.raster.bricks=1)")
     args = ap.parse_args()
+
+    from chord_tpu.utils.cvar import cvars
+    for kv in args.cvar:
+        name, _, val = kv.partition("=")
+        cur = cvars.get(name)
+        cvars.set(name, type(cur)(int(val) if isinstance(cur, (bool, int))
+                                  else val))
+        print(json.dumps({"cvar": name, "value": cvars.get(name)}),
+              flush=True)
 
     from bench import _make_scene
     b, pools, n_src = _make_scene("bistro", args.detail, args.target_tris)
