@@ -192,6 +192,8 @@ def sample_irradiance(
     irr = jnp.zeros(n.shape[:-1] + (3,))
     conf = jnp.zeros(n.shape[:-1])
     done = jnp.zeros(n.shape[:-1], bool)
+    # 16-wide rows: see sample_radiance
+    cache = jnp.pad(cache, ((0, 0), (0, 0), (0, 3)))
     for c in range(cfg.cascades):
         g, inb = _probe_coords(pos_w, c, cfg, cam_pos)
         if cfg.trilinear:
@@ -249,10 +251,13 @@ def sample_radiance(
     rad = jnp.zeros(d.shape[:-1] + (3,))
     conf = jnp.zeros(d.shape[:-1])
     done = jnp.zeros(d.shape[:-1], bool)
+    # 16-wide rows: (N,13) row gathers fall off the TPU fast path (minor
+    # dims pad to 128 lanes); pad once, gather aligned rows
+    cache16 = jnp.pad(cache, ((0, 0), (0, 0), (0, 3)))
     for c in range(cfg.cascades):
         g, inb = _probe_coords(pos_w, c, cfg, cam_pos)
         cell = jnp.floor(g + 0.5).astype(jnp.int32)
-        probe = cache[c, _wrap_index(cell, cfg)]
+        probe = cache16[c, _wrap_index(cell, cfg)]
         sh = probe[..., :12]
         e = jnp.stack([jnp.sum(sh[..., 0:4] * basis, -1),
                        jnp.sum(sh[..., 4:8] * basis, -1),

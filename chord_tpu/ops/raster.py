@@ -539,78 +539,15 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,
                   (sx0_ref[base] < tile_px0 + c.tile_w)
             y1 = jnp.where(xok, y1, 0)
 
-            sub = blkT_scr[s * cs:(s + 1) * cs, :]        # (cs, R)
-            # tile the group's coefficient columns RP times along sublanes:
-            # one inner iteration evaluates RP consecutive rows x cs
-            # triangles as full (RP*cs, TW) ops — a single per-row chain is
-            # LATENCY-bound (~350 cycles however few vregs it touches), so
-            # packing rows restores throughput-bound shapes while keeping
-            # the small per-group bounds.
-            rp = RP
-            col4 = lambda k: f32(jnp.concatenate(
-                [sub[:, k:k + 1]] * rp, axis=0))          # (rp*cs, 1)
-            a = [col4(k) for k in range(5)]
-            b = [col4(5 + k) for k in range(5)]
-            cc = [col4(10 + k) for k in range(5)]
-            pay = jax.lax.bitcast_convert_type(sub[:, 15:16], jnp.int32)
-            if n_attr:
-                aa = [col4(16 + 3 * k) for k in range(n_attr)]
-                ab = [col4(17 + 3 * k) for k in range(n_attr)]
-                ac = [col4(18 + 3 * k) for k in range(n_attr)]
-
-            ex = [a[k] * px for k in range(5)]            # (rp*cs, TW)
-            if n_attr:
-                exa = [aa[k] * px for k in range(n_attr)]
-            attrs3 = (exa, ab, ac) if n_attr else None
-
-            def make_pack_body(b, cc, ex, pay, attrs3):
-                def pack_body(p, _):
-                    # rows p*rp .. p*rp+rp-1; group g of the sublane dim
-                    # evaluates row p*rp+g for all cs triangles
-                    yf = yoff_col + (tile_py0 + p * rp).astype(jnp.float32)
-                    l0 = ex[0] + (b[0] * yf + cc[0])
-                    l1 = ex[1] + (b[1] * yf + cc[1])
-                    l2 = ex[2] + (b[2] * yf + cc[2])
-                    zn = ex[3] + (b[3] * yf + cc[3])
-                    zd = ex[4] + (b[4] * yf + cc[4])
-                    covered = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0) & \
-                              (zd > 0.0) & (zn > 0.0) & (zn <= zd)
-                    z = zn / jnp.where(covered, zd, 1.0)
-                    cand = jnp.where(covered, z, 0.0)     # (rp*cs, TW)
-                    if attrs3 is not None:
-                        exa_, ab_, ac_ = attrs3
-                        ssum = l0 + l1 + l2
-                        inv_s = 1.0 / jnp.where(covered, ssum, 1.0)
-                        vals = [(exa_[k] + (ab_[k] * yf + ac_[k])) * inv_s
-                                for k in range(n_attr)]
-                    # RP independent per-row winner/merge chains
-                    for g in range(rp):
-                        cg = cand[g * cs:(g + 1) * cs, :]
-                        best = jnp.max(cg, axis=0, keepdims=True)  # (1,TW)
-                        winner = (cg == best) & (cg > 0.0)
-                        pay_sel = jnp.max(jnp.where(winner, pay, 0),
-                                          axis=0, keepdims=True)
-                        rs = pl.ds(p * rp + g, 1)
-                        acc_d = acc[0, rs, :]
-                        acc_v = acc_v_scr[rs, :]
-                        take = (best > acc_d) | \
-                               ((best == acc_d) & (pay_sel > acc_v))
-                        acc[0, rs, :] = jnp.where(take, best, acc_d)
-                        acc_v_scr[rs, :] = jnp.where(take, pay_sel, acc_v)
-                        if attrs3 is not None:
-                            for k in range(n_attr):
-                                sel = jnp.max(
-                                    jnp.where(winner,
-                                              vals[k][g * cs:(g + 1) * cs,
-                                                      :], NEG),
-                                    axis=0, keepdims=True)
-                                acc[1 + k, rs, :] = jnp.where(
-                                    take, sel, acc[1 + k, rs, :])
-                    return 0
-                return pack_body
-
-            jax.lax.fori_loop(y0 // rp, (y1 + rp - 1) // rp,
-                              make_pack_body(b, cc, ex, pay, attrs3), 0)
+            # the WHOLE subwindow body (column slicing + the a*px hoist +
+            # the row loop) is gated: a subwindow whose bbox misses this
+            # tile costs one scalar compare, not ~15 full-width hoists
+            # (x-skipped subwindows previously still paid the hoist)
+            @pl.when(y1 > y0)
+            def _subwindow(s=s, y0=y0, y1=y1):
+                _raster_subwindow_body(s, y0, y1, blkT_scr, acc, acc_v_scr,
+                                       px, yoff_col, tile_py0, cs, RP,
+                                       n_attr, f32, NEG)
         return carry
 
     jax.lax.fori_loop(0, count, body, 0)
@@ -618,6 +555,84 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,
     outs[1][:] = jax.lax.bitcast_convert_type(acc_v_scr[:, :], jnp.uint32)
     for k in range(n_attr):
         outs[2 + k][:] = acc[1 + k, :, :]
+
+
+def _raster_subwindow_body(s, y0, y1, blkT_scr, acc, acc_v_scr, px,
+                           yoff_col, tile_py0, cs, RP, n_attr, f32, NEG):
+    """One subwindow of the flat kernel: coefficient column setup + the
+    packed dynamic row loop (split out so the caller can pl.when-gate
+    the entire body)."""
+    sub = blkT_scr[s * cs:(s + 1) * cs, :]        # (cs, R)
+    # tile the group's coefficient columns RP times along sublanes:
+    # one inner iteration evaluates RP consecutive rows x cs
+    # triangles as full (RP*cs, TW) ops — a single per-row chain is
+    # LATENCY-bound (~350 cycles however few vregs it touches), so
+    # packing rows restores throughput-bound shapes while keeping
+    # the small per-group bounds.
+    rp = RP
+    col4 = lambda k: f32(jnp.concatenate(
+        [sub[:, k:k + 1]] * rp, axis=0))          # (rp*cs, 1)
+    a = [col4(k) for k in range(5)]
+    b = [col4(5 + k) for k in range(5)]
+    cc = [col4(10 + k) for k in range(5)]
+    pay = jax.lax.bitcast_convert_type(sub[:, 15:16], jnp.int32)
+    if n_attr:
+        aa = [col4(16 + 3 * k) for k in range(n_attr)]
+        ab = [col4(17 + 3 * k) for k in range(n_attr)]
+        ac = [col4(18 + 3 * k) for k in range(n_attr)]
+
+    ex = [a[k] * px for k in range(5)]            # (rp*cs, TW)
+    if n_attr:
+        exa = [aa[k] * px for k in range(n_attr)]
+    attrs3 = (exa, ab, ac) if n_attr else None
+
+    def make_pack_body(b, cc, ex, pay, attrs3):
+        def pack_body(p, _):
+            # rows p*rp .. p*rp+rp-1; group g of the sublane dim
+            # evaluates row p*rp+g for all cs triangles
+            yf = yoff_col + (tile_py0 + p * rp).astype(jnp.float32)
+            l0 = ex[0] + (b[0] * yf + cc[0])
+            l1 = ex[1] + (b[1] * yf + cc[1])
+            l2 = ex[2] + (b[2] * yf + cc[2])
+            zn = ex[3] + (b[3] * yf + cc[3])
+            zd = ex[4] + (b[4] * yf + cc[4])
+            covered = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0) & \
+                      (zd > 0.0) & (zn > 0.0) & (zn <= zd)
+            z = zn / jnp.where(covered, zd, 1.0)
+            cand = jnp.where(covered, z, 0.0)     # (rp*cs, TW)
+            if attrs3 is not None:
+                exa_, ab_, ac_ = attrs3
+                ssum = l0 + l1 + l2
+                inv_s = 1.0 / jnp.where(covered, ssum, 1.0)
+                vals = [(exa_[k] + (ab_[k] * yf + ac_[k])) * inv_s
+                        for k in range(n_attr)]
+            # RP independent per-row winner/merge chains
+            for g in range(rp):
+                cg = cand[g * cs:(g + 1) * cs, :]
+                best = jnp.max(cg, axis=0, keepdims=True)  # (1,TW)
+                winner = (cg == best) & (cg > 0.0)
+                pay_sel = jnp.max(jnp.where(winner, pay, 0),
+                                  axis=0, keepdims=True)
+                rs = pl.ds(p * rp + g, 1)
+                acc_d = acc[0, rs, :]
+                acc_v = acc_v_scr[rs, :]
+                take = (best > acc_d) | \
+                       ((best == acc_d) & (pay_sel > acc_v))
+                acc[0, rs, :] = jnp.where(take, best, acc_d)
+                acc_v_scr[rs, :] = jnp.where(take, pay_sel, acc_v)
+                if attrs3 is not None:
+                    for k in range(n_attr):
+                        sel = jnp.max(
+                            jnp.where(winner,
+                                      vals[k][g * cs:(g + 1) * cs, :], NEG),
+                            axis=0, keepdims=True)
+                        acc[1 + k, rs, :] = jnp.where(
+                            take, sel, acc[1 + k, rs, :])
+            return 0
+        return pack_body
+
+    jax.lax.fori_loop(y0 // rp, (y1 + rp - 1) // rp,
+                      make_pack_body(b, cc, ex, pay, attrs3), 0)
 
 
 def bricks_pack(x: jnp.ndarray, c: RasterConfig) -> jnp.ndarray:
@@ -706,6 +721,90 @@ def _raster_tile_kernel_bricks(win_ref, start_ref, count_ref,
     f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
     NEG = jnp.float32(-3e38)
 
+    def _bricks_subwindow(s, y0, y1, sx0, sx1):
+        sub = blkT_scr[s * cs:(s + 1) * cs, :]        # (cs, R)
+        rp = RP
+        col4 = lambda k: f32(jnp.concatenate(
+            [sub[:, k:k + 1]] * rp, axis=0))          # (rp*cs, 1)
+        a = [col4(k) for k in range(5)]
+        b = [col4(5 + k) for k in range(5)]
+        cc = [col4(10 + k) for k in range(5)]
+        pay = jax.lax.bitcast_convert_type(sub[:, 15:16], jnp.int32)
+        if n_attr:
+            aa = [col4(16 + 3 * k) for k in range(n_attr)]
+            ab = [col4(17 + 3 * k) for k in range(n_attr)]
+            ac = [col4(18 + 3 * k) for k in range(n_attr)]
+
+        # loop-invariant lane part: a*x_local + b*y_sub
+        ex = [a[k] * pxl + b[k] * ylane for k in range(5)]
+        if n_attr:
+            exa = [aa[k] * pxl + ab[k] * ylane for k in range(n_attr)]
+
+        p0 = y0 // rows_it
+        for bx in range(nb):
+            bx0 = tile_px0 + bx * BRICK_W
+            xok = (sx1 >= bx0) & (sx0 < bx0 + BRICK_W)
+            y1b = jnp.where(xok, y1, 0)
+            p1 = (y1b + rows_it - 1) // rows_it
+
+            @pl.when(p1 > p0)
+            def _run_brick(bx=bx, p1=p1):
+                xoff = jnp.float32(bx * BRICK_W)
+                ccb = [cc[k] + a[k] * xoff for k in range(5)]
+                if n_attr:
+                    acb = [ac[k] + aa[k] * xoff for k in range(n_attr)]
+                    attrs3 = (exa, ab, acb)
+                else:
+                    attrs3 = None
+                row_base = bx * th4
+
+                def pack_body(p, _):
+                    yf = yoff4_col + jnp.float32(tile_py0) + \
+                        (p * rows_it).astype(jnp.float32)
+                    l0 = ex[0] + (b[0] * yf + ccb[0])
+                    l1 = ex[1] + (b[1] * yf + ccb[1])
+                    l2 = ex[2] + (b[2] * yf + ccb[2])
+                    zn = ex[3] + (b[3] * yf + ccb[3])
+                    zd = ex[4] + (b[4] * yf + ccb[4])
+                    covered = (l0 >= 0.0) & (l1 >= 0.0) & \
+                        (l2 >= 0.0) & (zd > 0.0) & (zn > 0.0) & \
+                        (zn <= zd)
+                    z = zn / jnp.where(covered, zd, 1.0)
+                    cand = jnp.where(covered, z, 0.0)
+                    if attrs3 is not None:
+                        exa_, ab_, ac_ = attrs3
+                        ssum = l0 + l1 + l2
+                        inv_s = 1.0 / jnp.where(covered, ssum, 1.0)
+                        vals = [(exa_[k] + (ab_[k] * yf + ac_[k]))
+                                * inv_s for k in range(n_attr)]
+                    for g in range(rp):
+                        cg = cand[g * cs:(g + 1) * cs, :]
+                        best = jnp.max(cg, axis=0, keepdims=True)
+                        winner = (cg == best) & (cg > 0.0)
+                        pay_sel = jnp.max(jnp.where(winner, pay, 0),
+                                          axis=0, keepdims=True)
+                        rs = pl.ds(row_base + p * rp + g, 1)
+                        acc_d = acc[0, rs, :]
+                        acc_v = acc_v_scr[rs, :]
+                        take = (best > acc_d) | \
+                               ((best == acc_d) & (pay_sel > acc_v))
+                        acc[0, rs, :] = jnp.where(take, best, acc_d)
+                        acc_v_scr[rs, :] = jnp.where(take, pay_sel,
+                                                     acc_v)
+                        if attrs3 is not None:
+                            for k in range(n_attr):
+                                sel = jnp.max(
+                                    jnp.where(
+                                        winner,
+                                        vals[k][g * cs:(g + 1) * cs,
+                                                :], NEG),
+                                    axis=0, keepdims=True)
+                                acc[1 + k, rs, :] = jnp.where(
+                                    take, sel, acc[1 + k, rs, :])
+                    return 0
+
+                jax.lax.fori_loop(p0, p1, pack_body, 0)
+
     def body(j, carry):
         slot = j % 2
         win = win_ref[start + j]
@@ -723,89 +822,13 @@ def _raster_tile_kernel_bricks(win_ref, start_ref, count_ref,
             y1 = jnp.clip(sy1_ref[base] + 1 - tile_py0, 0, c.tile_h)
             sx0 = sx0_ref[base]
             sx1 = sx1_ref[base]
+            # gate the whole subwindow (slices + hoists + brick loop):
+            # empty subwindows cost one scalar compare (see flat kernel)
+            xok_any = (sx1 >= tile_px0) & (sx0 < tile_px0 + c.tile_w)
 
-            sub = blkT_scr[s * cs:(s + 1) * cs, :]        # (cs, R)
-            rp = RP
-            col4 = lambda k: f32(jnp.concatenate(
-                [sub[:, k:k + 1]] * rp, axis=0))          # (rp*cs, 1)
-            a = [col4(k) for k in range(5)]
-            b = [col4(5 + k) for k in range(5)]
-            cc = [col4(10 + k) for k in range(5)]
-            pay = jax.lax.bitcast_convert_type(sub[:, 15:16], jnp.int32)
-            if n_attr:
-                aa = [col4(16 + 3 * k) for k in range(n_attr)]
-                ab = [col4(17 + 3 * k) for k in range(n_attr)]
-                ac = [col4(18 + 3 * k) for k in range(n_attr)]
-
-            # loop-invariant lane part: a*x_local + b*y_sub
-            ex = [a[k] * pxl + b[k] * ylane for k in range(5)]
-            if n_attr:
-                exa = [aa[k] * pxl + ab[k] * ylane for k in range(n_attr)]
-
-            p0 = y0 // rows_it
-            for bx in range(nb):
-                bx0 = tile_px0 + bx * BRICK_W
-                xok = (sx1 >= bx0) & (sx0 < bx0 + BRICK_W)
-                y1b = jnp.where(xok, y1, 0)
-                p1 = (y1b + rows_it - 1) // rows_it
-
-                @pl.when(p1 > p0)
-                def _run_brick(bx=bx, p1=p1):
-                    xoff = jnp.float32(bx * BRICK_W)
-                    ccb = [cc[k] + a[k] * xoff for k in range(5)]
-                    if n_attr:
-                        acb = [ac[k] + aa[k] * xoff for k in range(n_attr)]
-                        attrs3 = (exa, ab, acb)
-                    else:
-                        attrs3 = None
-                    row_base = bx * th4
-
-                    def pack_body(p, _):
-                        yf = yoff4_col + jnp.float32(tile_py0) + \
-                            (p * rows_it).astype(jnp.float32)
-                        l0 = ex[0] + (b[0] * yf + ccb[0])
-                        l1 = ex[1] + (b[1] * yf + ccb[1])
-                        l2 = ex[2] + (b[2] * yf + ccb[2])
-                        zn = ex[3] + (b[3] * yf + ccb[3])
-                        zd = ex[4] + (b[4] * yf + ccb[4])
-                        covered = (l0 >= 0.0) & (l1 >= 0.0) & \
-                            (l2 >= 0.0) & (zd > 0.0) & (zn > 0.0) & \
-                            (zn <= zd)
-                        z = zn / jnp.where(covered, zd, 1.0)
-                        cand = jnp.where(covered, z, 0.0)
-                        if attrs3 is not None:
-                            exa_, ab_, ac_ = attrs3
-                            ssum = l0 + l1 + l2
-                            inv_s = 1.0 / jnp.where(covered, ssum, 1.0)
-                            vals = [(exa_[k] + (ab_[k] * yf + ac_[k]))
-                                    * inv_s for k in range(n_attr)]
-                        for g in range(rp):
-                            cg = cand[g * cs:(g + 1) * cs, :]
-                            best = jnp.max(cg, axis=0, keepdims=True)
-                            winner = (cg == best) & (cg > 0.0)
-                            pay_sel = jnp.max(jnp.where(winner, pay, 0),
-                                              axis=0, keepdims=True)
-                            rs = pl.ds(row_base + p * rp + g, 1)
-                            acc_d = acc[0, rs, :]
-                            acc_v = acc_v_scr[rs, :]
-                            take = (best > acc_d) | \
-                                   ((best == acc_d) & (pay_sel > acc_v))
-                            acc[0, rs, :] = jnp.where(take, best, acc_d)
-                            acc_v_scr[rs, :] = jnp.where(take, pay_sel,
-                                                         acc_v)
-                            if attrs3 is not None:
-                                for k in range(n_attr):
-                                    sel = jnp.max(
-                                        jnp.where(
-                                            winner,
-                                            vals[k][g * cs:(g + 1) * cs,
-                                                    :], NEG),
-                                        axis=0, keepdims=True)
-                                    acc[1 + k, rs, :] = jnp.where(
-                                        take, sel, acc[1 + k, rs, :])
-                        return 0
-
-                    jax.lax.fori_loop(p0, p1, pack_body, 0)
+            @pl.when((y1 > y0) & xok_any)
+            def _subwindow(s=s, y0=y0, y1=y1, sx0=sx0, sx1=sx1):
+                _bricks_subwindow(s, y0, y1, sx0, sx1)
         return carry
 
     jax.lax.fori_loop(0, count, body, 0)
