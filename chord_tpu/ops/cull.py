@@ -224,11 +224,18 @@ def build_active_pairs(pools, instances, frustum_planes: jnp.ndarray,
     """Object frustum cull -> compact the surviving pairs (one sort +
     one (A,·) row gather; all later per-pair math runs at A, not P)."""
     with jax.named_scope("cull.objects"):
-        s = instances.object_sphere_tw
-        d = jnp.einsum("oc,kc->ok", s[:, :3], frustum_planes[:, :3]) + \
+        # per-object OBB vs frustum (the reference's instance-level test,
+        # instance_culling.hlsl:48-131): projected radius onto each plane
+        # normal = sum of |axis . n| over the three world half-axes —
+        # tighter than the bounding sphere for long/thin/scaled objects
+        obb = instances.object_obb_tw
+        c = obb[:, 0:3]
+        axes = obb[:, 3:12].reshape(-1, 3, 3)
+        d = jnp.einsum("oc,kc->ok", c, frustum_planes[:, :3]) + \
             frustum_planes[None, :, 3]
-        obj_ok = jnp.all(d + s[:, 3:4] >= 0.0, axis=1) & \
-            instances.object_valid
+        r = jnp.sum(jnp.abs(jnp.einsum("oac,kc->oak", axes,
+                                       frustum_planes[:, :3])), axis=1)
+        obj_ok = jnp.all(d + r >= 0.0, axis=1) & instances.object_valid
     with jax.named_scope("cull.active_compact"):
         ok = pools.pair_valid & obj_ok[pools.pair_object]
         ok_i = ok.astype(jnp.int32)

@@ -156,6 +156,11 @@ class FrameInstances:
     object_masked: jnp.ndarray       # (O,) f32 0/1 (material alphaMode==mask)
     object_blend: jnp.ndarray        # (O,) f32 0/1 (material alphaMode==blend)
     object_sphere_tw: jnp.ndarray    # (O,4) f32 center.xyz + radius, translated world
+    object_obb_tw: jnp.ndarray       # (O,12) f32 OBB: center.xyz + 3 world
+                                     # half-axis vectors (local AABB through
+                                     # the instance transform — the
+                                     # reference's per-object OBB,
+                                     # instance_culling.hlsl:48-131)
     object_valid: jnp.ndarray        # (O,) bool
 
 
@@ -265,6 +270,7 @@ class SceneBuilder:
         masked = np.zeros(n, np.float32)
         blend = np.zeros(n, np.float32)
         spheres = np.zeros((n, 4), np.float32)
+        obbs = np.zeros((n, 12), np.float32)
 
         for oid, (mesh_id, mat_id, l2w) in enumerate(self.instances):
             m = camera.rebase_matrix(l2w)
@@ -285,6 +291,11 @@ class SceneBuilder:
             c_tw = (c[:3] / c[3]) - camera.position
             scale = float(np.max(np.linalg.norm(l2w[:3, :3], axis=1)))
             spheres[oid] = np.append(c_tw.astype(np.float32), radius_l * scale)
+            # OBB: local AABB half-extents through the row-vector transform
+            half_l = (amax - amin) * 0.5
+            axes = (half_l[:, None] * l2w[:3, :3]).astype(np.float32)  # (3,3)
+            obbs[oid, 0:3] = c_tw.astype(np.float32)
+            obbs[oid, 3:12] = axes.reshape(9)
 
         return FrameInstances(
             object_to_tw=jnp.asarray(m_tw),
@@ -295,5 +306,6 @@ class SceneBuilder:
             object_masked=jnp.asarray(masked),
             object_blend=jnp.asarray(blend),
             object_sphere_tw=jnp.asarray(spheres),
+            object_obb_tw=jnp.asarray(obbs),
             object_valid=jnp.ones(n, bool),
         )

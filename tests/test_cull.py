@@ -95,13 +95,25 @@ def test_object_precull_equivalence():
     assert int(active.overflow) == 0
     res_act = cull_pairs(pools, inst, planes, proj_scale, 512,
                          active=active)
-    assert int(res_full.draws.count) == int(res_act.draws.count)
-    n = int(res_full.draws.count)
-    a = set(zip(np.asarray(res_full.draws.object_id[:n]).tolist(),
-                np.asarray(res_full.draws.meshlet_id[:n]).tolist()))
-    bset = set(zip(np.asarray(res_act.draws.object_id[:n]).tolist(),
-                   np.asarray(res_act.draws.meshlet_id[:n]).tolist()))
-    assert a == bset
+    nf = int(res_full.draws.count)
+    na = int(res_act.draws.count)
+    a = set(zip(np.asarray(res_full.draws.object_id[:nf]).tolist(),
+                np.asarray(res_full.draws.meshlet_id[:nf]).tolist()))
+    bset = set(zip(np.asarray(res_act.draws.object_id[:na]).tolist(),
+                   np.asarray(res_act.draws.meshlet_id[:na]).tolist()))
+    # the preculled set is a subset: its object-level OBB test is tighter
+    # than the brute path's per-pair sphere tests. Anything it drops must
+    # belong to an object whose OBB is fully outside the frustum.
+    assert bset <= a
+    if bset != a:
+        obb = np.asarray(inst.object_obb_tw)
+        p = np.asarray(u.frustum_planes)
+        for oid, _m in a - bset:
+            c = obb[oid, 0:3]
+            axes = obb[oid, 3:12].reshape(3, 3)
+            d = c @ p[:, :3].T + p[:, 3]
+            r = np.abs(axes @ p[:, :3].T).sum(0)
+            assert (d + r < 0).any(), f"object {oid} dropped but OBB visible"
 
 
 def test_object_precull_drops_out_of_frustum_objects():
@@ -123,3 +135,52 @@ def test_object_precull_drops_out_of_frustum_objects():
                                 pools.num_pairs)
     # far fewer active pairs than the full table
     assert int(active.count) < pools.num_pairs // 2
+
+
+def test_object_precull_obb_tighter_than_sphere():
+    """The object pre-cull tests the instance OBB (reference
+    instance_culling.hlsl:48-131), not the bounding sphere: a long thin
+    plate lying just outside a frustum plane is culled even though its
+    bounding sphere pokes in; on-screen objects always survive."""
+    import jax.numpy as jnp
+    import numpy as np
+    from chord_tpu.asset.procedural import make_box
+    from chord_tpu.ops.cull import build_active_pairs
+    from chord_tpu.rhi.meshlet_scene import build_meshlet_pools
+    from chord_tpu.rhi.scene_arrays import SceneBuilder
+    from chord_tpu.utils.camera import Camera
+
+    b = SceneBuilder()
+    plate = b.add_mesh(make_box(extents=(40.0, 0.2, 0.2)))  # sphere r≈20
+    cube = b.add_mesh(make_box(extents=(1.0, 1.0, 1.0)))
+
+    cam = Camera(width=128, height=64)
+    cam.position = np.zeros(3)
+    cam.look_at(np.array([0.0, 0.0, -1.0]))
+
+    def at(x, y, z):
+        m = np.eye(4, dtype=np.float64)
+        m[3, :3] = (x, y, z)
+        return m
+
+    # plate parallel to the right frustum plane's x-extent, just outside
+    # the frustum at z=-5 (x ~ +7 is far outside a 90-ish deg frustum at
+    # that depth); its 20-unit bounding sphere still crosses the plane
+    b.add_instance(plate, 0, at(12.0, 0.0, 5.0))   # behind the camera too
+    b.add_instance(cube, 0, at(0.0, 0.0, -5.0))    # dead center on screen
+    pools = build_meshlet_pools(b)
+    inst = b.frame_instances(cam)
+    u = cam.view_uniform(0)
+    planes = jnp.asarray(u.frustum_planes)
+
+    act = build_active_pairs(pools, inst, planes, pools.num_pairs)
+    n = int(act.count)
+    objs = set(np.asarray(act.pair_object)[:n].tolist())
+    assert 1 in objs          # visible cube survives
+    assert 0 not in objs      # thin plate OBB-culled (sphere would pass)
+
+    # sanity: the sphere test alone would have kept the plate
+    s = np.asarray(inst.object_sphere_tw)
+    p = np.asarray(u.frustum_planes)
+    d = s[0, :3] @ p[:, :3].T + p[:, 3]
+    assert (d + s[0, 3] >= 0).all()
