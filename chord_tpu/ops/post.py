@@ -197,6 +197,51 @@ def compute_bloom(color: jnp.ndarray, cfg: BloomConfig) -> jnp.ndarray:
 
 # --- TSR (temporal super resolution) --------------------------------------
 
+def upsample2x_linear(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact half-pixel-center 2x bilinear upsample of (h,w[,c]) via
+    shift+lerp (matches jax.image.resize(..., "linear") without the
+    resize gather/conv lowering — dense stacks and adds only).
+
+    Output pixel y maps to half coord v = (y+0.5)/2 - 0.5: even rows
+    blend rows (k-1, k) with weights (0.25, 0.75), odd rows (k, k+1)
+    with (0.75, 0.25) — same in x; edges clamp."""
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[..., None]
+
+    def axis_up(a, axis):
+        # shifted-with-clamp neighbors
+        if axis == 0:
+            prev = jnp.concatenate([a[:1], a[:-1]], 0)
+            nxt = jnp.concatenate([a[1:], a[-1:]], 0)
+        else:
+            prev = jnp.concatenate([a[:, :1], a[:, :-1]], 1)
+            nxt = jnp.concatenate([a[:, 1:], a[:, -1:]], 1)
+        even = 0.25 * prev + 0.75 * a
+        odd = 0.75 * a + 0.25 * nxt
+        # interleave along `axis`
+        stacked = jnp.stack([even, odd], axis=axis + 1)
+        sh = list(a.shape)
+        sh[axis] *= 2
+        return stacked.reshape(sh)
+
+    x = axis_up(axis_up(x, 0), 1)
+    return x[..., 0] if squeeze else x
+
+
+def upsample_linear(x: jnp.ndarray, k: int, out_h: int, out_w: int
+                    ) -> jnp.ndarray:
+    """Power-of-two k-x bilinear upsample by repeated 2x steps, cropped
+    to (out_h, out_w). Not bit-exact to a single k-x resize (cascaded
+    2x lerps re-sample the intermediate grid) — visually equivalent and
+    ~an order of magnitude cheaper than the resize lowering."""
+    assert k & (k - 1) == 0, "k must be a power of two"
+    while k > 1:
+        x = upsample2x_linear(x)
+        k //= 2
+    return x[:out_h, :out_w]
+
+
 def tsr_prepare(motion_ndc: jnp.ndarray, depth: jnp.ndarray
                 ) -> jnp.ndarray:
     """TSR prepare pass (reference tsr_prepare.hlsl): 3x3 closest-depth

@@ -399,13 +399,23 @@ def _inject_cascade(cache, c, pos, flat, ok, gi_cfg):
 def _weighted_resize(planes: jnp.ndarray, weight: jnp.ndarray,
                      out_hw: Tuple[int, int]) -> jnp.ndarray:
     """Weight-aware bilinear resize: invalid probes don't bleed into the
-    interpolation (resize(planes*w)/resize(w))."""
-    import jax.image as jimage
-
+    interpolation (resize(planes*w)/resize(w)). Power-of-two upscales
+    take the cascaded shift+lerp path (ops/post.py upsample_linear —
+    the resize lowering gathers); anything else falls back to
+    jax.image.resize."""
     h, w = out_hw
-    num = jimage.resize(planes * weight[..., None],
-                        (h, w, planes.shape[-1]), "linear")
-    den = jimage.resize(weight, (h, w), "linear")
+    ph, pw = weight.shape
+    ky, kx = h / ph, w / pw
+    if ky == kx and ky >= 1 and float(ky).is_integer() and \
+            (int(ky) & (int(ky) - 1)) == 0:
+        from .post import upsample_linear
+        num = upsample_linear(planes * weight[..., None], int(ky), h, w)
+        den = upsample_linear(weight, int(ky), h, w)
+    else:
+        import jax.image as jimage
+        num = jimage.resize(planes * weight[..., None],
+                            (h, w, planes.shape[-1]), "linear")
+        den = jimage.resize(weight, (h, w), "linear")
     return num / jnp.maximum(den[..., None], 1e-4)
 
 

@@ -154,3 +154,25 @@ def test_disocclusion_mask_static_and_moved():
         jnp.asarray(pos), valid, jnp.asarray(prev_depth2), jnp.asarray(m),
         jnp.ones(())))
     assert mask2.min() == 1.0
+
+
+def test_upsample2x_linear_matches_resize():
+    import jax.image as jimage
+    import jax.numpy as jnp
+    import numpy as np
+    from chord_tpu.ops.post import upsample2x_linear, upsample_linear
+
+    rng = np.random.default_rng(5)
+    x = rng.random((9, 13, 3)).astype(np.float32)
+    got = np.asarray(upsample2x_linear(jnp.asarray(x)))
+    ref = np.asarray(jimage.resize(jnp.asarray(x), (18, 26, 3), "linear"))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+    # 2D path
+    got2 = np.asarray(upsample2x_linear(jnp.asarray(x[..., 0])))
+    np.testing.assert_allclose(got2, ref[..., 0], atol=1e-6)
+    # cascaded 4x stays close to the direct resize (not bit-exact)
+    got4 = np.asarray(upsample_linear(jnp.asarray(x), 4, 36, 52))
+    ref4 = np.asarray(jimage.resize(jnp.asarray(x), (36, 52, 3), "linear"))
+    # random-noise worst case: cascaded lerps smooth slightly more
+    assert np.abs(got4 - ref4).max() < 0.2
+    assert np.abs(got4 - ref4).mean() < 0.04
