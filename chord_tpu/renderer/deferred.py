@@ -146,13 +146,19 @@ class RendererConfig(NamedTuple):
     interpret: bool = False          # pallas interpreter (CPU tests)
 
     def raster_config(self) -> RasterConfig:
+        import math
+
         bricks = bool(cvars.get("r.raster.bricks"))
         tile_h = int(cvars.get("r.raster.tileH"))
-        if bricks and tile_h % 16 != 0:
-            tile_h = max(16, tile_h // 16 * 16)
+        sub_s = int(cvars.get("r.raster.subS"))
+        # tile_h must divide by 8 (f32 sublane), sub_s (row packing) and,
+        # in bricks mode, 4*sub_s (brick rows per pack iteration)
+        mult = math.lcm(8, sub_s, 4 * sub_s if bricks else 1)
+        if tile_h % mult != 0:
+            tile_h = max(mult, tile_h // mult * mult)
         return RasterConfig(
             width=self.width, height=self.height,
-            tile_h=tile_h,
+            tile_h=tile_h, sub_s=sub_s,
             pair_capacity=self.pair_capacity,
             big_capacity=self.big_capacity, subtiles=self.subtiles,
             bricks=bricks,

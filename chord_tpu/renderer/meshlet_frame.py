@@ -312,7 +312,7 @@ def render_frame_meshlet(
         with jax.named_scope("raster.phase0"):
             setup0 = mesh_shader_setup(
                 res0.draws, pools, instances, view.tw_to_clip, cap, w, h,
-                interpret=rc.interpret)
+                sub_s=rc_a.sub_s, interpret=rc.interpret)
             queue0 = bin_windows(setup0, rc_a)
             rt0 = list(raster_queue(queue0, setup0, rc_a))
             rstats0 = {"bin_overflow": queue0.overflow,
@@ -333,7 +333,7 @@ def render_frame_meshlet(
         with jax.named_scope("raster.phase1"):
             setup1 = mesh_shader_setup(
                 res1.draws, pools, instances, view.tw_to_clip, cap1, w, h,
-                payload_base=cap, interpret=rc.interpret)
+                payload_base=cap, sub_s=rc_a.sub_s, interpret=rc.interpret)
             queue1 = bin_windows(setup1, rc_a)
             rt = list(raster_queue(queue1, setup1, rc_a, seeds=tuple(rt0)))
             rstats1 = {"bin_overflow": queue1.overflow,
@@ -358,7 +358,7 @@ def render_frame_meshlet(
         with jax.named_scope("raster"):
             setup0 = mesh_shader_setup(
                 res0.draws, pools, instances, view.tw_to_clip, cap, w, h,
-                interpret=rc.interpret)
+                sub_s=rc_a.sub_s, interpret=rc.interpret)
             queue0 = bin_windows(setup0, rc_a)
             rt = list(raster_queue(queue0, setup0, rc_a))
             rstats = {"bin_overflow": queue0.overflow,
@@ -394,7 +394,7 @@ def render_frame_meshlet(
         with jax.named_scope("masked.raster"):
             setup_m = mesh_shader_setup(
                 res_m.draws, pools, instances, view.tw_to_clip, cap_m,
-                w, h, payload_base=base_m, interpret=rc.interpret)
+                w, h, payload_base=base_m, sub_s=rc_a.sub_s, interpret=rc.interpret)
             q_m = bin_windows(setup_m, rc_a)
             rt_m = list(raster_queue(q_m, setup_m, rc_a))
         with jax.named_scope("masked.accept"):
@@ -765,7 +765,7 @@ def render_frame_meshlet(
         with jax.named_scope("blend.raster"):
             setup_b = mesh_shader_setup(
                 res_b.draws, pools, instances, view.tw_to_clip, cap_b,
-                w, h, interpret=rc.interpret)
+                w, h, sub_s=rc_a.sub_s, interpret=rc.interpret)
             q_b = bin_windows(setup_b, rc_a)
             rt_b = list(raster_queue(q_b, setup_b, rc_a))
         with jax.named_scope("blend.shade"):

@@ -130,6 +130,9 @@ cvars = CVarSystem()
 cvars.register("r.raster.tileH", 216, "Raster tile height in pixels.",
                vtype=int)
 cvars.register("r.raster.tileW", 128, "Raster tile width in pixels.", vtype=int)
+cvars.register("r.raster.subS", 4,
+               "Raster subwindows per 128-tri window (groups of 128/S "
+               "tris, each with its own bbox row loop).", vtype=int)
 cvars.register("r.raster.bricks", False,
                "Brick accumulator layout: vreg rows cover 4x32-px bricks "
                "so narrow triangle groups skip non-overlapped 32-px "

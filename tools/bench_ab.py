@@ -47,6 +47,10 @@ def main():
     base = MeshletFrameConfig(draw_capacity=6144, occlusion=True)
     cases = {
         "off": (base, {}),
+        "off_s8": (base, {"r.raster.subS": 8}),
+        "off_s16": (base, {"r.raster.subS": 16}),
+        "off_s16_bricks": (base, {"r.raster.subS": 16,
+                                  "r.raster.bricks": True}),
         "bricks": (base, {"r.raster.bricks": True}),
         "masked": (base._replace(alpha_masked=True), {}),
         "masked_bricks": (base._replace(alpha_masked=True),
