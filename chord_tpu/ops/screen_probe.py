@@ -511,10 +511,6 @@ def bilateral_upsample(
     from .post import upsample_nearest
 
     h, w = depth_full.shape
-    hh, wh = depth_half.shape
-
-    def up(a):
-        return upsample_nearest(a, 2, h, w)
 
     ys = jnp.arange(h, dtype=jnp.int32)[:, None]
     xs = jnp.arange(w, dtype=jnp.int32)[None, :]
@@ -526,39 +522,38 @@ def bilateral_upsample(
     wy0 = jnp.where(even_y, 0.25, 0.75).astype(jnp.float32)
     wx0 = jnp.where(even_x, 0.25, 0.75).astype(jnp.float32)
 
+    # the 4 taps per pixel draw from half rows {k-1,k,k+1} x cols
+    # {j-1,j,j+1}: 9 shifted planes per field (was 16) + parity selects
+    fields = jnp.concatenate(
+        [diffuse_half, depth_half[..., None], normal_half], axis=-1)
+
+    def shifted(ry, rx):
+        u = upsample_nearest(jnp.roll(fields, (ry, rx), (0, 1)), 2, h, w)
+        return u
+
+    U = {(ry, rx): shifted(ry, rx)
+         for ry in (1, 0, -1) for rx in (1, 0, -1)}
+
+    def tap(ty, tx):
+        # y-shift: even rows 1-ty, odd rows -ty (same in x)
+        ee = U[(1 - ty, 1 - tx)]
+        eo = U[(1 - ty, -tx)]
+        oe = U[(-ty, 1 - tx)]
+        oo = U[(-ty, -tx)]
+        eyb = even_y[..., None]
+        exb = even_x[..., None]
+        return jnp.where(eyb & exb, ee,
+                         jnp.where(eyb & ~exb, eo,
+                                   jnp.where(~eyb & exb, oe, oo)))
+
     acc = jnp.zeros((h, w, 3))
     wacc = jnp.zeros((h, w))
     for ty in (0, 1):
         for tx in (0, 1):
-            # tap position in half space depends on pixel parity; rolls
-            # must be static, so build all parity variants and select
-            def tap(a, ry, rx):
-                return up(jnp.roll(a, (ry, rx), (0, 1)))
-            # ry in {1,0} for ty=0/1 on even rows; {0,-1} on odd rows
-            c_ee = tap(diffuse_half, 1 - ty, 1 - tx)
-            c_eo = tap(diffuse_half, 1 - ty, -tx)
-            c_oe = tap(diffuse_half, -ty, 1 - tx)
-            c_oo = tap(diffuse_half, -ty, -tx)
-            d_ee = tap(depth_half[..., None], 1 - ty, 1 - tx)[..., 0]
-            d_eo = tap(depth_half[..., None], 1 - ty, -tx)[..., 0]
-            d_oe = tap(depth_half[..., None], -ty, 1 - tx)[..., 0]
-            d_oo = tap(depth_half[..., None], -ty, -tx)[..., 0]
-            n_ee = tap(normal_half, 1 - ty, 1 - tx)
-            n_eo = tap(normal_half, 1 - ty, -tx)
-            n_oe = tap(normal_half, -ty, 1 - tx)
-            n_oo = tap(normal_half, -ty, -tx)
-            eyb = even_y[..., None] if c_ee.ndim == 3 else even_y
-            exb = even_x[..., None] if c_ee.ndim == 3 else even_x
-            col = jnp.where(eyb & exb, c_ee,
-                            jnp.where(eyb & ~exb, c_eo,
-                                      jnp.where(~eyb & exb, c_oe, c_oo)))
-            dep = jnp.where(even_y & even_x, d_ee,
-                            jnp.where(even_y & ~even_x, d_eo,
-                                      jnp.where(~even_y & even_x, d_oe,
-                                                d_oo)))
-            nrm = jnp.where(eyb & exb, n_ee,
-                            jnp.where(eyb & ~exb, n_eo,
-                                      jnp.where(~eyb & exb, n_oe, n_oo)))
+            t = tap(ty, tx)
+            col = t[..., 0:3]
+            dep = t[..., 3]
+            nrm = t[..., 4:7]
             wb = (jnp.where(ty == 0, wy0, 1.0 - wy0) *
                   jnp.where(tx == 0, wx0, 1.0 - wx0))
             wd = jnp.exp(-jnp.abs(dep - depth_full) * 64.0)
