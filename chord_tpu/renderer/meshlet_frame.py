@@ -173,7 +173,25 @@ def render_shadow_cascade(
     rc = RasterConfig(width=r, height=r,
                       pair_capacity=rc_main.pair_capacity,
                       big_capacity=rc_main.big_capacity,
+                      sub_s=rc_main.sub_s,
                       interpret=rc_main.interpret)
+    rc_a = rc._replace(with_attrs=True)
+
+    def depth_raster(res, m, cap, with_attrs):
+        # fused mesh-shader setup with the light matrix (expand_draws'
+        # XLA path gathers cap*128*3 vertices — capacity-proportional;
+        # the kernel is count-proportional). The 40-row coef block's
+        # first 16 rows ARE the 16-row depth-only layout, so the opaque
+        # cascade rasters without attribute planes.
+        setup = mesh_shader_setup(
+            res.draws, pools, instances, m, cap, r, r,
+            backface_cull=False, sub_s=rc.sub_s, interpret=rc.interpret)
+        if with_attrs:
+            q = bin_windows(setup, rc_a)
+            return raster_queue(q, setup, rc_a)
+        setup16 = setup.replace(coefT=setup.coefT[:16])
+        q = bin_windows(setup16, rc)
+        return raster_queue(q, setup16, rc)
 
     def one(i):
         def f():
@@ -189,10 +207,7 @@ def render_shadow_cascade(
                              mcfg.shadow_lod_scale,
                              enable_cone=False,   # depth pass: no backface
                              masked=opq)
-            st = expand_draws(res.draws, pools, instances, m, cap_s)
-            depth_i, _vis, _stats = rasterize(
-                st.clip, st.indices, st.tri_valid, st.payload, rc,
-                backface_cull=False)
+            depth_i = depth_raster(res, m, cap_s, with_attrs=False)[0]
             if mcfg.alpha_masked:
                 # alpha-tested masked casters (the reference's Masked
                 # depth permutation discards in the PS; here: raster the
@@ -205,12 +220,7 @@ def render_shadow_cascade(
                                    lod_threshold=mcfg.lod_threshold_px *
                                    mcfg.shadow_lod_scale,
                                    enable_cone=False, masked=True)
-                st_m = expand_draws(res_m.draws, pools, instances, m,
-                                    cap_m)
-                rts_m = rasterize(
-                    st_m.clip, st_m.indices, st_m.tri_valid, st_m.payload,
-                    rc._replace(with_attrs=True), backface_cull=False,
-                    attrs=st_m.attrs)
+                rts_m = depth_raster(res_m, m, cap_m, with_attrs=True)
                 depth_m, vis_m = rts_m[0], rts_m[1]
                 hit_m, keep_m = shading.masked_alpha_keep(
                     vis_m, rts_m[5], rts_m[6], res_m.draws.object_id, 0,

@@ -127,7 +127,8 @@ def test_temporal_shadow_mask_accumulates():
     img2, _ = r.render(pools, inst, cam.view_uniform(1))
     mask2 = np.asarray(r.history.shadow_mask)
 
-    assert mask1.shape == (24, 48)          # eval res = render res / 2
+    d_ = scfg.eval_res_div
+    assert mask1.shape == (48 // d_, 96 // d_)   # eval-res mask in history
     assert np.isfinite(mask2).all()
     assert mask2.min() >= 0.0 and mask2.max() <= 1.0
     # static view: the blended mask must not drift
