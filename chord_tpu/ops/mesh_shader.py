@@ -226,13 +226,21 @@ def _mesh_shader_kernel(dm_ref, tcnt_ref, count_ref,
             # width (constant 64 would alias x-buckets into the next y
             # row at widths over 2048, e.g. 4K)
             x_buckets = float(-(-width // 32))
+            # invalid lanes take one bucket PAST the last valid one; the
+            # combined key*256+lane stays an exact f32 integer (< 2^24),
+            # so every lane's key is DISTINCT. (A fractional iota
+            # tiebreak fell below the f32 ulp at the invalid-key
+            # magnitude: equal-rank lanes made the one-hot matmul SUM
+            # two columns — two poison -1.0 halves summed into a
+            # huge-exponent plane constant that rastered full-tile
+            # phantom coverage at depth 1.0.)
+            inv_bucket = (float(-(-height // 8)) + 1.0) * x_buckets
             key = jnp.where(valid,
                             jnp.floor(iy0 * 0.125) * x_buckets +
                             jnp.floor(ix0 * 0.03125),
-                            jnp.float32(x_buckets * 4096.0))   # (1,128)
-            keyj = key + jax.lax.broadcasted_iota(
-                jnp.int32, (1, WINDOW), 1).astype(jnp.float32) * \
-                (1.0 / 256.0)                               # stable tiebreak
+                            jnp.float32(inv_bucket))           # (1,128)
+            keyj = key * 256.0 + jax.lax.broadcasted_iota(
+                jnp.int32, (1, WINDOW), 1).astype(jnp.float32)  # exact ints
             a_m = jnp.broadcast_to(keyj, (WINDOW, WINDOW))   # A[i,j]=key_j
             b_m = jnp.transpose(a_m)                         # B[i,j]=key_i
             rank = jnp.sum((a_m < b_m).astype(jnp.float32), axis=1,

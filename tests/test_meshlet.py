@@ -109,3 +109,52 @@ def test_meshlet_frame_end_to_end(occlusion):
         diff = np.abs(img.astype(int) - img2.astype(int)).mean()
         assert diff < 6.0, f"temporal instability {diff}"
         assert int(np.asarray(stats2["draws_phase1"])) >= 0
+
+
+def test_mesh_shader_sort_no_phantom_from_invalid_lanes():
+    """In-window sort keys must be collision-free: equal-rank lanes make
+    the one-hot permutation matmul SUM columns, and two summed poison
+    constants (-1.0 halves) become a huge-exponent plane that rasters
+    full-tile phantom coverage at depth 1.0/payload 0 (hit via the
+    shadow cascades on sponza). Sorted and unsorted setups must raster
+    identically for windows with many invalid lanes."""
+    import jax.numpy as jnp
+    import numpy as np
+    from chord_tpu.asset.procedural import build_sponza_like
+    from chord_tpu.ops.raster import RasterConfig, bin_windows, raster_queue
+    from chord_tpu.renderer import meshlet_frame as mf
+    from chord_tpu.renderer.deferred import DeviceView
+    from chord_tpu.renderer.meshlet_frame import MeshletFrameConfig
+    from chord_tpu.rhi.meshlet_scene import build_meshlet_pools
+    from chord_tpu.utils.camera import Camera
+
+    b = build_sponza_like(detail=1)
+    pools = build_meshlet_pools(b)     # partial meshlets -> invalid lanes
+    cam = Camera(width=256, height=256)
+    cam.position = np.array([-15.0, 4.0, 3.0])
+    cam.look_at(np.array([10.0, 2.0, -2.0]))
+    inst = b.frame_instances(cam)
+    scfg = MeshletFrameConfig(draw_capacity=256).shadow_cfg
+    view = DeviceView.from_uniform(cam.view_uniform(0), shadow_cfg=scfg)
+    r = 256
+    m = view.shadow_tw_to_light[1]     # ortho light view, partial windows
+    res = mf.cull_pairs(pools, inst, view.shadow_frustum_planes[1],
+                        jnp.float32(0.5 * r * np.asarray(m)[1, 1]), 256,
+                        lod_threshold=1.0, enable_cone=False)
+    rc = RasterConfig(width=r, height=r, pair_capacity=4096,
+                      big_capacity=64, interpret=True)
+    outs = {}
+    for sort in (True, False):
+        setup = mf.mesh_shader_setup(res.draws, pools, inst, m, 256, r, r,
+                                     backface_cull=False, sub_s=rc.sub_s,
+                                     interpret=True, sort_tris=sort)
+        s16 = setup.replace(coefT=setup.coefT[:16])
+        q = bin_windows(s16, rc)
+        d, v = raster_queue(q, s16, rc)[:2]
+        outs[sort] = (np.asarray(d), np.asarray(v))
+    d_s, v_s = outs[True]
+    d_n, v_n = outs[False]
+    np.testing.assert_array_equal(d_s > 0, d_n > 0)
+    np.testing.assert_allclose(d_s, d_n, atol=1e-5)
+    # no phantom payload-0 coverage
+    assert not ((v_s == 0) & (d_s > 0)).any()
