@@ -130,9 +130,11 @@ cvars = CVarSystem()
 cvars.register("r.raster.tileH", 216, "Raster tile height in pixels.",
                vtype=int)
 cvars.register("r.raster.tileW", 128, "Raster tile width in pixels.", vtype=int)
-cvars.register("r.raster.subS", 4,
+cvars.register("r.raster.subS", 8,
                "Raster subwindows per 128-tri window (groups of 128/S "
-               "tris, each with its own bbox row loop).", vtype=int)
+               "tris, each with its own bbox row loop). Workload model: "
+               "row iterations 59972/40555/32709 at S=4/8/16 on the "
+               "bench heavy camera.", vtype=int)
 cvars.register("r.raster.bricks", False,
                "Brick accumulator layout: vreg rows cover 4x32-px bricks "
                "so narrow triangle groups skip non-overlapped 32-px "
