@@ -54,8 +54,29 @@ def render_oracle(builder, cam, width, height,
     clip = (ph @ vp).astype(np.float32)
     indices = np.arange(t * 3, dtype=np.int64).reshape(-1, 3)
     payload = np.arange(1, t + 1, dtype=np.uint32)
-    depth, vis = rasterize_oracle(clip, indices,
-                                  np.ones(t, bool), payload, width, height)
+
+    # material bucket routing (pipeline_filter semantics): opaque rasters
+    # first; the masked bucket punches through with a deferred constant-
+    # alpha test against its cutoff (single layer, engine parity); blend
+    # forward-shades one depth-peeled layer after lighting
+    mode = np.asarray([{"opaque": 0, "mask": 1, "blend": 2}[
+        builder.materials[i].alpha_mode] for i in
+        range(len(builder.materials))], np.int64)[mats]
+    factor = np.asarray([builder.materials[i].base_color[3]
+                         for i in range(len(builder.materials))])[mats]
+    cutoff = np.asarray([builder.materials[i].alpha_cutoff
+                         for i in range(len(builder.materials))])[mats]
+
+    depth, vis = rasterize_oracle(clip, indices, mode == 0, payload,
+                                  width, height)
+    if (mode == 1).any():
+        depth_m, vis_m = rasterize_oracle(clip, indices, mode == 1,
+                                          payload, width, height)
+        tm = np.maximum(vis_m.astype(np.int64) - 1, 0)
+        accept = (vis_m > 0) & (depth_m > depth) & \
+            (factor[tm] >= cutoff[tm])
+        depth = np.where(accept, depth_m, depth)
+        vis = np.where(accept, vis_m, vis)
 
     # per-pixel resolve + shade (scalar spec math, vectorized by numpy)
     tri_id = vis.astype(np.int64) - 1
@@ -132,6 +153,39 @@ def render_oracle(builder, cam, width, height,
     up_wrap = np.clip(n[..., 1] * 0.5 + 0.5, 0.0, 1.0)[..., None]
     lit = direct + diff_color * (sky * up_wrap) + emissive
     color = np.where(hit[..., None], lit, sky)
+
+    if (mode == 2).any():
+        # forward blend layer (shade_blend_layer semantics: Lambert sun +
+        # ambient, src-alpha composite against the lit scene)
+        depth_b, vis_b = rasterize_oracle(clip, indices, mode == 2,
+                                          payload, width, height)
+        tb = np.maximum(vis_b.astype(np.int64) - 1, 0)
+        hit_b = (vis_b > 0) & (depth_b > depth)
+        cb0 = clip[indices[tb, 0]].astype(np.float64)
+        cb1 = clip[indices[tb, 1]].astype(np.float64)
+        cb2 = clip[indices[tb, 2]].astype(np.float64)
+
+        def edge_b(a, b):
+            return ((a[..., 1] * b[..., 3] - a[..., 3] * b[..., 1]) * px +
+                    (a[..., 3] * b[..., 0] - a[..., 0] * b[..., 3]) * py +
+                    (a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]))
+
+        lb0 = edge_b(cb1, cb2)
+        lb1 = edge_b(cb2, cb0)
+        lb2 = edge_b(cb0, cb1)
+        sb = lb0 + lb1 + lb2
+        sb = np.where(np.abs(sb) > 1e-20, sb, 1.0)
+        nb = ((lb0 / sb)[..., None] * nrms[tb, 0] +
+              (lb1 / sb)[..., None] * nrms[tb, 1] +
+              (lb2 / sb)[..., None] * nrms[tb, 2])
+        nb /= np.maximum(np.linalg.norm(nb, axis=-1, keepdims=True), 1e-12)
+        mrow_b = mat_rows[mats[tb]]
+        alb = mrow_b[..., 0:3] @ SRGB_TO_AP1.astype(np.float64)
+        em_b = mrow_b[..., 5:8] @ SRGB_TO_AP1.astype(np.float64)
+        a_b = np.where(hit_b, np.clip(factor[tb], 0.0, 1.0), 0.0)
+        ndl = np.clip((nb * sun_d).sum(-1), 0.0, 1.0)
+        col_b = alb * (sun_r * ndl[..., None] / np.pi + sky * 0.5) + em_b
+        color = color * (1.0 - a_b[..., None]) + col_b * a_b[..., None]
 
     # ACES film (Hill fit) + sRGB encode
     c = color * exposure

@@ -75,3 +75,75 @@ def test_meshlet_path_matches_oracle(oracle_image):
     assert int(np.asarray(stats["bin_overflow"])) == 0
     s = ssim(np.asarray(img), oracle_image)
     assert s >= 0.99, f"meshlet-path SSIM vs independent oracle: {s:.4f}"
+
+
+def test_bucket_routing_matches_oracle():
+    """Masked punch-through + blend forward layer vs the independent
+    oracle (pipeline_filter bucket routing, single-layer semantics):
+    a solid masked pane shades opaque-style, a failing masked pane
+    vanishes, a translucent pane composites src-alpha over the lit
+    scene."""
+    from chord_tpu.asset.procedural import make_box, make_plane
+    from chord_tpu.renderer.deferred import RendererConfig
+    from chord_tpu.renderer.meshlet_frame import (MeshletFrameConfig,
+                                                  MeshletRenderer)
+    from chord_tpu.rhi.meshlet_scene import build_meshlet_pools
+    from chord_tpu.rhi.scene_arrays import MaterialData, SceneBuilder
+    from chord_tpu.utils import math as cmath
+    from chord_tpu.utils.camera import Camera
+    from chord_tpu.utils.cvar import cvars
+    from oracle_frame import render_oracle
+
+    b = SceneBuilder()
+    plane = b.add_mesh(make_plane(1.0, segments=2))
+    box = b.add_mesh(make_box(extents=(2.0, 2.0, 2.0)))
+    gray = b.add_material(MaterialData(base_color=(0.6, 0.6, 0.6, 1.0),
+                                       roughness=0.8))
+    red = b.add_material(MaterialData(base_color=(0.6, 0.2, 0.2, 1.0),
+                                      roughness=0.5, metallic=0.3))
+    m_solid = b.add_material(MaterialData(
+        base_color=(0.2, 0.5, 0.2, 0.9), alpha_mode="mask",
+        alpha_cutoff=0.5, roughness=0.7))
+    m_clear = b.add_material(MaterialData(
+        base_color=(0.5, 0.5, 0.1, 0.1), alpha_mode="mask",
+        alpha_cutoff=0.5, roughness=0.7))
+    glass = b.add_material(MaterialData(
+        base_color=(0.2, 0.4, 0.7, 0.45), alpha_mode="blend",
+        roughness=0.1))
+
+    b.add_instance(plane, gray, cmath.compose_trs((0, 0, 0),
+                                                  scale=(20, 1, 20)))
+    b.add_instance(box, red, cmath.compose_trs((0, 1.0, -4.0)))
+    # panes tilted toward the camera so their front faces are seen
+    # (quaternion: -60 deg about X, glTF xyzw)
+    q = (np.sin(np.deg2rad(-30.0)), 0.0, 0.0, np.cos(np.deg2rad(-30.0)))
+    b.add_instance(plane, m_solid, cmath.compose_trs(
+        (-4.0, 2.0, 0.0), rotation_quat=q, scale=(2, 1, 2)))
+    b.add_instance(plane, m_clear, cmath.compose_trs(
+        (0.0, 2.0, 0.0), rotation_quat=q, scale=(2, 1, 2)))
+    b.add_instance(plane, glass, cmath.compose_trs(
+        (4.0, 2.0, 0.0), rotation_quat=q, scale=(2, 1, 2)))
+
+    w, h = 320, 180
+    cam = Camera(width=w, height=h)
+    cam.position = np.array([0.0, 5.0, 12.0])
+    cam.look_at(np.array([0.0, 1.0, 0.0]))
+
+    oracle = render_oracle(b, cam, w, h, exposure=1.0)
+
+    pools = build_meshlet_pools(b, nanite=False)
+    inst = b.frame_instances(cam)
+    cvars.set("r.exposure.fix", 1.0)
+    try:
+        r = MeshletRenderer(
+            RendererConfig(width=w, height=h, pair_capacity=8192,
+                           big_capacity=256, interpret=True,
+                           enable_bloom=False, enable_tsr=False),
+            MeshletFrameConfig(draw_capacity=1024, occlusion=True,
+                               alpha_masked=True, alpha_blend=True))
+        img, stats = r.render(pools, inst, cam.view_uniform(0))
+    finally:
+        cvars.set("r.exposure.fix", -1.0)
+    assert int(np.asarray(stats["bin_overflow"])) == 0
+    s = ssim(np.asarray(img), oracle)
+    assert s >= 0.985, f"bucket-routing SSIM vs oracle: {s:.4f}"
