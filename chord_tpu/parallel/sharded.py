@@ -111,21 +111,38 @@ class ShardedRenderer:
                                          config=self.strip_config,
                                          axis_name=AXIS)
 
-        def sharded_step(pools, instances, views, history):
-            def body(pools, instances, view, hist):
+        n = self.n
+        merge_cache = path == "meshlet" and self.mcfg.gi
+
+        def sharded_step(pools, instances, views, history, bvh):
+            def body(pools, instances, view, hist, bvh):
                 view = jax.tree.map(lambda x: x[0], view)
                 hist = jax.tree.map(lambda x: x[0], hist)
-                image, new_hist, stats = strip_fn(pools, instances, view, hist)
+                bvh_arg = None if isinstance(bvh, tuple) and not bvh \
+                    else bvh
+                image, new_hist, stats = strip_fn(pools, instances, view,
+                                                  hist, bvh=bvh_arg) \
+                    if path == "meshlet" else \
+                    strip_fn(pools, instances, view, hist)
+                if merge_cache:
+                    # the world SH cache is WORLD-anchored state: each
+                    # strip injects only its own screen probes, so the
+                    # per-strip caches are all-reduced (ICI psum) into
+                    # one consistent cache — the multi-chip analog of
+                    # the reference's single world cache
+                    new_hist = new_hist.replace(
+                        gi_cache=jax.lax.psum(new_hist.gi_cache, AXIS) /
+                        float(n))
                 stats = {k: jax.lax.psum(v, AXIS) for k, v in stats.items()}
                 return (image, jax.tree.map(lambda x: x[None], new_hist),
                         stats)
 
             return shard_map(
                 body, mesh=self.mesh,
-                in_specs=(P(), P(), P(AXIS), P(AXIS)),
+                in_specs=(P(), P(), P(AXIS), P(AXIS), P()),
                 out_specs=(P(AXIS), P(AXIS), P()),
                 check_rep=False,
-            )(pools, instances, views, history)
+            )(pools, instances, views, history, bvh)
 
         self._step = jax.jit(sharded_step)
 
@@ -133,44 +150,90 @@ class ShardedRenderer:
         self.history = None
 
     def render(self, pools, instances, view_uniform: ViewUniform,
-               **light_kwargs):
+               bvh=None, luts=None, **light_kwargs):
+        """One sharded frame. `luts` optionally carries replicated
+        precomputed tables {atmo_t_lut, atmo_ms_lut, atmo_sky_lut,
+        brdf_lut} (stacked per strip)."""
         if self.history is None:
-            one = FrameHistory.empty(self.strip_config.height,
-                                     self.config.width)
+            from ..ops.gi import GIConfig
+            m = self.mcfg
+            one = FrameHistory.empty(
+                self.strip_config.height, self.config.width,
+                gi_cfg=(m.gi_cfg or GIConfig()) if m.gi else None,
+                shadow_cascades=(m.shadow_cfg.cascade_count
+                                 if m.shadows else 0),
+                shadow_res=(m.shadow_cfg.resolution if m.shadows else 1),
+                shadow_div=m.shadow_cfg.eval_res_div,
+                probe_tile=8 if m.gi else 0)
             self.history = jax.tree.map(
                 lambda x: jnp.stack([x] * self.n), one)
         views = strip_device_views(view_uniform, self.n, **light_kwargs)
+        if luts:
+            views = views.replace(**{
+                k: jnp.stack([v] * self.n) for k, v in luts.items()})
         image, self.history, stats = self._step(
-            pools, instances, views, self.history)
+            pools, instances, views, self.history,
+            bvh if bvh is not None else ())
         return image, stats
 
 
 def dryrun(n_devices: int) -> None:
-    """Driver hook: build an n-device mesh, jit the FULL sharded meshlet
-    frame (GPU-driven cull + raster + shade + post per strip, exposure
-    psum over ICI), run one step on tiny shapes (called with
-    xla_force_host_platform_device_count virtual CPU devices)."""
+    """Driver hook: build an n-device mesh and jit the FULL sharded frame
+    — every feature the headline bench runs (GPU-driven cull + Nanite
+    LOD + two-phase occlusion + visbuffer raster + textures + masked +
+    blend + cascaded shadows + atmosphere + screen-probe GI + BVH rays +
+    SSR + bloom/TSR/tonemap) per screen strip, with the exposure
+    histogram and the world SH cache all-reduced over ICI. One step on
+    tiny shapes (called with xla_force_host_platform_device_count
+    virtual CPU devices)."""
     devices = jax.devices()[:n_devices]
     mesh = Mesh(np.array(devices), (AXIS,))
 
-    from ..asset.procedural import build_sponza_like
+    from ..asset.procedural import build_bistro_like
+    from ..ops import atmosphere as atm
+    from ..ops import brdf_lut as brdf
+    from ..ops.rt import build_scene_bvh
+    from ..ops.screen_probe import ScreenProbeConfig
+    from ..ops.shadow import ShadowConfig
     from ..rhi.meshlet_scene import build_meshlet_pools
     from ..utils.camera import Camera
 
-    b = build_sponza_like(detail=1)
-    pools = build_meshlet_pools(b)
+    b = build_bistro_like(detail=1, target_tris=12_000, textures=True)
+    pools = build_meshlet_pools(b, texture_pool=getattr(b, "texture_pool",
+                                                        None))
     h = 16 * n_devices
     cam = Camera(width=128, height=h)
-    cam.position = np.array([-15.0, 4.0, 3.0])   # inside the atrium
-    cam.look_at(np.array([10.0, 2.0, -2.0]))
+    cam.position = np.array([-20.0, 5.0, 4.0])
+    cam.look_at(np.array([25.0, 3.0, -4.0]))
 
+    scfg = ShadowConfig(cascade_count=2, resolution=64, temporal=False,
+                        jitter=False)
+    mcfg = MeshletFrameConfig(
+        draw_capacity=128, occlusion=True, shadows=True, shadow_cfg=scfg,
+        atmosphere=True, gi=True, gi_mode="probe", gi_rt=True, rt_rays=2,
+        ssr=True, textured=True, alpha_masked=True, alpha_blend=True,
+        probe_cfg=ScreenProbeConfig(rays=16, steps=4))
     config = RendererConfig(width=128, height=h, pair_capacity=2048,
-                            big_capacity=128, interpret=True)
-    r = ShardedRenderer(config, mesh, path="meshlet",
-                        mcfg=MeshletFrameConfig(draw_capacity=128,
-                                                occlusion=True))
+                            big_capacity=128, enable_bloom=True,
+                            enable_tsr=True, tsr_mode="global",
+                            interpret=True)
+    r = ShardedRenderer(config, mesh, path="meshlet", mcfg=mcfg)
     inst = b.frame_instances(cam)
-    image, stats = r.render(pools, inst, cam.view_uniform(0))
+    bvh = build_scene_bvh(pools, inst, granularity="object")
+
+    p_atm = atm.AtmosphereParams()
+    t_lut = atm.build_transmittance_lut(p_atm, 16)
+    ms_lut = atm.build_multiscatter_lut(p_atm, t_lut, dir_samples=4,
+                                        steps=4)
+    sun_d = np.asarray([0.3, 0.8, 0.5], np.float32)
+    sun_d /= np.linalg.norm(sun_d)
+    sky_lut = atm.build_sky_view_lut(p_atm, t_lut, ms_lut,
+                                     jnp.asarray(sun_d))
+    luts = dict(atmo_t_lut=t_lut, atmo_ms_lut=ms_lut,
+                atmo_sky_lut=sky_lut, brdf_lut=brdf.build_env_brdf_lut(16))
+
+    image, stats = r.render(pools, inst, cam.view_uniform(0), bvh=bvh,
+                            luts=luts, shadow_cfg=scfg)
     image.block_until_ready()
     print(f"dryrun_multichip({n_devices}): image {image.shape}, "
           f"stats {jax.tree.map(lambda x: np.asarray(x).item(), stats)}")
