@@ -133,7 +133,8 @@ def main() -> int:
     ap.add_argument("--shadows", action="store_true")
     ap.add_argument("--atmosphere", action="store_true")
     ap.add_argument("--gi", action="store_true")
-    ap.add_argument("--gi-mode", default="probe", choices=["probe", "cache"],
+    ap.add_argument("--gi-mode", default="probe",
+                    choices=["probe", "ddgi", "cache"],
                     help="probe = screen-probe stage (reference "
                          "screen_probe_gather pass list); cache = world "
                          "SH cache only")
@@ -142,6 +143,13 @@ def main() -> int:
                          "misses (offscreen geometry)")
     ap.add_argument("--ssr", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--draw-capacity", type=int, default=8192,
+                    help="visible-meshlet draw capacity (shrink for CPU "
+                         "interpret-mode debugging)")
+    ap.add_argument("--pair-capacity", type=int, default=16384,
+                    help="raster work-queue (tile,window) pair capacity")
+    ap.add_argument("--no-occlusion", action="store_true",
+                    help="skip the two-phase HZB occlusion passes")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="write a jax.profiler trace (the Tracy/GPU-"
                          "timestamp analog: every pass is a named_scope)")
@@ -175,9 +183,10 @@ def main() -> int:
     has_blend = any(m.alpha_mode == "blend" for m in b.materials)
     r = MeshletRenderer(
         RendererConfig(width=args.width, height=args.height,
-                       pair_capacity=16384, big_capacity=128,
+                       pair_capacity=args.pair_capacity, big_capacity=128,
                        interpret=interpret),
-        MeshletFrameConfig(draw_capacity=8192, occlusion=True,
+        MeshletFrameConfig(draw_capacity=args.draw_capacity,
+                           occlusion=not args.no_occlusion,
                            shadows=args.shadows, atmosphere=args.atmosphere,
                            gi=args.gi, debug_mode=args.debug,
                            # glTF with textures -> full textured shading

@@ -116,9 +116,14 @@ class MeshletFrameConfig(NamedTuple):
     gi_mode: str = "probe"         # "probe" = screen-probe stage (the
                                    # reference's Lumen-style gather,
                                    # screen_probe_gather.cpp:164-182);
+                                   # "ddgi" = clipmap light-probe volumes
+                                   # (the reference's r.gi.method alt path,
+                                   # renderer.cpp:22-28 + light_probe.cpp;
+                                   # needs the scene BVH);
                                    # "cache" = world-SH-cache only
     probe_cfg: "object" = None     # ops.screen_probe.ScreenProbeConfig
     gi_cfg: "gi_ops.GIConfig" = None
+    ddgi_cfg: "object" = None      # ops.ddgi.DDGIConfig
     # software-BVH ray fallback (reference: ray-query TLAS trace,
     # gi_raytracing.hlsli; here ops/rt.py over coarse meshlet spheres):
     # probe rays + specular misses see OFFSCREEN geometry
@@ -593,6 +598,7 @@ def render_frame_meshlet(
     new_probe_sh = history.probe_sh
     new_probe_depth = history.probe_depth
     new_gi_diffuse = history.gi_diffuse
+    new_ddgi = history.ddgi
     if mcfg.gi:
         gcfg = mcfg.gi_cfg or gi_ops.GIConfig()
         with jax.named_scope("gi.ssao"):
@@ -695,6 +701,22 @@ def render_frame_meshlet(
                 indirect = sp.bilateral_upsample(
                     diff_half, depth_half, normal_half, depth, gbuf.normal)
                 indirect = jnp.where(gbuf.valid[..., None], indirect, 0.0)
+        elif mcfg.gi_mode == "ddgi":
+            # DDGI alternative path (reference r.gi.method,
+            # renderer.cpp:22-28; update chain light_probe.cpp ddgiUpdate)
+            from ..ops import ddgi as ddgi_ops
+
+            assert bvh is not None, \
+                "gi_mode='ddgi' needs the scene BVH (enable gi_rt)"
+            dcfg = mcfg.ddgi_cfg or ddgi_ops.DDGIConfig()
+            sky_amb = (ambient.reshape(3) if ambient is not None
+                       else view.sky_ambient)
+            with jax.named_scope("gi.ddgi.update"):
+                new_ddgi = ddgi_ops.ddgi_update(
+                    history.ddgi, bvh, view.sun_direction, sun_radiance,
+                    sky_amb, history.frame_count, dcfg)
+            with jax.named_scope("gi.ddgi.sample"):
+                indirect = ddgi_ops.diffuse_ddgi(new_ddgi, gbuf, dcfg)
         else:
             with jax.named_scope("gi.sample"):
                 indirect = gi_ops.diffuse_gi(history.gi_cache, gbuf,
@@ -877,6 +899,7 @@ def render_frame_meshlet(
         probe_sh=new_probe_sh,
         probe_depth=new_probe_depth,
         gi_diffuse=new_gi_diffuse,
+        ddgi=new_ddgi,
     )
     return image, new_history, stats
 
@@ -915,6 +938,10 @@ class MeshletRenderer:
 
     def reset_history(self) -> None:
         self.history = None
+
+    def _ddgi_cfg(self):
+        from ..ops import ddgi as ddgi_ops
+        return self.mcfg.ddgi_cfg or ddgi_ops.DDGIConfig()
 
     def _brdf_lut(self):
         if getattr(self, "_brdf_cache", None) is None:
@@ -974,7 +1001,10 @@ class MeshletRenderer:
                     (self.mcfg.probe_cfg.tile if self.mcfg.probe_cfg
                      else 8)
                     if self.mcfg.gi and self.mcfg.gi_mode == "probe"
-                    else 0))
+                    else 0),
+                ddgi_cfg=(self._ddgi_cfg()
+                          if self.mcfg.gi and self.mcfg.gi_mode == "ddgi"
+                          else None))
         view = DeviceView.from_uniform(
             view_uniform,
             shadow_cfg=self.mcfg.shadow_cfg if self.mcfg.shadows else None,
@@ -986,7 +1016,9 @@ class MeshletRenderer:
                                 atmo_sky_lut=sky)
         if self.mcfg.gi:
             view = view.replace(brdf_lut=self._brdf_lut())
-        if self.mcfg.gi and self.mcfg.gi_rt and self._bvh is None:
+        if self.mcfg.gi and (self.mcfg.gi_rt or
+                             self.mcfg.gi_mode == "ddgi") and \
+                self._bvh is None:
             # host-side BVH build over the static scene (the reference's
             # TLAS build; rebuild here if instances move)
             from ..ops.rt import build_scene_bvh

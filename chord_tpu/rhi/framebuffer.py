@@ -87,6 +87,9 @@ class FrameHistory:
     probe_sh: jnp.ndarray        # (Ph,Pw,28) f32 packed SH3 + numSample
     probe_depth: jnp.ndarray     # (Ph,Pw) f32 probe ndc depth (reverse-Z)
     gi_diffuse: jnp.ndarray      # (Hh,Wh,3) f32 half-res diffuse history
+    # DDGI alternative GI path (reference DDGIContext, renderer/lighting.h;
+    # selected by r.gi.method): tiny placeholder shapes when off.
+    ddgi: "object"               # ops.ddgi.DDGIState pytree
 
     @classmethod
     def empty(cls, h: int, w: int, post_h: Optional[int] = None,
@@ -94,9 +97,11 @@ class FrameHistory:
               gi_cfg=None, shadow_div: int = 2,
               shadow_cascades: int = 0,
               shadow_res: int = 1,
-              probe_tile: int = 0) -> "FrameHistory":
+              probe_tile: int = 0,
+              ddgi_cfg=None) -> "FrameHistory":
         from ..ops.hzb import hzb_layout
         from ..ops.gi import GIConfig, sh_size
+        from ..ops.ddgi import DDGIState
 
         ph, pw = post_h or h, post_w or w
         ws, hs, offs = hzb_layout(w, h)
@@ -124,4 +129,5 @@ class FrameHistory:
             probe_sh=jnp.zeros((pr_h, pr_w, 28), jnp.float32),
             probe_depth=jnp.zeros((pr_h, pr_w), jnp.float32),
             gi_diffuse=jnp.zeros((gh, gw, 3), jnp.float32),
+            ddgi=DDGIState.empty(ddgi_cfg),
         )
