@@ -33,6 +33,16 @@ def load() -> ctypes.CDLL:
     lib.chord_nanite_build.restype = ctypes.c_int
     lib.chord_vertex_normals.restype = None
     lib.chord_bvh_build.restype = ctypes.c_int
+    lib.chord_job_launch.restype = ctypes.c_int64
+    lib.chord_job_launch_child.restype = ctypes.c_int64
+    lib.chord_job_launch.argtypes = [
+        _JOB_FN, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int]
+    lib.chord_job_launch_child.argtypes = [
+        ctypes.c_int64, _JOB_FN, ctypes.c_void_p]
+    lib.chord_job_wait.argtypes = [ctypes.c_int64]
+    lib.chord_job_finished.argtypes = [ctypes.c_int64]
+    lib.chord_job_finished.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -47,6 +57,113 @@ def available() -> bool:
 
 def _ptr(a: np.ndarray, ty):
     return a.ctypes.data_as(ctypes.POINTER(ty))
+
+
+# ---------------------------------------------------------------------------
+# Job system (native/jobsys.cpp): work-stealing worker pool with parent
+# counters + dependency chains (reference: source/utils/job_system.h:239
+# `launch`, :256 `parallelFor`; work_stealing_queue.h Chase-Lev deques).
+
+_JOB_FN = ctypes.CFUNCTYPE(None, ctypes.c_void_p)
+_FOR_FN = ctypes.CFUNCTYPE(None, ctypes.c_int, ctypes.c_void_p)
+_RANGE_FN = ctypes.CFUNCTYPE(None, ctypes.c_long, ctypes.c_long,
+                             ctypes.c_void_p)
+
+
+class JobSystem:
+    """Python face of the native job pool. Callbacks hop through ctypes
+    (each acquires the GIL), so use this for orchestrating NATIVE work or
+    coarse Python tasks; fine-grained Python loops belong in NumPy/JAX.
+
+    Handles stay valid until drain(); exceptions raised inside callbacks
+    are captured and re-raised by wait()/drain()."""
+
+    def __init__(self):
+        self._lib = load()
+        self._keep: dict = {}     # job handle -> callback keep-alive
+        self._errors: list = []
+
+    @property
+    def workers(self) -> int:
+        return int(self._lib.chord_job_workers())
+
+    def _wrap(self, fn):
+        def call(_user):
+            try:
+                fn()
+            except BaseException as e:   # noqa: BLE001 — crosses C ABI
+                self._errors.append(e)
+        return _JOB_FN(call)
+
+    def launch(self, fn, deps: Tuple[int, ...] = ()) -> int:
+        """Run fn() after every job in `deps` retires -> job handle."""
+        cb = self._wrap(fn)
+        n = len(deps)
+        dep_arr = (ctypes.c_int64 * max(n, 1))(*deps) if n else None
+        job = int(self._lib.chord_job_launch(cb, None, dep_arr, n))
+        self._keep[job] = cb
+        return job
+
+    def launch_child(self, parent: int, fn) -> int:
+        """Child job: waiting on `parent` also waits for the child
+        (reference parent counters). Launch before waiting on parent."""
+        cb = self._wrap(fn)
+        job = int(self._lib.chord_job_launch_child(parent, cb, None))
+        self._keep[job] = cb
+        return job
+
+    def wait(self, job: int) -> None:
+        self._lib.chord_job_wait(job)
+        self._raise()
+
+    def finished(self, job: int) -> bool:
+        return bool(self._lib.chord_job_finished(job))
+
+    def drain(self) -> None:
+        """Wait for ALL jobs; invalidates handles, frees the registry."""
+        self._lib.chord_jobs_drain()
+        self._keep.clear()
+        self._raise()
+
+    def parallel_for(self, n: int, fn) -> None:
+        """fn(i) for i in [0, n) across the pool (blocking)."""
+        def call(i, _user):
+            try:
+                fn(int(i))
+            except BaseException as e:   # noqa: BLE001
+                self._errors.append(e)
+        cb = _FOR_FN(call)
+        self._lib.chord_parallel_for(n, cb, None)
+        self._raise()
+
+    def parallel_for_grain(self, n: int, grain: int, fn) -> None:
+        """fn(start, end) over [0, n) in chunks of `grain` (blocking) —
+        the reference's parallelFor (job_system.h:256)."""
+        def call(s, e, _user):
+            try:
+                fn(int(s), int(e))
+            except BaseException as exc:   # noqa: BLE001
+                self._errors.append(exc)
+        cb = _RANGE_FN(call)
+        self._lib.chord_parallel_for_grain(n, grain, cb, None)
+        self._raise()
+
+    def _raise(self):
+        if self._errors:
+            err = self._errors[0]
+            self._errors.clear()
+            raise err
+
+
+_jobsys: "Optional[JobSystem]" = None
+
+
+def job_system() -> JobSystem:
+    """Process-global JobSystem (the reference's jobsystem:: singleton)."""
+    global _jobsys
+    if _jobsys is None:
+        _jobsys = JobSystem()
+    return _jobsys
 
 
 def nanite_build(positions: np.ndarray, indices: np.ndarray,

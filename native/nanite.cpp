@@ -700,105 +700,18 @@ int chord_bvh_build(const float* spheres, int n,
 }  // extern "C"
 
 // ---------------------------------------------------------------------
-// Job system: a std::thread worker pool with a shared task queue.
-// TPU-native equivalent of the reference's fiber-less job system
-// (reference: source/utils/job_system.h — cache-aligned jobs, worker
-// pools, parallelFor; SURVEY §2.10 maps it to a C++ pool for the offline
-// asset pipeline). Exposed as a batch-parallel driver for the Nanite
-// builder (one mesh per task) plus a generic parallel-for used from
-// Python via ctypes callbacks.
+// The job system lives in native/jobsys.cpp (work-stealing pool with
+// dependency graphs); the batch driver below runs on it through
+// chord_parallel_for.
 // ---------------------------------------------------------------------
 
 #include <atomic>
-#include <condition_variable>
-#include <functional>
-#include <mutex>
-#include <thread>
-
-namespace {
-
-class JobPool {
- public:
-  explicit JobPool(int workers) {
-    if (workers <= 0) workers = (int)std::thread::hardware_concurrency();
-    for (int i = 0; i < std::max(workers, 1); ++i)
-      threads_.emplace_back([this] { run(); });
-  }
-  ~JobPool() {
-    {
-      std::lock_guard<std::mutex> lk(m_);
-      stop_ = true;
-    }
-    cv_.notify_all();
-    for (auto& t : threads_) t.join();
-  }
-  void submit(std::function<void()> f) {
-    {
-      std::lock_guard<std::mutex> lk(m_);
-      q_.push_back(std::move(f));
-    }
-    cv_.notify_one();
-  }
-  void wait() {
-    std::unique_lock<std::mutex> lk(m_);
-    done_cv_.wait(lk, [this] { return q_.empty() && active_ == 0; });
-  }
-
- private:
-  void run() {
-    for (;;) {
-      std::function<void()> f;
-      {
-        std::unique_lock<std::mutex> lk(m_);
-        cv_.wait(lk, [this] { return stop_ || !q_.empty(); });
-        if (stop_ && q_.empty()) return;
-        f = std::move(q_.front());
-        q_.pop_front();
-        ++active_;
-      }
-      f();
-      {
-        std::lock_guard<std::mutex> lk(m_);
-        --active_;
-        if (q_.empty() && active_ == 0) done_cv_.notify_all();
-      }
-    }
-  }
-  std::vector<std::thread> threads_;
-  std::deque<std::function<void()>> q_;
-  std::mutex m_;
-  std::condition_variable cv_, done_cv_;
-  std::atomic<bool> stop_{false};
-  int active_ = 0;
-};
-
-JobPool& globalPool() {
-  static JobPool pool(0);
-  return pool;
-}
-
-}  // namespace
 
 extern "C" {
 
-// Generic parallel-for: calls fn(i, user) for i in [0, n) on the pool.
+// chord_parallel_for is defined in jobsys.cpp
 typedef void (*chord_for_fn)(int i, void* user);
-void chord_parallel_for(int n, chord_for_fn fn, void* user) {
-  JobPool& pool = globalPool();
-  std::atomic<int> next{0};
-  int workers = (int)std::thread::hardware_concurrency();
-  int lanes = std::max(1, std::min(workers, n));
-  for (int w = 0; w < lanes; ++w) {
-    pool.submit([&next, n, fn, user] {
-      for (;;) {
-        int i = next.fetch_add(1);
-        if (i >= n) return;
-        fn(i, user);
-      }
-    });
-  }
-  pool.wait();
-}
+void chord_parallel_for(int n, chord_for_fn fn, void* user);
 
 // Batch Nanite build: meshes packed back-to-back; per-mesh outputs are
 // written into per-mesh slices (caller precomputes capacities).
