@@ -53,10 +53,94 @@ USABLE = 31        # usable texels per axis (1-texel apron)
 _BIG = 1 << 30
 
 
+def _pca_axis(d: np.ndarray) -> np.ndarray:
+    """Dominant axis of centered block texels via power iteration.
+    d: (B, 16, 4) -> (B, 4) unit axes (zero blocks -> arbitrary unit)."""
+    cov = np.einsum("bti,btj->bij", d, d)
+    v = np.ones((d.shape[0], 4), np.float64)
+    for _ in range(8):
+        v = np.einsum("bij,bj->bi", cov, v)
+        n = np.linalg.norm(v, axis=1, keepdims=True)
+        v = np.where(n > 1e-12, v / np.maximum(n, 1e-12), 1.0)
+    return v
+
+
+def _decode_palette(e0: np.ndarray, e1: np.ndarray) -> np.ndarray:
+    """The kernel's exact 4-point decode ramp (pure f32 math so the host
+    oracle is bit-identical to the Pallas decode).
+    e0/e1: (B, 4) u8-valued -> (B, 4 levels, 4 ch) u8-valued f32."""
+    a = e0.astype(np.float32)[:, None, :]
+    b = e1.astype(np.float32)[:, None, :]
+    k = np.arange(4, dtype=np.float32)[None, :, None]
+    ramp = (a * (np.float32(3.0) - k) + b * k).astype(np.float32)
+    return np.floor(ramp * np.float32(1.0 / 3.0) + np.float32(0.5))
+
+
+def compress_page(img32: np.ndarray) -> np.ndarray:
+    """(32,32,4) u8 apron page -> (2,128) u32 block-compressed page.
+
+    BC-style 4x4 blocks (reference: the CPU BC1/BC3 texture compressor,
+    asset/texture/asset_texture_helper.cpp:24-216): per block, two full
+    RGBA8 endpoints on the block's principal color axis + 16 2-bit
+    selectors into the 4-point ramp. 12 bytes/block here vs BC3's 16 —
+    stored as 3 u32/block padded into 2 (1,128)-vreg rows, an exact 4x
+    footprint cut vs the raw (8,128) RGBA8 page. Selectors are chosen
+    nearest-of-4 against the QUANTIZED ramp (the same f32 decode math the
+    kernel applies), so the encoder is optimal given its endpoints.
+
+    Layout: row0 lanes [0..63] = endpoint0 RGBA8 per block, lanes
+    [64..127] = endpoint1; row1 lanes [0..63] = 16x2-bit selectors
+    (texel t = (sy%4)*4 + sx%4 at bits 2t), lanes [64..127] = 0."""
+    blocks = (img32.reshape(8, 4, 8, 4, 4).transpose(0, 2, 1, 3, 4)
+              .reshape(64, 16, 4).astype(np.float64))
+    mean = blocks.mean(1, keepdims=True)
+    d = blocks - mean
+    axis = _pca_axis(d)
+    proj = np.einsum("bti,bi->bt", d, axis)
+    pmin = proj.min(1)
+    pmax = proj.max(1)
+    e0 = np.clip(np.round(mean[:, 0] + axis * pmin[:, None]), 0, 255)
+    e1 = np.clip(np.round(mean[:, 0] + axis * pmax[:, None]), 0, 255)
+    pal = _decode_palette(e0, e1)                        # (64,4,4)
+    err = ((blocks[:, :, None, :] - pal[:, None, :, :]) ** 2).sum(-1)
+    sel = err.argmin(-1).astype(np.uint32)               # (64,16)
+    e0u = e0.astype(np.uint32)
+    e1u = e1.astype(np.uint32)
+    pack = lambda e: (e[:, 0] | (e[:, 1] << 8) | (e[:, 2] << 16) |
+                      (e[:, 3] << 24))
+    selw = (sel << (2 * np.arange(16, dtype=np.uint32))[None]).sum(
+        1, dtype=np.uint32)
+    out = np.zeros((2, 128), np.uint32)
+    out[0, :64] = pack(e0u)
+    out[0, 64:] = pack(e1u)
+    out[1, :64] = selw
+    return out
+
+
+def decompress_page(comp: np.ndarray) -> np.ndarray:
+    """NumPy oracle for the kernel's page decode: (2,128) u32 ->
+    (32,32,4) u8."""
+    e0w = comp[0, :64]
+    e1w = comp[0, 64:]
+    selw = comp[1, :64]
+    unpack = lambda w: np.stack([(w >> s) & 255 for s in (0, 8, 16, 24)],
+                                -1).astype(np.float64)
+    pal = _decode_palette(unpack(e0w), unpack(e1w))      # (64,4,4)
+    t = np.arange(16, dtype=np.uint32)
+    sel = (selw[:, None] >> (2 * t)[None]) & 3           # (64,16)
+    tex = pal[np.arange(64)[:, None], sel]               # (64,16,4)
+    return (tex.reshape(8, 8, 4, 4, 4).transpose(0, 2, 1, 3, 4)
+            .reshape(32, 32, 4).astype(np.uint8))
+
+
 def pack_paged_pool(pool_u8: np.ndarray, mip_sizes: Sequence[int],
-                    mip_offsets: Sequence[int]):
+                    mip_offsets: Sequence[int], compress: bool = False):
     """(L, total, 4) u8 flat-mip stack -> (pages (N*8,128) i32,
     meta (2, E_pad) i32 [page base | avg RGBA8], n_mips).
+
+    With compress=True, pages are block-compressed (2,128)-u32 units
+    (compress_page) — 4x smaller — and meta grows a third (zero) row:
+    the kernel detects the format from meta.shape[0].
 
     Entry id = layer * n_mips + mip; pages are stored entry-major."""
     n_layers = pool_u8.shape[0]
@@ -84,11 +168,22 @@ def pack_paged_pool(pool_u8: np.ndarray, mip_sizes: Sequence[int],
                 gy = np.minimum(ty * USABLE + idx, s - 1)
                 for tx in range(tcnt):
                     gx = np.minimum(tx * USABLE + idx, s - 1)
-                    pages.append(packed[np.ix_(gy, gx)].reshape(8, 128))
+                    page = packed[np.ix_(gy, gx)]
+                    if compress:
+                        rgba = np.stack(
+                            [(page >> sh) & 255 for sh in (0, 8, 16, 24)],
+                            -1).astype(np.uint8)
+                        pages.append(compress_page(rgba))
+                    else:
+                        pages.append(page.reshape(8, 128))
+    rows = 2 if compress else 8
     if not pages:
-        pages.append(np.zeros((8, 128), np.uint32))
+        pages.append(np.zeros((rows, 128), np.uint32))
     pages_np = np.concatenate(pages, 0).astype(np.uint32).view(np.int32)
-    meta = np.stack([base, avg.view(np.int32)])
+    meta_rows = [base, avg.view(np.int32)]
+    if compress:
+        meta_rows.append(np.zeros(e_pad, np.int32))   # format marker row
+    meta = np.stack(meta_rows)
     return jnp.asarray(pages_np), jnp.asarray(meta), n_mips
 
 
@@ -96,10 +191,11 @@ def _tiles(s: int) -> int:
     return 1 if s <= USABLE else -(-s // USABLE)
 
 
-def paged_pool_bytes(tex_pool_shape, mip_sizes) -> int:
+def paged_pool_bytes(tex_pool_shape, mip_sizes, compress=False) -> int:
     """Pages footprint for a (L, total, 4) pool (VMEM budget check)."""
     per_layer = sum(_tiles(s) ** 2 for s in mip_sizes)
-    return tex_pool_shape[0] * per_layer * TILE * TILE * 4
+    page_bytes = 2 * 128 * 4 if compress else TILE * TILE * 4
+    return tex_pool_shape[0] * per_layer * page_bytes
 
 
 def _gat_row(row: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -122,13 +218,44 @@ def _meta_gather(meta_row: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _stage_page(pages_ref, pal_ref, curc, compressed):
+    """Copy (raw) or decode (block-compressed) page `curc` of the pool
+    into the (8,128) RGBA8 palette scratch. The compressed decode runs
+    ONCE per staged page — the per-tap gather path below never changes —
+    so compression costs ~3 lane-shuffles + ~40 (8,128) vector ops per
+    page against a 4x cut in pool footprint and stage DMA bytes."""
+    if not compressed:
+        pal_ref[...] = pages_ref[pl.ds(curc * 8, 8), :]
+        return
+    comp = pages_ref[pl.ds(curc * 2, 2), :]
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    # output slot (row, lane) holds texel (sy = row*4 + lane//32,
+    # sx = lane%32) -> block bi = (sy//4)*8 + sx//4 = row*8 + (lane%32)//4
+    bi = row * 8 + (lane % 32) // 4
+    e0 = _gat_row(comp[0], bi)
+    e1 = _gat_row(comp[0], bi + 64)
+    sw = _gat_row(comp[1], bi)
+    t = (lane // 32) * 4 + (lane % 4)
+    sel = ((sw >> (2 * t)) & 3).astype(jnp.float32)
+    out = jnp.zeros((8, 128), jnp.int32)
+    for sh in (0, 8, 16, 24):
+        a = ((e0 >> sh) & 255).astype(jnp.float32)
+        b = ((e1 >> sh) & 255).astype(jnp.float32)
+        val = jnp.floor((a * (3.0 - sel) + b * sel) * (1.0 / 3.0)
+                        + 0.5).astype(jnp.int32)
+        out = out | (val << sh)
+    pal_ref[...] = out
+
+
 def _paged_kernel(meta_ref, pages_ref, u_ref, v_ref, mip_ref, lm_ref,
-                  *refs, n_mips, mip_sizes, K, C, bilinear, want_cov):
+                  *refs, n_mips, mip_sizes, K, C, bilinear, want_cov,
+                  compressed=False):
     out_ref = refs[0]
     cov_ref = refs[1] if want_cov else None
     pal_ref = refs[-1]
     bh = u_ref.shape[0]
-    n_pages = pages_ref.shape[0] // 8
+    n_pages = pages_ref.shape[0] // (2 if compressed else 8)
 
     # --- static per-mip size / tile-count via select chain (no gather) ---
     mip = jnp.clip(mip_ref[...], 0, n_mips - 1)
@@ -228,7 +355,7 @@ def _paged_kernel(meta_ref, pages_ref, u_ref, v_ref, mip_ref, lm_ref,
     for k in range(K):
         cur = jnp.min(remaining)
         curc = jnp.minimum(cur, n_pages - 1)
-        pal_ref[...] = pages_ref[pl.ds(curc * 8, 8), :]
+        _stage_page(pages_ref, pal_ref, curc, compressed)
         pal = pal_ref[...]
         # shared tap gathers for page k (8 sublane rows x taps)
         taps = []
@@ -262,7 +389,7 @@ def _paged_kernel(meta_ref, pages_ref, u_ref, v_ref, mip_ref, lm_ref,
     for k in range(C + 4):
         cur = jnp.min(fb_remaining)
         curc = jnp.minimum(cur, n_pages - 1)
-        pal_ref[...] = pages_ref[pl.ds(curc * 8, 8), :]
+        _stage_page(pages_ref, pal_ref, curc, compressed)
         pal = pal_ref[...]
         taps = []
         for t in range(n_taps):
@@ -322,8 +449,13 @@ def paged_sample(pages: jnp.ndarray, meta: jnp.ndarray, n_mips: int,
                  with_coverage: bool = False):
     """-> (C,H,W,4) f32 RGBA in [0,1]; untextured returns 1.0
     (multiplicative identity, sample_pool parity). With with_coverage,
-    also returns (C,H,W) bool palette-coverage."""
+    also returns (C,H,W) bool palette-coverage.
+
+    The pool format is self-describing: a 3-row meta table marks
+    block-compressed (2,128) pages (pack_paged_pool compress=True),
+    decoded per staged page inside the kernel."""
     C, H, W = layers.shape
+    compressed = meta.shape[0] == 3
     hp = -(-H // block_h) * block_h
     wp = -(-W // 128) * 128
     pad2 = ((0, hp - H), (0, wp - W))
@@ -342,7 +474,8 @@ def paged_sample(pages: jnp.ndarray, meta: jnp.ndarray, n_mips: int,
     full = lambda j, i: (0, 0)
     kern = functools.partial(
         _paged_kernel, n_mips=n_mips, mip_sizes=tuple(mip_sizes),
-        K=k_pages, C=C, bilinear=bilinear, want_cov=with_coverage)
+        K=k_pages, C=C, bilinear=bilinear, want_cov=with_coverage,
+        compressed=compressed)
     out_shapes = [jax.ShapeDtypeStruct((C, hp, wp), jnp.int32)]
     out_specs = [pl.BlockSpec((C, block_h, 128), blk_c,
                               memory_space=pltpu.VMEM)]

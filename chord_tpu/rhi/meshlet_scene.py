@@ -112,7 +112,8 @@ class MeshletScenePools:
 def build_meshlet_pools(builder: SceneBuilder,
                         meshlet_cache: Optional[Dict[int, tuple]] = None,
                         nanite: bool = False,
-                        texture_pool=None
+                        texture_pool=None,
+                        texture_compress: Optional[bool] = None
                         ) -> MeshletScenePools:
     """SceneBuilder (meshes + instances) -> meshlet device pools.
 
@@ -239,14 +240,19 @@ def build_meshlet_pools(builder: SceneBuilder,
     # paged virtual-texture pool (apron-tiled vreg pages; the full-res
     # sampling fast path — ops/paged_texture.py)
     from ..ops.paged_texture import pack_paged_pool
+    if texture_compress is None:
+        from ..utils.cvar import cvars
+        texture_compress = bool(cvars.get("r.texture.compress"))
     if texture_pool is not None and texture_pool.textures:
         np_tex = np.clip(np.stack(texture_pool.textures) * 255.0 + 0.5,
                          0, 255).astype(np.uint8)
         tex_pages, tex_meta, _ = pack_paged_pool(
-            np_tex, texture_pool.mip_sizes, texture_pool.mip_offsets)
+            np_tex, texture_pool.mip_sizes, texture_pool.mip_offsets,
+            compress=texture_compress)
     else:
         tex_pages, tex_meta, _ = pack_paged_pool(
-            np.full((1, 1, 4), 255, np.uint8), (1,), (0,))
+            np.full((1, 1, 4), 255, np.uint8), (1,), (0,),
+            compress=texture_compress)
     pools = MeshletScenePools(
         positions=jnp.asarray(np.concatenate(pos_l)),
         normals=jnp.asarray(np.concatenate(nrm_l)),

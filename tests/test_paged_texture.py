@@ -134,3 +134,105 @@ def test_pool_packing_layout():
     assert np.asarray(pages).shape == (18 * 8, 128)
     base = np.asarray(meta)[0]
     assert base[0] == 0 and base[1] == 9 and base[2] == 13
+
+
+# --- block-compressed pool (pack_paged_pool compress=True) ---------------
+
+def test_compress_page_roundtrip_exactness():
+    """Constant and two-color blocks are reproduced exactly; a smooth
+    linear ramp stays within the 4-level quantization bound."""
+    # constant page
+    img = np.full((32, 32, 4), 173, np.uint8)
+    dec = pt.decompress_page(pt.compress_page(img))
+    np.testing.assert_array_equal(dec, img)
+    # two-color checker (both colors are endpoints -> exact)
+    img = np.zeros((32, 32, 4), np.uint8)
+    img[::2, :, :] = np.array([200, 40, 10, 255], np.uint8)
+    img[1::2, :, :] = np.array([20, 180, 90, 0], np.uint8)
+    dec = pt.decompress_page(pt.compress_page(img))
+    np.testing.assert_array_equal(dec, img)
+    # smooth ramp along x: max error bounded by half a quantization step
+    # of the 4-level ramp over each 4-texel block span (<= ~6 levels here)
+    ramp = np.linspace(0, 255, 32).astype(np.uint8)
+    img = np.broadcast_to(ramp[None, :, None], (32, 32, 4)).copy()
+    dec = pt.decompress_page(pt.compress_page(img))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_compressed_pool_kernel_matches_host_decode():
+    """The Pallas stage-time decode is bit-identical to decompress_page:
+    nearest sampling of the compressed pool == sample_pool over the
+    host-decompressed texels."""
+    tp, np_pool, _, _, _ = _make_pool(n_layers=2, size=64)
+    pages_c, meta_c, n_mips = pt.pack_paged_pool(
+        np_pool, tp.mip_sizes, tp.mip_offsets, compress=True)
+    assert np.asarray(meta_c).shape[0] == 3           # format marker
+    assert np.asarray(pages_c).shape == (18 * 2 * 2, 128)  # 4x smaller
+
+    # host-decompress every page back into a flat pool for the oracle
+    comp = np.asarray(pages_c).view(np.uint32)
+    base = np.asarray(meta_c)[0]
+    dec_pool = np.array(np_pool)
+    for layer in range(2):
+        for m, (s, off) in enumerate(zip(tp.mip_sizes, tp.mip_offsets)):
+            e = layer * n_mips + m
+            tcnt = pt._tiles(s)
+            for ty in range(tcnt):
+                for tx in range(tcnt):
+                    p = base[e] + ty * tcnt + tx
+                    dec = pt.decompress_page(comp[p * 2:(p + 1) * 2])
+                    # usable texels only (apron duplicates neighbors)
+                    for sy in range(min(pt.USABLE, s)):
+                        gy = ty * pt.USABLE + sy
+                        if gy >= s:
+                            break
+                        gx0 = tx * pt.USABLE
+                        n = min(pt.USABLE, s - gx0)
+                        dec_pool[layer, off + gy * s + gx0:
+                                 off + gy * s + gx0 + n] = dec[sy, :n]
+
+    H, W = 32, 128
+    uv = _coherent_field(H, W, seed=5)
+    layers = np.stack([np.zeros((H, W), np.int32),
+                       np.ones((H, W), np.int32)])
+    mip = np.full((H, W), 1, np.int32)
+    out, cov = pt.paged_sample(
+        pages_c, meta_c, n_mips, tp.mip_sizes, jnp.asarray(layers),
+        jnp.asarray(uv), jnp.asarray(mip), bilinear=False,
+        block_h=16, k_pages=10, with_coverage=True)
+    out = np.asarray(out)
+    cov = np.asarray(cov)
+    ref = _oracle(tp, dec_pool, layers, uv, mip, bilinear=False)
+    assert cov.mean() > 0.95
+    assert np.abs(out[cov] - ref[cov]).max() <= 1e-6
+
+
+def test_compressed_pool_quality_gate():
+    """Compression error on a coherent (texture-like) image stays small:
+    PSNR >= 32 dB vs the raw paged sampler on the same taps."""
+    size = 64
+    tp = TexturePool(size)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    img = np.stack([0.5 + 0.4 * np.sin(xx * 9 + yy * 3),
+                    0.5 + 0.4 * np.cos(yy * 7),
+                    0.5 + 0.3 * np.sin((xx + yy) * 5),
+                    np.ones_like(xx)], -1)
+    tp.add("t", img.astype(np.float32))
+    np_pool = np.asarray(tp.device_array())
+    pages_r, meta_r, n_mips = pt.pack_paged_pool(
+        np_pool, tp.mip_sizes, tp.mip_offsets)
+    pages_c, meta_c, _ = pt.pack_paged_pool(
+        np_pool, tp.mip_sizes, tp.mip_offsets, compress=True)
+    H, W = 32, 128
+    uv = _coherent_field(H, W, seed=9)
+    layers = np.zeros((1, H, W), np.int32)
+    mip = np.zeros((H, W), np.int32)
+    a = np.asarray(pt.paged_sample(
+        pages_r, meta_r, n_mips, tp.mip_sizes, jnp.asarray(layers),
+        jnp.asarray(uv), jnp.asarray(mip), block_h=16, k_pages=10))
+    b = np.asarray(pt.paged_sample(
+        pages_c, meta_c, n_mips, tp.mip_sizes, jnp.asarray(layers),
+        jnp.asarray(uv), jnp.asarray(mip), block_h=16, k_pages=10))
+    mse = float(((a - b) ** 2).mean())
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr >= 32.0, psnr
