@@ -126,6 +126,7 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
         shadows=all_on, atmosphere=all_on,
         gi=all_on, gi_mode="probe", gi_rt=all_on, rt_rays=2, ssr=all_on,
         textured=all_on, alpha_masked=all_on, alpha_blend=all_on,
+        trilinear=all_on,
         probe_cfg=ScreenProbeConfig(rays=16, steps=6))
 
     bvh = None

@@ -152,6 +152,7 @@ def resolve_gbuffer_raster_rt(
     textured: bool = False,      # sample material base-color textures
     normal_mapped: bool = False,  # perturb normals from normal-map layers
     pbr_textures: bool = False,   # sample metal-rough + emissive maps
+    mip_dither_frame=None,       # i32 scalar -> stochastic trilinear
 ) -> GBuffer:
     """Zero-big-gather gbuffer resolve: normals/uv come straight from the
     rasterizer's attribute-plane render targets, position from depth
@@ -229,7 +230,12 @@ def resolve_gbuffer_raster_rt(
 
         size = pools.tex_size
         layer = mrow[..., 8].astype(jnp.int32)
-        mip = texture_ops.mip_from_uv_density(uv, size)
+        if mip_dither_frame is not None:
+            # stochastic trilinear (ops/texture.py mip_dithered): IGN-
+            # dithered mip pick, resolved temporally by TSR
+            mip = texture_ops.mip_dithered(uv, size, mip_dither_frame)
+        else:
+            mip = texture_ops.mip_from_uv_density(uv, size)
         # ONE fused paged-sampler pass covers every material map (they
         # share uv/mip/size, so tap math + page gathers amortize across
         # channels — ops/paged_texture.py)

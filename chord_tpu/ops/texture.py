@@ -100,12 +100,34 @@ def sample_material_maps(
         for c in range(layers.shape[0])])
 
 
-def mip_from_uv_density(uv: jnp.ndarray, base_size: int) -> jnp.ndarray:
-    """Estimate mip level from screen-space uv derivatives via shifted
+def mip_level_from_uv_density(uv: jnp.ndarray, base_size: int) -> jnp.ndarray:
+    """Fractional mip level from screen-space uv derivatives via shifted
     differences (the TPU stand-in for the reference's analytic ddx/ddy,
-    base.hlsli:457-497): mip = log2(max texel footprint)."""
+    base.hlsli:457-497): level = log2(max texel footprint), f32."""
     du = jnp.abs(uv - jnp.roll(uv, 1, axis=1))
     dv = jnp.abs(uv - jnp.roll(uv, 1, axis=0))
     d = jnp.maximum(du.max(-1), dv.max(-1)) * base_size
-    return jnp.clip(jnp.log2(jnp.maximum(d, 1.0)), 0.0, 31.0).astype(
-        jnp.int32)
+    return jnp.clip(jnp.log2(jnp.maximum(d, 1.0)), 0.0, 31.0)
+
+
+def mip_from_uv_density(uv: jnp.ndarray, base_size: int) -> jnp.ndarray:
+    """Integer (floor) mip level — the single-mip bilinear default."""
+    return mip_level_from_uv_density(uv, base_size).astype(jnp.int32)
+
+
+def mip_dithered(uv: jnp.ndarray, base_size: int,
+                 frame) -> jnp.ndarray:
+    """Stochastic trilinear: per pixel pick floor(level) or floor+1 with
+    probability = frac(level), thresholded by interleaved gradient noise.
+    Expectation equals the true trilinear blend at ZERO extra taps; the
+    IGN dither is blue-ish over 3x3 neighborhoods so TSR's temporal
+    accumulation converges it to smooth trilinear (the same stochastic
+    split the reference leans on for its soft-shadow/GI noise, resolved
+    by the TAA chain). frame may be a traced i32 scalar."""
+    from .bluenoise import interleaved_gradient_noise
+
+    lvl = mip_level_from_uv_density(uv, base_size)
+    base = jnp.floor(lvl)
+    frac = lvl - base
+    noise = interleaved_gradient_noise(uv.shape[0], uv.shape[1], frame)
+    return (base + (noise < frac)).astype(jnp.int32)

@@ -133,6 +133,8 @@ class MeshletFrameConfig(NamedTuple):
     textured: bool = False         # sample material base-color textures
     normal_mapped: bool = False    # tangent-space normal maps (needs textured)
     pbr_textures: bool = False     # metal-rough + emissive maps (ditto)
+    trilinear: bool = False        # stochastic trilinear mip dither
+                                   # (IGN + TSR resolve, ops/texture.py)
     # alpha-masked material bucket (the reference's pipeline_filter +
     # Masked raster permutation): masked draws cull/raster separately and
     # punch through via a deferred per-pixel alpha test. One masked layer;
@@ -431,7 +433,10 @@ def render_frame_meshlet(
             draw_object, pools, instances,
             view.clip_to_tw, view.tw_to_clip_nj, view.prev_tw_to_clip_nj,
             textured=mcfg.textured, normal_mapped=mcfg.normal_mapped,
-            pbr_textures=mcfg.pbr_textures)
+            pbr_textures=mcfg.pbr_textures,
+            mip_dither_frame=(history.frame_count
+                              if mcfg.trilinear and mcfg.textured
+                              else None))
 
     with jax.named_scope("tsr.prepare"):
         # closest-depth 3x3 motion dilation (reference tsr_prepare.hlsl)

@@ -180,3 +180,32 @@ def test_pbr_texture_modulation():
     # lands in AP1 with a sizable red component, so only ~2.5x over red)
     assert e[1] > 2 * e[0] and e[1] > 4 * e[2]
     assert e[1] > 1.0
+
+
+def test_stochastic_trilinear_expectation():
+    """mip_dithered is an unbiased trilinear estimator: averaged over the
+    64 IGN temporal phases, the selected mip converges to the fractional
+    level (ops/texture.py mip_dithered; the reference gets trilinear from
+    the texture unit — here the TSR chain resolves the dither)."""
+    import jax.numpy as jnp
+
+    from chord_tpu.ops.texture import (mip_dithered,
+                                       mip_level_from_uv_density)
+
+    H, W = 16, 64
+    # uv field with smoothly varying density -> fractional levels
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    uv = np.stack([xx * (0.01 + 0.0008 * yy), yy * 0.013], -1)
+    uvj = jnp.asarray(uv)
+    lvl = np.asarray(mip_level_from_uv_density(uvj, 256))
+    acc = np.zeros((H, W), np.float64)
+    for f in range(64):
+        acc += np.asarray(mip_dithered(uvj, 256, f))
+    mean = acc / 64.0
+    # interior pixels (the rolled differences wrap at row/col 0)
+    m, l = mean[1:, 1:], lvl[1:, 1:]
+    assert np.abs(m - l).max() < 0.26          # IGN phase equidistribution
+    assert np.abs((m - l).mean()) < 0.02       # unbiased on average
+    # integer levels never dither
+    exact = np.abs(l - np.round(l)) < 1e-6
+    assert np.all(np.abs(m[exact] - l[exact]) < 1e-6)
