@@ -58,7 +58,25 @@ def main():
         "blend": (base._replace(alpha_blend=True), {}),
         "masked_tex": (base._replace(alpha_masked=True, textured=True), {}),
         "tex": (base._replace(textured=True), {}),
+        "tex_comp": (base._replace(textured=True), {}),      # compressed pool
+        "tex_tril": (base._replace(textured=True, trilinear=True), {}),
+        "all_comp_tril": (base._replace(textured=True, trilinear=True,
+                                        alpha_masked=True,
+                                        alpha_blend=True), {}),
     }
+    # block-compressed texture pages variant (r.texture.compress): repack
+    # the cached scene's pool once and swap it in for *_comp cases
+    pools_comp = None
+    if any(n.endswith("_comp") or "_comp_" in n
+           for n in args.cases.split(",")):
+        from chord_tpu.ops.paged_texture import pack_paged_pool
+        tpool = getattr(b, "texture_pool", None)
+        if tpool is not None and tpool.textures:
+            np_tex = np.clip(np.stack(tpool.textures) * 255.0 + 0.5,
+                             0, 255).astype(np.uint8)
+            pages_c, meta_c, _ = pack_paged_pool(
+                np_tex, tpool.mip_sizes, tpool.mip_offsets, compress=True)
+            pools_comp = pools.replace(tex_pages=pages_c, tex_meta=meta_c)
     # ablation monkeypatches: isolate which masked sub-step carries the
     # in-frame interaction cost
     from chord_tpu.ops import shading as shading_ops
@@ -113,17 +131,20 @@ def main():
         saved = {k: cvars.get(k) for k in cv}
         for k, v in cv.items():
             cvars.set(k, v)
+        case_pools = pools
+        if ("_comp" in name) and pools_comp is not None:
+            case_pools = pools_comp
         try:
             fn = jax.jit(functools.partial(
                 render_frame_meshlet, config=config, mcfg=mcfg))
             t0 = time.time()
-            img, hist, stats = fn(pools, inst, view, history)
+            img, hist, stats = fn(case_pools, inst, view, history)
             jax.device_get(img.ravel()[:1])
             comp = time.time() - t0
             t0 = time.time()
             n = 8
             for _ in range(n):
-                img, hist, stats = fn(pools, inst, view, history)
+                img, hist, stats = fn(case_pools, inst, view, history)
             jax.device_get(img.ravel()[:1])
             ms = (time.time() - t0) / n * 1000
             print(json.dumps({"case": name, "ms": round(ms, 2),
