@@ -88,6 +88,13 @@ class RasterConfig(NamedTuple):
                                   # triangles make groups spatially tight).
                                   # Measured on-device (bench scene, 1080p):
                                   # S=4 ≈ 0.52x the S=1 vreg work.
+    z_clip: bool = False          # take a per-pixel max-depth plane and
+                                  # reject fragments at or beyond it —
+                                  # depth peeling for the 2nd masked
+                                  # layer (reference gets layering free
+                                  # from per-pixel raster order). Static:
+                                  # costs one compare per row-group only
+                                  # in specializations that use it.
     interpret: bool = False       # pallas interpreter (CPU tests)
 
     @property
@@ -472,9 +479,11 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,
     c = config
     n_attr = 5 if c.with_attrs else 0
     n_rt = 2 + n_attr
+    n_in = n_rt + (1 if c.z_clip else 0)
     seeds = refs[:n_rt]
-    outs = refs[n_rt:2 * n_rt]
-    coef_scr, blkT_scr, acc, acc_v_scr, sems = refs[2 * n_rt:]
+    zclip_ref = refs[n_rt] if c.z_clip else None
+    outs = refs[n_in:n_in + n_rt]
+    coef_scr, blkT_scr, acc, acc_v_scr, sems = refs[n_in + n_rt:]
 
     s_cnt = c.sub_s
     cs = WINDOW // s_cnt
@@ -547,7 +556,7 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,
             def _subwindow(s=s, y0=y0, y1=y1):
                 _raster_subwindow_body(s, y0, y1, blkT_scr, acc, acc_v_scr,
                                        px, yoff_col, tile_py0, cs, RP,
-                                       n_attr, f32, NEG)
+                                       n_attr, f32, NEG, zclip_ref)
         return carry
 
     jax.lax.fori_loop(0, count, body, 0)
@@ -558,7 +567,8 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,
 
 
 def _raster_subwindow_body(s, y0, y1, blkT_scr, acc, acc_v_scr, px,
-                           yoff_col, tile_py0, cs, RP, n_attr, f32, NEG):
+                           yoff_col, tile_py0, cs, RP, n_attr, f32, NEG,
+                           zclip_ref=None):
     """One subwindow of the flat kernel: coefficient column setup + the
     packed dynamic row loop (split out so the caller can pl.when-gate
     the entire body)."""
@@ -608,12 +618,18 @@ def _raster_subwindow_body(s, y0, y1, blkT_scr, acc, acc_v_scr, px,
                         for k in range(n_attr)]
             # RP independent per-row winner/merge chains
             for g in range(rp):
+                rs = pl.ds(p * rp + g, 1)
                 cg = cand[g * cs:(g + 1) * cs, :]
+                if zclip_ref is not None:
+                    # depth peel: drop fragments AT or NEARER than the
+                    # per-pixel clip plane (reverse-Z: larger = nearer)
+                    # BEFORE the winner max, so a farther fragment in
+                    # the same group can still win
+                    cg = jnp.where(cg < zclip_ref[rs, :], cg, 0.0)
                 best = jnp.max(cg, axis=0, keepdims=True)  # (1,TW)
                 winner = (cg == best) & (cg > 0.0)
                 pay_sel = jnp.max(jnp.where(winner, pay, 0),
                                   axis=0, keepdims=True)
-                rs = pl.ds(p * rp + g, 1)
                 acc_d = acc[0, rs, :]
                 acc_v = acc_v_scr[rs, :]
                 take = (best > acc_d) | \
@@ -676,9 +692,11 @@ def _raster_tile_kernel_bricks(win_ref, start_ref, count_ref,
     c = config
     n_attr = 5 if c.with_attrs else 0
     n_rt = 2 + n_attr
+    n_in = n_rt + (1 if c.z_clip else 0)
     seeds = refs[:n_rt]
-    outs = refs[n_rt:2 * n_rt]
-    coef_scr, blkT_scr, acc, acc_v_scr, sems = refs[2 * n_rt:]
+    zclip_ref = refs[n_rt] if c.z_clip else None
+    outs = refs[n_in:n_in + n_rt]
+    coef_scr, blkT_scr, acc, acc_v_scr, sems = refs[n_in + n_rt:]
 
     s_cnt = c.sub_s
     cs = WINDOW // s_cnt
@@ -778,12 +796,17 @@ def _raster_tile_kernel_bricks(win_ref, start_ref, count_ref,
                         vals = [(exa_[k] + (ab_[k] * yf + ac_[k]))
                                 * inv_s for k in range(n_attr)]
                     for g in range(rp):
+                        rs = pl.ds(row_base + p * rp + g, 1)
                         cg = cand[g * cs:(g + 1) * cs, :]
+                        if zclip_ref is not None:
+                            # depth peel (see flat kernel): per-fragment
+                            # clip before the winner max
+                            cg = jnp.where(cg < zclip_ref[rs, :], cg,
+                                           0.0)
                         best = jnp.max(cg, axis=0, keepdims=True)
                         winner = (cg == best) & (cg > 0.0)
                         pay_sel = jnp.max(jnp.where(winner, pay, 0),
                                           axis=0, keepdims=True)
-                        rs = pl.ds(row_base + p * rp + g, 1)
                         acc_d = acc[0, rs, :]
                         acc_v = acc_v_scr[rs, :]
                         take = (best > acc_d) | \
@@ -843,12 +866,16 @@ def raster_queue(
     setup: TriangleSetup,
     config: RasterConfig,
     seeds: Optional[Tuple[jnp.ndarray, ...]] = None,
+    zclip: Optional[jnp.ndarray] = None,
 ):
     """Stage 3 -> tuple of render targets (cropped to (H,W)):
     (depth f32 reverse-Z, visibility u32[, nx, ny, nz, u, v f32]).
 
     `seeds` (same tuple layout) carries a previous phase's targets through
-    a re-raster (two-phase HZB occlusion, reference mesh_raster.cpp:269)."""
+    a re-raster (two-phase HZB occlusion, reference mesh_raster.cpp:269).
+    `zclip` (needs config.z_clip) is a per-pixel (H,W) reverse-Z plane:
+    fragments at or nearer than it are rejected — depth peeling for the
+    second masked layer."""
     c = config
     # the packed row loop writes accumulator rows in sub_s groups; a
     # tile_h that is not a multiple of sub_s (or of the f32 sublane) would
@@ -881,6 +908,14 @@ def raster_queue(
                    padded(seeds[1], 0, jnp.uint32)]
     for k in range(n_attr):
         seed_arrays.append(padded(seeds[2 + k], 0.0, jnp.float32))
+    if c.z_clip:
+        # default +inf = clip nothing (every fragment is nearer)
+        zq = (jnp.full((h_pad, w_pad), 3e38, jnp.float32) if zclip is None
+              else jnp.pad(zclip.astype(jnp.float32),
+                           ((0, h_pad - zclip.shape[0]),
+                            (0, w_pad - zclip.shape[1])),
+                           constant_values=3e38))
+        seed_arrays.append(zq)
     if c.bricks:
         with jax.named_scope("raster.bricks_pack"):
             seed_arrays = [bricks_pack(sa, c) for sa in seed_arrays]
@@ -909,7 +944,7 @@ def raster_queue(
         num_scalar_prefetch=7,   # pair_win, starts, counts, sy0/sy1/sx0/sx1
         grid=(c.n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] +     # coefT in HBM
-                 [vmem_tile] * n_rt,
+                 [vmem_tile] * (n_rt + (1 if c.z_clip else 0)),
         out_specs=[vmem_tile] * n_rt,
         scratch_shapes=[
             pltpu.VMEM((2, c.coef_rows, WINDOW), jnp.uint32),
@@ -943,6 +978,7 @@ def rasterize(
     attrs: Optional[jnp.ndarray] = None,
     init_depth: Optional[jnp.ndarray] = None,   # legacy 2-target seeding
     init_vis: Optional[jnp.ndarray] = None,
+    zclip: Optional[jnp.ndarray] = None,        # depth-peel plane
 ):
     """Full visibility raster: clip positions -> (render targets..., stats).
 
@@ -972,7 +1008,8 @@ def rasterize(
         with jax.named_scope("raster.bin"):
             queue = bin_windows(setup, config)
         with jax.named_scope("raster.tiles"):
-            rts = raster_queue(queue, setup, config, seeds=seeds)
+            rts = raster_queue(queue, setup, config, seeds=seeds,
+                               zclip=zclip)
     stats = {"bin_overflow": queue.overflow,
              "drawn_tris": jnp.sum(setup.valid.astype(jnp.int32)),
              "binned_pairs": queue.n_pairs}

@@ -141,6 +141,9 @@ class MeshletFrameConfig(NamedTuple):
     # shadows treat masked geometry as opaque.
     alpha_masked: bool = False
     masked_draw_capacity: int = 1024
+    masked_layers: int = 1         # 2 = depth-peel a second masked layer
+                                   # (raster z_clip; masked-behind-masked
+                                   # stops falling back to opaque)
     # translucent (Blend) bucket: one depth-peeled forward-shaded layer
     # composited over the lit scene (exceeds the reference, whose raster
     # loops stop at alphaMode 1 — mesh_raster.cpp:178,224)
@@ -415,11 +418,29 @@ def render_frame_meshlet(
             q_m = bin_windows(setup_m, rc_a)
             rt_m = list(raster_queue(q_m, setup_m, rc_a))
         with jax.named_scope("masked.accept"):
+            depth_opaque = depth
             accept = shading.alpha_mask_accept(
                 rt_m[1], rt_m[0], depth, rt_m[5], rt_m[6],
                 res_m.draws.object_id, base_m, pools, instances)
             rt = [jnp.where(accept, m_, o_) for m_, o_ in zip(rt_m, rt)]
             depth, vis = rt[0], rt[1]
+        if mcfg.masked_layers >= 2:
+            # depth-peel the 2nd masked layer: re-raster the SAME masked
+            # queue with z_clip = layer-0 depth, so each pixel gets its
+            # next-nearest masked fragment; it replaces the pixel only
+            # where layer 0 failed its alpha test (the reference gets
+            # this free from per-pixel raster order + discard)
+            with jax.named_scope("masked.peel"):
+                rt_p = list(raster_queue(q_m, setup_m,
+                                         rc_a._replace(z_clip=True),
+                                         zclip=rt_m[0]))
+                accept_p = shading.alpha_mask_accept(
+                    rt_p[1], rt_p[0], depth_opaque, rt_p[5], rt_p[6],
+                    res_m.draws.object_id, base_m, pools, instances)
+                accept_p = accept_p & ~accept
+                rt = [jnp.where(accept_p, m_, o_)
+                      for m_, o_ in zip(rt_p, rt)]
+                depth, vis = rt[0], rt[1]
         draw_object = jnp.concatenate([draw_object, res_m.draws.object_id])
         draw_meshlet = jnp.concatenate([draw_meshlet,
                                         res_m.draws.meshlet_id])

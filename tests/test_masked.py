@@ -160,3 +160,64 @@ def test_masked_shadow_casters_alpha_tested():
     # transparent pane: nothing rendered, so nothing darkens anywhere
     # (the pane region itself goes NEGATIVE in d — clear shows ground)
     assert (d[40:, :] < 8.0).all()
+
+
+def test_masked_second_layer_depth_peel():
+    """masked_layers=2: a masked surface directly behind a FAILING masked
+    texel shows through instead of falling back to opaque (the depth-peel
+    pass — reference gets this free from per-pixel raster + discard)."""
+    pool = TexturePool(64)
+    # front: alpha 0 on the right half; back: blue-ish, alpha 1 everywhere
+    img_f = np.ones((64, 64, 4), np.float32)
+    img_f[:, 32:, 3] = 0.0
+    img_f[..., 0] = 1.0; img_f[..., 1] = 0.0; img_f[..., 2] = 0.0
+    l_front = pool.add("front", img_f)
+
+    b = SceneBuilder()
+    front = b.add_mesh(_quad(0.0))
+    mid = b.add_mesh(_quad(0.0, half=4.0))
+    back = b.add_mesh(_quad(0.0, half=6.0))
+    m_front = b.add_material(MaterialData(
+        base_color=(1, 0, 0, 1), alpha_mode="mask", alpha_cutoff=0.5,
+        base_color_texture=l_front, roughness=1.0))
+    m_mid = b.add_material(MaterialData(
+        base_color=(0, 0, 1, 1), alpha_mode="mask", alpha_cutoff=0.5,
+        roughness=1.0))                      # passes everywhere (factor 1)
+    m_opaque = b.add_material(MaterialData(base_color=(0, 1, 0, 1),
+                                           roughness=1.0))
+    mf = np.eye(4); mf[3, 2] = -4.0
+    mm = np.eye(4); mm[3, 2] = -5.0
+    mb = np.eye(4); mb[3, 2] = -6.0
+    b.add_instance(front, m_front, mf)
+    b.add_instance(mid, m_mid, mm)
+    b.add_instance(back, m_opaque, mb)
+    pools = build_meshlet_pools(b, texture_pool=pool)
+
+    cam = Camera(width=64, height=64, fovy_deg=60.0)
+    inst = b.frame_instances(cam)
+
+    def render(layers):
+        r = MeshletRenderer(
+            RendererConfig(width=64, height=64, pair_capacity=512,
+                           big_capacity=16, interpret=True,
+                           enable_bloom=False, enable_tsr=False),
+            MeshletFrameConfig(draw_capacity=128, occlusion=False,
+                               alpha_masked=True,
+                               masked_draw_capacity=128,
+                               masked_layers=layers))
+        img_out, stats = r.render(pools, inst, cam.view_uniform(0))
+        assert int(np.asarray(stats["draw_overflow"])) == 0
+        return np.asarray(img_out).astype(np.float32)
+
+    one = render(1)
+    two = render(2)
+    # left-center: front masked quad (red) in BOTH modes
+    for img_out in (one, two):
+        left = img_out[32, 16]
+        assert left[0] > left[1] + 20 and left[0] > left[2] + 20, left
+    # right-center: single layer falls back to opaque green; two layers
+    # reveal the blue masked quad behind the failing front texel
+    r1 = one[32, 44]
+    r2 = two[32, 44]
+    assert r1[1] > r1[2] + 20, f"1-layer should be green-ish: {r1}"
+    assert r2[2] > r2[1] + 20, f"2-layer should be blue-ish: {r2}"

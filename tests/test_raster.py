@@ -259,3 +259,53 @@ def test_bricks_seeded_accumulate():
         res[cfg.bricks] = (np.asarray(d1), np.asarray(v1))
     assert_images_close(res[True][0], res[True][1],
                         res[False][0], res[False][1])
+
+
+@pytest.mark.parametrize("bricks", [False, True])
+def test_depth_peel_second_layer(bricks):
+    """z_clip depth peeling: re-rastering with zclip = first-pass depth
+    yields, per pixel, the SECOND-nearest surface (oracle: brute-force
+    over overlapping random triangles). Backs the 2nd masked layer."""
+    rng = np.random.default_rng(11)
+    clip, idx, valid, payload = make_random_tris(40, rng)
+    cfg = CFG._replace(z_clip=True, tile_h=16) if not bricks else \
+        CFG._replace(z_clip=True, bricks=True, tile_h=16, sub_s=4)
+    d0, v0, stats = rasterize(jnp.asarray(clip), jnp.asarray(idx),
+                              jnp.asarray(valid), jnp.asarray(payload),
+                              cfg)[0:2] + (None,)
+    d1, v1, s1 = rasterize(jnp.asarray(clip), jnp.asarray(idx),
+                           jnp.asarray(valid), jnp.asarray(payload),
+                           cfg, zclip=d0)
+    d0 = np.asarray(d0); v0 = np.asarray(v0)
+    d1 = np.asarray(d1); v1 = np.asarray(v1)
+
+    # oracle: two nearest depths per pixel via per-triangle z planes
+    d_ref0, v_ref0 = rasterize_oracle(clip, idx, valid, payload,
+                                      cfg.width, cfg.height)
+    # peel oracle: drop, per pixel, every fragment at/nearer than d0 and
+    # re-run — emulate by rasterizing each triangle alone and composing
+    per = []
+    for t in range(len(idx)):
+        va = np.zeros(len(idx), bool); va[t] = True
+        dt, vt = rasterize_oracle(clip, idx, va, payload,
+                                  cfg.width, cfg.height)
+        per.append((dt, vt))
+    d_ref1 = np.zeros_like(d_ref0)
+    v_ref1 = np.zeros_like(v_ref0)
+    for dt, vt in per:
+        # exclude the layer-0 winner by IDENTITY (the oracle's z differs
+        # from the kernel's by an ulp, so a pure depth compare would
+        # re-include the winner itself)
+        m = (vt != 0) & (dt < d0) & (vt != v0) & \
+            ((dt > d_ref1) | ((dt == d_ref1) & (vt > v_ref1)))
+        d_ref1 = np.where(m, dt, d_ref1)
+        v_ref1 = np.where(m, vt, v_ref1)
+
+    layered = (v_ref1 != 0)
+    assert layered.sum() > 50, "no overlapping coverage — bad test"
+    # grade only where layer 0 agreed (edge-rounding pixels compound)
+    agree = v0 == v_ref0
+    mism = np.mean(v1[agree] != v_ref1[agree])
+    assert mism <= 0.02, f"peel vis mismatch {mism:.4f}"
+    # the peel layer is strictly behind layer 0 wherever it exists
+    assert np.all(d1[v1 != 0] < d0[v1 != 0])
