@@ -68,6 +68,7 @@ def test_blend_layer_tints_left_half():
     assert left_delta_r < left_delta_b
 
 
+@pytest.mark.slow
 def test_blend_objects_excluded_from_opaque_bucket():
     """The glass must not write depth/visibility (it would black out the
     wall behind it in the opaque gbuffer)."""

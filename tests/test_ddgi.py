@@ -2,6 +2,7 @@
 ddgiUpdate + shader/ddgi.h): convolution vs NumPy oracle, octahedral
 mapping, Chebyshev visibility, relocation, end-to-end update+sample."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -78,6 +79,7 @@ def test_convolve_furnace():
     np.testing.assert_allclose(np.asarray(irr)[1, :, 1], 0.5, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_update_directional_irradiance():
     """A bright emissive wall on +x: after updates, probes report more
     irradiance on +x-facing normals than -x."""

@@ -64,6 +64,7 @@ def _render_scene(mode: str) -> np.ndarray:
 @pytest.mark.parametrize("mode", [
     "basic", "normal",
     pytest.param("full", marks=pytest.mark.slow)])
+@pytest.mark.slow
 def test_golden(mode):
     from PIL import Image
 

@@ -24,6 +24,7 @@ def _quad(z: float, half: float = 3.0) -> MeshData:
         uv0=np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32))
 
 
+@pytest.mark.slow
 def test_masked_punch_through():
     pool = TexturePool(64)
     # alpha 1 on the left half (u < 0.5), 0 on the right half
@@ -162,6 +163,7 @@ def test_masked_shadow_casters_alpha_tested():
     assert (d[40:, :] < 8.0).all()
 
 
+@pytest.mark.slow
 def test_masked_second_layer_depth_peel():
     """masked_layers=2: a masked surface directly behind a FAILING masked
     texel shows through instead of falling back to opaque (the depth-peel

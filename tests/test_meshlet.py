@@ -80,6 +80,7 @@ def test_hzb_occlusion():
 
 
 @pytest.mark.parametrize("occlusion", [False, True])
+@pytest.mark.slow
 def test_meshlet_frame_end_to_end(occlusion):
     b = build_sponza_like(detail=1)
     pools = build_meshlet_pools(b)
@@ -111,6 +112,7 @@ def test_meshlet_frame_end_to_end(occlusion):
         assert int(np.asarray(stats2["draws_phase1"])) >= 0
 
 
+@pytest.mark.slow
 def test_mesh_shader_sort_no_phantom_from_invalid_lanes():
     """In-window sort keys must be collision-free: equal-rank lanes make
     the one-hot permutation matmul SUM columns, and two summed poison

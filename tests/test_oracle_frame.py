@@ -32,6 +32,7 @@ def oracle_image():
     return render_oracle(b, cam, W, H, exposure=1.0)
 
 
+@pytest.mark.slow
 def test_flat_path_matches_oracle(oracle_image):
     from chord_tpu.renderer.deferred import DeferredRenderer, RendererConfig
     from chord_tpu.utils.cvar import cvars
@@ -52,6 +53,7 @@ def test_flat_path_matches_oracle(oracle_image):
     assert s >= 0.99, f"flat-path SSIM vs independent oracle: {s:.4f}"
 
 
+@pytest.mark.slow
 def test_meshlet_path_matches_oracle(oracle_image):
     from chord_tpu.renderer.deferred import RendererConfig
     from chord_tpu.renderer.meshlet_frame import (MeshletFrameConfig,
@@ -77,6 +79,7 @@ def test_meshlet_path_matches_oracle(oracle_image):
     assert s >= 0.99, f"meshlet-path SSIM vs independent oracle: {s:.4f}"
 
 
+@pytest.mark.slow
 def test_bucket_routing_matches_oracle():
     """Masked punch-through + blend forward layer vs the independent
     oracle (pipeline_filter bucket routing, single-layer semantics):

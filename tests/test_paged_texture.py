@@ -61,6 +61,7 @@ def test_parity_with_sample_pool(bilinear):
     assert np.abs(out[cov] - ref[cov]).max() <= tol
 
 
+@pytest.mark.slow
 def test_untextured_identity_and_edges():
     tp, np_pool, pages, meta, n_mips = _make_pool()
     H, W = 16, 128
@@ -207,6 +208,7 @@ def test_compressed_pool_kernel_matches_host_decode():
     assert np.abs(out[cov] - ref[cov]).max() <= 1e-6
 
 
+@pytest.mark.slow
 def test_compressed_pool_quality_gate():
     """Compression error on a coherent (texture-like) image stays small:
     PSNR >= 32 dB vs the raw paged sampler on the same taps."""

@@ -109,6 +109,7 @@ def test_mixed_small_and_big():
     assert_images_close(d, v, d_ref, v_ref)
 
 
+@pytest.mark.slow
 def test_backface_culling():
     rng = np.random.default_rng(3)
     clip, idx, valid, payload = make_random_tris(10, rng)
@@ -160,6 +161,7 @@ def test_invalid_triangles_ignored():
     assert not (drawn & culled)
 
 
+@pytest.mark.slow
 def test_raster_accumulate_seed():
     """Seeding with a previous phase's depth/vis must keep closer seed
     pixels (the two-phase HZB re-raster contract)."""
@@ -211,6 +213,7 @@ def test_bricks_pack_roundtrip():
     np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_bricks_matches_oracle_random():
     rng = np.random.default_rng(7)
     clip, indices, valid, payload = make_random_tris(150, rng)
@@ -220,6 +223,7 @@ def test_bricks_matches_oracle_random():
     assert_images_close(d, v, d_ref, v_ref)
 
 
+@pytest.mark.slow
 def test_bricks_matches_flat_kernel_with_attrs():
     """Brick and flat kernels agree up to edge-pixel ULP divergence (the
     brick kernel folds a*32b into the column constant — a different FMA
@@ -243,6 +247,7 @@ def test_bricks_matches_flat_kernel_with_attrs():
         assert np.percentile(np.abs(fa - ba), 99) < 1e-3
 
 
+@pytest.mark.slow
 def test_bricks_seeded_accumulate():
     """Phase-1 style re-raster over brick seeds matches the flat kernel
     (same tolerance as the oracle gate)."""
@@ -262,6 +267,7 @@ def test_bricks_seeded_accumulate():
 
 
 @pytest.mark.parametrize("bricks", [False, True])
+@pytest.mark.slow
 def test_depth_peel_second_layer(bricks):
     """z_clip depth peeling: re-rastering with zclip = first-pass depth
     yields, per pixel, the SECOND-nearest surface (oracle: brute-force

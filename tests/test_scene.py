@@ -80,6 +80,7 @@ def test_serialize_ndarray_payload(tmp_path):
     assert out["s"] == "hello" and out["f"] == 1.5
 
 
+@pytest.mark.slow
 def test_subsystem_renders_scene():
     from chord_tpu.rhi.scene_arrays import MaterialData
 

@@ -3,6 +3,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from chord_tpu.ops import shading
 from chord_tpu.ops.raster import RasterConfig, rasterize
@@ -28,6 +29,7 @@ def _quad_scene():
     return b
 
 
+@pytest.mark.slow
 def test_gbuffer_reconstruction():
     b = _quad_scene()
     pools = b.build_pools()
@@ -117,6 +119,7 @@ def test_env_brdf_lut_properties():
     assert hi_nov[1, :2].sum() > hi_nov[-1, :2].sum()
 
 
+@pytest.mark.slow
 def test_per_object_motion_vectors():
     """A translated instance must produce per-object motion vectors from
     the rigid-delta reconstruction (reference computes motion from

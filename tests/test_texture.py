@@ -121,6 +121,7 @@ def test_mip_density():
     assert m_fast.mean() > m_slow.mean() + 3
 
 
+@pytest.mark.slow
 def test_pbr_texture_modulation():
     """MR map (G=rough, B=metal) and emissive map modulate the material
     factors through the full textured resolve."""
