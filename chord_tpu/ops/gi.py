@@ -61,6 +61,9 @@ class GIConfig(NamedTuple):
     ao_radius: float = 1.0
     ao_samples: int = 8
     ao_strength: float = 1.0
+    ao_res_div: int = 2         # SSAO at 1/div res + upsample (AO is
+                                # low-frequency; the roll taps are
+                                # memory-bound so cost ~ 1/div^2)
 
 
 SH0 = 0.2820948

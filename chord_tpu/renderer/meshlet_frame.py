@@ -628,11 +628,13 @@ def render_frame_meshlet(
     if mcfg.gi:
         gcfg = mcfg.gi_cfg or gi_ops.GIConfig()
         with jax.named_scope("gi.ssao"):
-            # half-res AO + upsample (the taps are the cost; the reference
-            # also runs AO below full res)
-            ao_h = gi_ops.ssao(depth[::2, ::2], gbuf.position_tw[::2, ::2],
-                               gbuf.normal[::2, ::2], gcfg)
-            ao = post.upsample_nearest(ao_h, 2, h, w)
+            # reduced-res AO + upsample (the taps are the cost; the
+            # reference also runs AO below full res)
+            kd = gcfg.ao_res_div
+            ao_h = gi_ops.ssao(depth[::kd, ::kd],
+                               gbuf.position_tw[::kd, ::kd],
+                               gbuf.normal[::kd, ::kd], gcfg)
+            ao = post.upsample_nearest(ao_h, kd, h, w)
         cam_anchor = jnp.zeros(3)       # camera at the TW origin
         if mcfg.gi_mode == "probe":
             # Screen-probe stage (reference pass list
