@@ -17,11 +17,39 @@ from chord_tpu.ops.colorspace import AP1_LUMA, AP1_TO_SRGB, SRGB_TO_AP1
 from chord_tpu.ops.raster import rasterize_oracle
 
 
+def _sun_visibility(p, tris, sun_d, eps=2e-2, chunk=1024):
+    """Brute-force shadow ray-cast: Moeller-Trumbore from every shaded
+    point toward the sun against ALL scene triangles (the oracle for the
+    engine's cascaded shadow maps; reference resolves the same
+    ground-truth with its RT path). -> (H,W) 0/1 visibility."""
+    H, W, _ = p.shape
+    pts = p.reshape(-1, 3).astype(np.float32)
+    v0 = tris[:, 0].astype(np.float32)
+    e1 = (tris[:, 1] - tris[:, 0]).astype(np.float32)
+    e2 = (tris[:, 2] - tris[:, 0]).astype(np.float32)
+    d = sun_d.astype(np.float32)
+    pvec = np.cross(d[None], e2)                      # (T,3)
+    det = (e1 * pvec).sum(-1)
+    ok = np.abs(det) > 1e-12
+    inv_det = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+    vis = np.ones(len(pts), bool)
+    for c0 in range(0, len(pts), chunk):
+        tvec = pts[c0:c0 + chunk, None, :] - v0[None]      # (C,T,3)
+        u = (tvec * pvec[None]).sum(-1) * inv_det[None]
+        qvec = np.cross(tvec, e1[None])
+        v = (qvec * d).sum(-1) * inv_det[None]
+        t = (qvec * e2[None]).sum(-1) * inv_det[None]
+        blocked = (ok[None] & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) &
+                   (t > eps))
+        vis[c0:c0 + chunk] = ~blocked.any(1)
+    return vis.reshape(H, W).astype(np.float64)
+
+
 def render_oracle(builder, cam, width, height,
                   sun_direction=(0.3, 0.8, 0.5),
                   sun_radiance=(8.0, 7.6, 7.0),
                   sky_ambient=(0.3, 0.4, 0.6),
-                  exposure=1.0):
+                  exposure=1.0, shadows=False):
     """Render one frame with pure NumPy: transform -> oracle raster ->
     per-pixel barycentric resolve -> GGX sun + hemispherical ambient ->
     ACES film -> sRGB u8. Matches render_frame_flat's feature-off config
@@ -149,6 +177,8 @@ def render_oracle(builder, cam, width, height,
     f = f0 + (1.0 - f0) * np.clip(1.0 - voh, 0.0, 1.0)[..., None] ** 5
     spec = (d_ggx * vis_s)[..., None] * f
     direct = (diff_color / np.pi + spec) * nol[..., None] * sun_r
+    if shadows:
+        direct = direct * _sun_visibility(p, tris, sun_d)[..., None]
 
     up_wrap = np.clip(n[..., 1] * 0.5 + 0.5, 0.0, 1.0)[..., None]
     lit = direct + diff_color * (sky * up_wrap) + emissive

@@ -150,3 +150,49 @@ def test_bucket_routing_matches_oracle():
     assert int(np.asarray(stats["bin_overflow"])) == 0
     s = ssim(np.asarray(img), oracle)
     assert s >= 0.985, f"bucket-routing SSIM vs oracle: {s:.4f}"
+
+
+@pytest.mark.slow
+def test_shadowed_frame_matches_oracle():
+    """Hard-shadow config vs the oracle's brute-force sun ray-cast
+    (VERDICT item #6 — oracle shadow term): cascade fitting, shadow
+    matrices, depth raster and bias must all be right for the shadow
+    shapes to land where ground-truth rays say."""
+    from chord_tpu.ops.shadow import ShadowConfig
+    from chord_tpu.renderer.deferred import RendererConfig
+    from chord_tpu.renderer.meshlet_frame import (MeshletFrameConfig,
+                                                  MeshletRenderer)
+    from chord_tpu.rhi.meshlet_scene import build_meshlet_pools
+    from chord_tpu.utils.cvar import cvars
+    from oracle_frame import render_oracle
+
+    w, h = 256, 144
+    b, cam = _scene(w, h)
+    oracle = render_oracle(b, cam, w, h, exposure=1.0, shadows=True)
+
+    pools = build_meshlet_pools(b, nanite=False)
+    inst = b.frame_instances(cam)
+    # near-hard shadows: tiny sun disk, minimal PCF, full-res eval, no
+    # temporal cache (single frame), high-res single-purpose cascades
+    scfg = ShadowConfig(cascade_count=2, resolution=2048,
+                        max_distance=60.0, light_size_world=0.02,
+                        pcf_radius_px=0.75, eval_res_div=1,
+                        temporal=False, temporal_phase=1)
+    cvars.set("r.exposure.fix", 1.0)
+    try:
+        r = MeshletRenderer(
+            RendererConfig(width=w, height=h, pair_capacity=8192,
+                           big_capacity=256, interpret=True,
+                           enable_bloom=False, enable_tsr=False),
+            MeshletFrameConfig(draw_capacity=1024, occlusion=False,
+                               shadows=True, shadow_cfg=scfg,
+                               shadow_draw_capacity=1024))
+        img, stats = r.render(pools, inst, cam.view_uniform(0))
+    finally:
+        cvars.set("r.exposure.fix", -1.0)
+    assert int(np.asarray(stats["bin_overflow"])) == 0
+    s = ssim(np.asarray(img), oracle)
+    # shadow-map discretization vs exact rays costs a little SSIM at the
+    # penumbra-free edges; systematic errors (flipped cascade, wrong
+    # bias sign, broken matrix) land far below this gate
+    assert s >= 0.97, f"shadowed SSIM vs ray-cast oracle: {s:.4f}"
