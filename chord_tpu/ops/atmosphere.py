@@ -116,13 +116,19 @@ def build_transmittance_lut(p: AtmosphereParams, steps: int = 40
 
     t_max = _atmo_distance(p, r, mu2)                 # (H,W)
     dt = t_max / steps
-    od = jnp.zeros((TRANSMITTANCE_H, TRANSMITTANCE_W, 3))
-    for i in range(steps):
+
+    # lax loop, not Python: the LUT builders also trace INLINE in the
+    # frame jit when no host LUTs are passed (tests/dryrun/viewer); the
+    # unrolled version alone was ~39k jaxpr eqns of a 47k-eqn frame
+    def body(i, od):
         t = (i + 0.5) * dt
         # altitude at distance t along the ray
         rt = jnp.sqrt(r * r + t * t + 2.0 * r * t * mu2)
         h = jnp.clip(rt - p.ground_radius_km, 0.0, h_atm)
-        od = od + _extinction(p, h) * dt[..., None]
+        return od + _extinction(p, h) * dt[..., None]
+
+    od = jax.lax.fori_loop(
+        0, steps, body, jnp.zeros((TRANSMITTANCE_H, TRANSMITTANCE_W, 3)))
     return jnp.exp(-od)
 
 
@@ -171,15 +177,16 @@ def build_multiscatter_lut(p: AtmosphereParams, t_lut: jnp.ndarray,
     dirs = np.stack([sz * np.cos(phi), sz * np.sin(phi), cz], -1)  # (D,3)
     dirs = jnp.asarray(dirs, jnp.float32)
 
-    l_2nd = jnp.zeros((MS_SIZE, MS_SIZE, 3))
-    f_ms = jnp.zeros((MS_SIZE, MS_SIZE, 3))
-    for di in range(dir_samples):
-        d = dirs[di]
+    # scan over directions (inner march = fori_loop): keeps the inline
+    # trace compact — see build_transmittance_lut note
+    def one_dir(carry, d):
+        l_2nd, f_ms = carry
         mu = d[2]                                   # view cos zenith
         t_max = _atmo_distance(p, r, mu)            # (S,1)
         dt = t_max / steps
-        throughput = jnp.ones((MS_SIZE, 1, 3))
-        for i in range(steps):
+
+        def step(i, st):
+            l2, fm, throughput = st
             t = (i + 0.5) * dt
             rt = jnp.sqrt(r * r + t * t + 2.0 * r * t * mu)
             h = jnp.clip(rt - p.ground_radius_km, 0.0, h_atm)
@@ -192,18 +199,26 @@ def build_multiscatter_lut(p: AtmosphereParams, t_lut: jnp.ndarray,
             t_sun = sample_transmittance(t_lut, p, rt, sun_mu[None, :])
             # isotropic phase 1/4pi both for in-scatter and transfer
             integ = scat * (1.0 - step_t) / jnp.maximum(ext, 1e-9)
-            l_2nd = l_2nd + throughput * integ * t_sun / (4.0 * np.pi)
-            f_ms = f_ms + throughput * integ / (4.0 * np.pi)
-            throughput = throughput * step_t
+            l2 = l2 + throughput * integ * t_sun / (4.0 * np.pi)
+            fm = fm + throughput * integ / (4.0 * np.pi)
+            return (l2, fm, throughput * step_t)
+
+        zero = jnp.zeros((MS_SIZE, MS_SIZE, 3))
+        l2_d, fm_d, throughput = jax.lax.fori_loop(
+            0, steps, step, (zero, zero, jnp.ones((MS_SIZE, 1, 3))))
         # ground bounce for downward rays
         hits_gnd = _ray_sphere(r, mu, p.ground_radius_km) > 0.0
         t_sun_g = sample_transmittance(
             t_lut, p, jnp.full_like(r, p.ground_radius_km),
             sun_mu[None, :])
         nol = jnp.maximum(sun_mu[None, :, None], 0.0)
-        l_2nd = l_2nd + jnp.where(
+        l2_d = l2_d + jnp.where(
             hits_gnd[..., None], throughput * t_sun_g * nol *
             p.ground_albedo / np.pi, 0.0)
+        return (l_2nd + l2_d, f_ms + fm_d), None
+
+    zero = jnp.zeros((MS_SIZE, MS_SIZE, 3))
+    (l_2nd, f_ms), _ = jax.lax.scan(one_dir, (zero, zero), dirs)
     l_2nd = l_2nd / dir_samples
     f_ms = f_ms / dir_samples
     return l_2nd / jnp.maximum(1.0 - f_ms, 1e-4)
@@ -249,10 +264,8 @@ def raymarch_scattering(
     ph_r = _phase_rayleigh(cos_sun_view)
     ph_m = _phase_mie(cos_sun_view, p.mie_g)
 
-    lum = jnp.zeros(jnp.broadcast_shapes(r0.shape, view_mu.shape,
-                                         sun_mu.shape) + (3,))
-    throughput = jnp.ones_like(lum)
-    for i in range(steps):
+    def step(i, st):
+        lum, throughput = st
         t = (i + 0.5) * dt
         rt = jnp.sqrt(r0 * r0 + t * t + 2.0 * r0 * t * view_mu)
         h = jnp.clip(rt - p.ground_radius_km, 0.0, h_atm)
@@ -274,8 +287,12 @@ def raymarch_scattering(
         in_scatter = (scat_r * ph_r[..., None] + scat_m * ph_m[..., None]) * \
             t_sun + (scat_r + scat_m) * psi
         integ = in_scatter * (1.0 - step_t) / jnp.maximum(ext, 1e-9)
-        lum = lum + throughput * integ
-        throughput = throughput * step_t
+        return (lum + throughput * integ, throughput * step_t)
+
+    lum0 = jnp.zeros(jnp.broadcast_shapes(r0.shape, view_mu.shape,
+                                          sun_mu.shape) + (3,))
+    lum, throughput = jax.lax.fori_loop(
+        0, steps, step, (lum0, jnp.ones_like(lum0)))
     return lum * p.sun_illuminance, throughput
 
 
