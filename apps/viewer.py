@@ -43,6 +43,10 @@ def build_scene(name: str):
     if name == "bistro_tex":   # textured variant (paged-sampler showcase)
         return build_bistro_like(detail=2, textures=True), \
             np.array([-40.0, 5.0, 4.0]), np.array([50.0, 3.0, -4.0])
+    if name == "interior":    # BASELINE config #4: indoor diffuse GI
+        from chord_tpu.asset.procedural import build_bistro_interior
+        return build_bistro_interior(detail=2), \
+            np.array([-6.0, 2.2, 3.6]), np.array([6.0, 1.2, -2.0])
     if name == "nanite":
         return build_nanite_stress(rings=64), \
             np.array([45.0, 10.0, 30.0]), np.array([0.0, 2.0, 0.0])

@@ -359,6 +359,65 @@ def build_bistro_like(seed: int = 11, detail: int = 3,
     return b
 
 
+def build_bistro_interior(seed: int = 5, detail: int = 2) -> SceneBuilder:
+    """Indoor GI scene (BASELINE config #4: "Bistro indoor with
+    screen-probe diffuse GI"): an enclosed room lit only through a
+    window opening — most of the room sees NO direct sun, so visible
+    light there is the GI path's bounce (world cache + screen probes).
+    Strongly colored side walls make the bounce tint measurable
+    (Cornell-box style color bleeding)."""
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    plane = b.add_mesh(make_plane(1.0, segments=6 * detail))
+    box = b.add_mesh(make_box())
+    sphere = b.add_mesh(make_uv_sphere(1.0, rings=8 * detail,
+                                       sectors=12 * detail))
+    column = b.add_mesh(make_cylinder(0.3, 4.0, sectors=10 * detail))
+
+    plaster = b.add_material(MaterialData(base_color=(0.82, 0.80, 0.75, 1.0),
+                                          roughness=0.9))
+    wood = b.add_material(MaterialData(base_color=(0.45, 0.30, 0.18, 1.0),
+                                       roughness=0.7))
+    red = b.add_material(MaterialData(base_color=(0.70, 0.08, 0.06, 1.0),
+                                      roughness=0.9))
+    green = b.add_material(MaterialData(base_color=(0.08, 0.55, 0.10, 1.0),
+                                        roughness=0.9))
+    brass = b.add_material(MaterialData(base_color=(0.85, 0.65, 0.25, 1.0),
+                                        roughness=0.35, metallic=1.0))
+
+    def place(mesh, mat, t, s=(1, 1, 1), yaw=0.0):
+        m = cmath.compose_trs(t, rotation_quat=(0, np.sin(yaw / 2), 0,
+                                                np.cos(yaw / 2)), scale=s)
+        b.add_instance(mesh, mat, m)
+
+    # room shell: 16 x 5 x 10 (x, y, z), open along +x where the window
+    # wall has a large opening for the sun shaft
+    place(plane, wood, (0, 0, 0), (16, 1, 10))             # floor
+    place(box, plaster, (0, 5.15, 0), (16, 0.3, 10))       # ceiling
+    place(box, red, (0, 2.5, -5.15), (16, 5, 0.3))         # back wall
+    place(box, green, (-8.15, 2.5, 0), (0.3, 5, 10))       # left wall
+    place(box, plaster, (0, 2.5, 5.15), (16, 5, 0.3))      # front wall
+    # window wall (+x): sill, header and two piers leaving a 4x2.6 opening
+    place(box, plaster, (8.15, 0.6, 0), (0.3, 1.2, 10))    # sill
+    place(box, plaster, (8.15, 4.4, 0), (0.3, 1.2, 10))    # header
+    place(box, plaster, (8.15, 2.5, -3.6), (0.3, 5, 2.8))  # pier -z
+    place(box, plaster, (8.15, 2.5, 3.6), (0.3, 5, 2.8))   # pier +z
+
+    # furniture: tables, columns, props
+    for i in range(3):
+        x = -5.0 + i * 4.0
+        place(box, wood, (x, 0.9, -1.5), (1.6, 0.12, 1.0))    # table top
+        place(box, wood, (x, 0.45, -1.5), (0.15, 0.9, 0.15))  # leg
+        place(sphere, brass, (x, 1.2, -1.5), (0.25, 0.25, 0.25))
+    for zs in (-3.5, 3.5):
+        place(column, plaster, (-6.5, 2.0, zs))
+    for _ in range(10 * detail):
+        place(sphere, _mat(b, rng),
+              (rng.uniform(-7, 7), 0.3, rng.uniform(-4, 4)),
+              (0.25, 0.25, 0.25))
+    return b
+
+
 def build_nanite_stress(seed: int = 3, spheres: int = 100,
                         rings: int = 64) -> SceneBuilder:
     """Nanite stress scene (BASELINE config #3: cluster-LOD selection +

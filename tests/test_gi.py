@@ -1,6 +1,7 @@
 """World radiance cache GI: injection, propagation, irradiance, bleeding
 (reference: renderer/gi/screen_probe_gather.cpp world cache + SHPropagate)."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -130,3 +131,66 @@ def test_inject_jitter_cycles_phase():
     # phase 0 sees no bright pixels (they sit at x%8==1), later phases do
     la, lb = float(jnp.abs(a).sum()), float(jnp.abs(b).sum())
     assert la != lb
+
+
+@pytest.mark.slow
+def test_interior_scene_bounce_light():
+    """BASELINE config #4 shape (indoor diffuse GI): in the enclosed
+    interior scene lit only through the window, regions with no direct
+    sun must gain energy from the GI path, and the bounce near the green
+    wall must carry the wall's tint (color bleeding)."""
+    import numpy as np
+
+    from chord_tpu.asset.procedural import build_bistro_interior
+    from chord_tpu.renderer.deferred import RendererConfig
+    from chord_tpu.renderer.meshlet_frame import (MeshletFrameConfig,
+                                                  MeshletRenderer)
+    from chord_tpu.rhi.meshlet_scene import build_meshlet_pools
+    from chord_tpu.utils.camera import Camera
+    from chord_tpu.utils.cvar import cvars
+
+    b = build_bistro_interior(detail=1)
+    pools = build_meshlet_pools(b, nanite=False)
+    w, h = 160, 96
+    cam = Camera(width=w, height=h)
+    cam.position = np.array([-6.0, 2.2, 3.6])
+    cam.look_at(np.array([6.0, 1.2, -2.0]))
+    inst = b.frame_instances(cam)
+    # sun shines in through the +x window opening
+    sun = np.array([0.85, 0.45, 0.15])
+    sun /= np.linalg.norm(sun)
+
+    def render(gi, frames=6):
+        r = MeshletRenderer(
+            RendererConfig(width=w, height=h, pair_capacity=4096,
+                           big_capacity=128, interpret=True,
+                           enable_bloom=False, enable_tsr=False),
+            MeshletFrameConfig(draw_capacity=512, occlusion=False,
+                               shadows=True, gi=gi, gi_mode="probe"))
+        cvars.set("r.exposure.fix", 1.0)
+        try:
+            img = None
+            for i in range(frames):
+                img, _ = r.render(pools, inst, cam.view_uniform(i),
+                                  sun_direction=tuple(sun))
+            return np.asarray(img).astype(np.float32)
+        finally:
+            cvars.set("r.exposure.fix", -1.0)
+
+    off = render(False, frames=1)
+    on = render(True)
+    assert np.isfinite(on).all()
+    # the room away from the window sees no direct sun: the GI path must
+    # add substantial energy (measured ~+44/255 mean at this camera)
+    gain = on[..., :3].mean() - off[..., :3].mean()
+    assert gain > 10.0, f"GI added no energy: mean gain {gain:.2f}"
+    # color bleeding: the neutral plaster ceiling next to the RED back
+    # wall (top-left of frame at this camera) must gain far more red
+    # than green (measured dR~+91 vs dG~+30)
+    strip_on = on[: h // 3, : w // 3]
+    strip_off = off[: h // 3, : w // 3]
+    dr = strip_on[..., 0].mean() - strip_off[..., 0].mean()
+    dg = strip_on[..., 1].mean() - strip_off[..., 1].mean()
+    assert dr > 20.0, f"no bounce on the back-wall ceiling: dR={dr:.2f}"
+    assert dr > 1.5 * dg, \
+        f"bounce not red-tinted: dR={dr:.2f} dG={dg:.2f}"
