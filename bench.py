@@ -59,6 +59,9 @@ def _make_scene(scene, detail, target_tris):
                               textures=True)
     elif scene == "nanite":
         b = build_nanite_stress(rings=16 * detail)
+    elif scene == "interior":   # BASELINE config #4: indoor diffuse GI
+        from chord_tpu.asset.procedural import build_bistro_interior
+        b = build_bistro_interior(detail=detail)
     else:
         b = build_sponza_like(detail=detail)
     pools = build_meshlet_pools(b, nanite=native_available(),
@@ -82,6 +85,9 @@ def _camera_path(scene, cam, frames):
         if scene == "bistro":
             cam.position = np.array([-45.0 + 70.0 * t, 5.0, 4.0])
             cam.look_at(np.array([55.0, 3.0, -4.0]))
+        elif scene == "interior":
+            cam.position = np.array([-6.0 + 3.0 * t, 2.2, 3.6 - 1.5 * t])
+            cam.look_at(np.array([6.0, 1.2, -2.0]))
         elif scene == "nanite":
             ang = t * 1.5
             cam.position = np.array([50.0 * np.cos(ang), 9.0,
