@@ -55,14 +55,16 @@ def trace(
         z = c[..., 2] / wc
         return x, y, z, c[..., 3]
 
-    hit_col = jnp.zeros((h, w, 3))
-    hit_conf = jnp.zeros((h, w))
-    found = jnp.zeros((h, w), bool)
-
     # exponential step schedule covers near detail + far geometry
     ts = np.cumsum(np.geomspace(0.08, 1.0, cfg.steps))
-    ts = ts / ts[-1] * cfg.max_distance
-    for t in ts:
+    ts = jnp.asarray(ts / ts[-1] * cfg.max_distance, jnp.float32)
+
+    # scan (compact trace) that records the HIT COORDINATES only — the
+    # previous-frame color gather runs ONCE after the march instead of
+    # per step (gathers are the scarce resource; this halves the trace's
+    # gather count: 2 per step -> 1 per step + 1 total)
+    def step(carry, t):
+        found, hit_x, hit_y, hit_conf = carry
         p = pos_q + r * t
         x, y, z, cw = project(p)
         on = (x >= 0) & (x < w) & (y >= 0) & (y < h) & (cw > 0) & \
@@ -75,17 +77,21 @@ def trace(
         behind = (z < scene_z) & (z > scene_z - cfg.thickness) & \
             (scene_z > 0.0)
         hit = on & behind & ~found
-        # shade from last frame's color at full res
-        fx = jnp.clip((x * (fw / w)).astype(jnp.int32), 0, fw - 1)
-        fy = jnp.clip((y * (fh / h)).astype(jnp.int32), 0, fh - 1)
-        col = color_prev[fy, fx]
         # border fade
         bx = jnp.minimum(x, w - x) / (w * cfg.edge_fade)
         by = jnp.minimum(y, h - y) / (h * cfg.edge_fade)
         fade = jnp.clip(jnp.minimum(bx, by), 0.0, 1.0)
-        hit_col = jnp.where(hit[..., None], col, hit_col)
-        hit_conf = jnp.where(hit, fade, hit_conf)
-        found = found | hit
+        return ((found | hit, jnp.where(hit, x, hit_x),
+                 jnp.where(hit, y, hit_y),
+                 jnp.where(hit, fade, hit_conf)), None)
+
+    zero = jnp.zeros((h, w))
+    (found, hit_x, hit_y, hit_conf), _ = jax.lax.scan(
+        step, (jnp.zeros((h, w), bool), zero, zero, zero), ts)
+    # shade from last frame's color at full res (one gather)
+    fx = jnp.clip((hit_x * (fw / w)).astype(jnp.int32), 0, fw - 1)
+    fy = jnp.clip((hit_y * (fh / h)).astype(jnp.int32), 0, fh - 1)
+    hit_col = jnp.where(found[..., None], color_prev[fy, fx], 0.0)
 
     # grazing reflections toward the camera are unreliable on-screen
     toward_cam = jnp.sum(r * v, -1)
