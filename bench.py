@@ -126,13 +126,16 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
                             pair_capacity=16384, big_capacity=64,
                             enable_bloom=True, enable_tsr=True,
                             tsr_mode="global")
-    all_on = features == "all"
+    # feature ladder: "all" > "no_tril" (all minus stochastic trilinear)
+    # > "off" (geometry+post only). The intermediate level exists so the
+    # orchestrator can degrade gracefully if a config faults the worker.
+    all_on = features != "off"
     mcfg = MeshletFrameConfig(
         draw_capacity=draw_capacity, occlusion=True,
         shadows=all_on, atmosphere=all_on,
         gi=all_on, gi_mode="probe", gi_rt=all_on, rt_rays=2, ssr=all_on,
         textured=all_on, alpha_masked=all_on, alpha_blend=all_on,
-        trilinear=all_on,
+        trilinear=(features == "all"),
         probe_cfg=ScreenProbeConfig(rays=16, steps=6))
 
     bvh = None
@@ -214,6 +217,53 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
     }
 
 
+def _orchestrate(args) -> int:
+    """Run the measurement in a child process and degrade the feature set
+    if the child dies (a worker fault poisons the in-process jax client,
+    so each attempt needs a fresh process). Always emits ONE JSON line."""
+    import subprocess
+
+    ladder = ([args.features] if args.features != "all"
+              else ["all", "no_tril", "off"])
+    last_err = "no attempts ran"
+    for i, feat in enumerate(ladder):
+        cmd = [sys.executable, __file__, "--child",
+               "--width", str(args.width), "--height", str(args.height),
+               "--detail", str(args.detail), "--frames", str(args.frames),
+               "--scene", args.scene, "--target-tris", str(args.target_tris),
+               "--render-scale", str(args.render_scale),
+               "--features", feat]
+        if args.skip_secondary or feat != "all":
+            cmd.append("--skip-secondary")
+        try:
+            p = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=2400)
+        except subprocess.TimeoutExpired:
+            last_err = f"features={feat}: child timed out"
+            continue
+        line = next((ln for ln in p.stdout.splitlines()
+                     if ln.startswith('{"metric"')), None)
+        if line is None:
+            err_tail = (p.stderr.strip().splitlines()[-1][:200]
+                        if p.stderr.strip() else "")
+            last_err = (f"features={feat}: no JSON (rc={p.returncode}) "
+                        f"{err_tail}")
+            continue
+        rec = json.loads(line)
+        if rec.get("value", -1) <= 0:
+            last_err = f"features={feat}: {rec.get('error', 'value<=0')}"
+            continue
+        if i > 0:
+            rec.setdefault("detail", {})["degraded_from"] = ladder[0]
+            rec["detail"]["degraded_reason"] = last_err[:300]
+        print(json.dumps(rec))
+        return 0
+    print(json.dumps({
+        "metric": "full_pipeline_1080p_ms_per_frame",
+        "value": -1, "unit": "ms", "vs_baseline": 0, "error": last_err}))
+    return 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=1920)
@@ -222,7 +272,11 @@ def main():
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--scene", default="bistro")
     ap.add_argument("--target-tris", type=int, default=2_600_000)
-    ap.add_argument("--features", default="all", choices=["all", "off"])
+    ap.add_argument("--features", default="all",
+                    choices=["all", "no_tril", "off"])
+    ap.add_argument("--child", action="store_true",
+                    help="run one measurement in-process (no degradation "
+                         "ladder); used by the orchestrator")
     ap.add_argument("--render-scale", type=float, default=1.0,
                     help="TSR upscale: render at scale*res, temporal-"
                          "upscale to full res (the reference's render-dim"
@@ -230,6 +284,9 @@ def main():
     ap.add_argument("--skip-secondary", action="store_true",
                     help="skip the feature-off secondary measurement")
     args = ap.parse_args()
+
+    if not args.child:
+        sys.exit(_orchestrate(args))
 
     start = time.time()
     try:

@@ -48,10 +48,15 @@ def main():
     cases = {
         "off": (base, {}),
         "off_s8": (base, {"r.raster.subS": 8}),
-        "off_s16": (base, {"r.raster.subS": 16}),
+        # subS=16 / bricks need tileH % (4*subS) == 0 — pin compatible
+        # tile heights rather than inheriting the 216 default
+        "off_s16": (base, {"r.raster.subS": 16, "r.raster.tileH": 192}),
+        "off_t192": (base, {"r.raster.tileH": 192}),
         "off_s16_bricks": (base, {"r.raster.subS": 16,
+                                  "r.raster.tileH": 192,
                                   "r.raster.bricks": True}),
-        "bricks": (base, {"r.raster.bricks": True}),
+        "bricks": (base, {"r.raster.bricks": True,
+                          "r.raster.tileH": 192}),
         "masked": (base._replace(alpha_masked=True), {}),
         "masked_bricks": (base._replace(alpha_masked=True),
                           {"r.raster.bricks": True}),

@@ -43,6 +43,7 @@ def run_config(name, b, pools, n_src_tris, width, height, frames, **feat):
         gi_rt=feat.get("gi_rt", False), rt_rays=2,
         ssr=feat.get("ssr", False),
         textured=feat.get("textured", False),
+        trilinear=feat.get("trilinear", False),
         alpha_masked=feat.get("alpha_masked", False),
         alpha_blend=feat.get("alpha_blend", False),
         probe_cfg=ScreenProbeConfig(rays=16, steps=6))
@@ -139,9 +140,14 @@ def main():
         "gi_probe_rt": dict(gi=True, gi_mode="probe", gi_rt=True),
         "ssr": dict(ssr=True),
         "post": dict(post=True),
+        "tex_tril": dict(textured=True, trilinear=True),
         "all": dict(textured=True, alpha_masked=True, alpha_blend=True,
                     shadows=True, atmosphere=True, gi=True,
                     gi_mode="probe", gi_rt=True, ssr=True, post=True),
+        "all_tril": dict(textured=True, trilinear=True, alpha_masked=True,
+                         alpha_blend=True, shadows=True, atmosphere=True,
+                         gi=True, gi_mode="probe", gi_rt=True, ssr=True,
+                         post=True),
     }
     names = args.configs.split(",") if args.configs else list(all_cfgs)
     for name in names:
