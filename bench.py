@@ -27,7 +27,8 @@ import numpy as np
 NORTH_STAR_MS = 16.6   # BASELINE.json
 
 
-_SCENE_CACHE_V = 1   # bump when builder/pool layout changes
+_SCENE_CACHE_V = 2   # bump when builder/pool layout changes (v2: compressed
+                     # texture pool became the default)
 
 
 def _make_scene(scene, detail, target_tris):
