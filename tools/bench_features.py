@@ -35,12 +35,15 @@ def run_config(name, b, pools, n_src_tris, width, height, frames, **feat):
                             enable_bloom=feat.get("post", False),
                             enable_tsr=feat.get("post", False),
                             tsr_mode="global")
+    from chord_tpu.ops.gi import GIConfig
+    gi_cfg = GIConfig(ao_res_div=feat.get("ao_div", 2))
     mcfg = MeshletFrameConfig(
         draw_capacity=feat.get("draw_capacity", 6144), occlusion=True,
         shadows=feat.get("shadows", False),
         atmosphere=feat.get("atmosphere", False),
         gi=feat.get("gi", False), gi_mode=feat.get("gi_mode", "probe"),
-        gi_rt=feat.get("gi_rt", False), rt_rays=2,
+        gi_cfg=gi_cfg,
+        gi_rt=feat.get("gi_rt", False), rt_rays=feat.get("rt_rays", 2),
         ssr=feat.get("ssr", False),
         textured=feat.get("textured", False),
         trilinear=feat.get("trilinear", False),
@@ -78,7 +81,7 @@ def run_config(name, b, pools, n_src_tris, width, height, frames, **feat):
     from chord_tpu.ops.gi import GIConfig
     history = FrameHistory.empty(
         height, width,
-        gi_cfg=GIConfig() if feat.get("gi") else None,
+        gi_cfg=gi_cfg if feat.get("gi") else None,
         shadow_cascades=(mcfg.shadow_cfg.cascade_count
                          if feat.get("shadows") else 0),
         shadow_res=(mcfg.shadow_cfg.resolution
@@ -148,6 +151,29 @@ def main():
                          alpha_blend=True, shadows=True, atmosphere=True,
                          gi=True, gi_mode="probe", gi_rt=True, ssr=True,
                          post=True),
+        # crash-bisect half: everything except the material/texture paths
+        "rest": dict(shadows=True, atmosphere=True, gi=True,
+                     gi_mode="probe", gi_rt=True, ssr=True, post=True),
+        # crash-bisect pair: alpha-tested masked shadow casters only
+        # compile when BOTH shadows and alpha_masked are on
+        "shadow_masked": dict(shadows=True, textured=True,
+                              alpha_masked=True),
+        "gi_tex": dict(gi=True, gi_mode="probe", gi_rt=True,
+                       textured=True, alpha_masked=True, post=True),
+        # perf-campaign A/Bs on the full config (bench.py ladder "all"):
+        "all_ao4": dict(textured=True, trilinear=True, alpha_masked=True,
+                        alpha_blend=True, shadows=True, atmosphere=True,
+                        gi=True, gi_mode="probe", gi_rt=True, ssr=True,
+                        post=True, ao_div=4),
+        "all_rt1": dict(textured=True, trilinear=True, alpha_masked=True,
+                        alpha_blend=True, shadows=True, atmosphere=True,
+                        gi=True, gi_mode="probe", gi_rt=True, ssr=True,
+                        post=True, rt_rays=1),
+        "all_lean": dict(textured=True, trilinear=True, alpha_masked=True,
+                         alpha_blend=True, shadows=True, atmosphere=True,
+                         gi=True, gi_mode="probe", gi_rt=True, ssr=True,
+                         post=True, ao_div=4, rt_rays=1,
+                         draw_capacity=4096),
     }
     names = args.configs.split(",") if args.configs else list(all_cfgs)
     for name in names:
