@@ -180,7 +180,15 @@ def render_shadow_cascade(
     -> (R,R) reverse-Z depth map."""
     scfg = mcfg.shadow_cfg
     r = scfg.resolution
-    rc = RasterConfig(width=r, height=r,
+    # tile_h must DIVIDE the cascade resolution: the with-attrs (40-row)
+    # kernel faults the TPU worker when the last tile row overhangs the
+    # output arrays (device-bisected: 1024x1024 with the main view's
+    # tile_h=120 crashes; the 16-row depth-only layout happened to
+    # tolerate the overhang). Pick the largest divisor of r that is a
+    # multiple of 8*sub_s, capped near the main view's tile height.
+    tile_h_s = next((t for t in range(min(128, r), 7, -8)
+                     if r % t == 0 and t % rc_main.sub_s == 0), 8)
+    rc = RasterConfig(width=r, height=r, tile_h=tile_h_s,
                       pair_capacity=rc_main.pair_capacity,
                       big_capacity=rc_main.big_capacity,
                       sub_s=rc_main.sub_s,
