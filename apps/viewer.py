@@ -128,7 +128,7 @@ def main() -> int:
     ap.add_argument("--gif", action="store_true")
     ap.add_argument("--debug", default="none",
                     choices=["none", "meshlet", "lod", "normal", "depth",
-                             "disocclusion", "motion", "gi"])
+                             "disocclusion", "motion", "gi", "specular"])
     ap.add_argument("--overlay", default="none",
                     choices=["none", "bounds"],
                     help="wireframe overlay: instance bounding spheres "

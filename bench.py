@@ -26,6 +26,25 @@ import numpy as np
 
 NORTH_STAR_MS = 16.6   # BASELINE.json
 
+# Degradation-ladder feature levels, richest first (see bench_frame).
+FEATURE_LEVELS = {
+    "all": dict(shadows=True, atmosphere=True, gi=True, textured=True,
+                shadow_masked=True, trilinear=True),
+    "no_tril": dict(shadows=True, atmosphere=True, gi=True, textured=True,
+                    shadow_masked=True, trilinear=False),
+    "no_masked_shadow": dict(shadows=True, atmosphere=True, gi=True,
+                             textured=True, shadow_masked=False,
+                             trilinear=False),
+    "geo_shadow_atmo": dict(shadows=True, atmosphere=True, gi=False,
+                            textured=True, shadow_masked=True,
+                            trilinear=False),
+    "geo_tex": dict(shadows=False, atmosphere=False, gi=False,
+                    textured=True, shadow_masked=False, trilinear=False),
+    "off": dict(shadows=False, atmosphere=False, gi=False, textured=False,
+                shadow_masked=False, trilinear=False),
+}
+LADDER = list(FEATURE_LEVELS)
+
 
 _SCENE_CACHE_V = 2   # bump when builder/pool layout changes (v2: compressed
                      # texture pool became the default)
@@ -127,29 +146,40 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
                             pair_capacity=16384, big_capacity=64,
                             enable_bloom=True, enable_tsr=True,
                             tsr_mode="global")
-    # feature ladder: "all" > "no_tril" (all minus stochastic trilinear)
-    # > "off" (geometry+post only). The intermediate level exists so the
-    # orchestrator can degrade gracefully if a config faults the worker.
-    all_on = features != "off"
+    # Feature degradation ladder (richest first; the orchestrator walks
+    # down on worker faults so ONE faulty feature can't erase the whole
+    # record — VERDICT r2 item 3):
+    #   all              everything incl. stochastic trilinear
+    #   no_tril          everything minus trilinear
+    #   no_masked_shadow everything minus the alpha-tested masked
+    #                    shadow-caster path (shadows stay on)
+    #   geo_shadow_atmo  geometry + textures + masked + shadows + atmo +
+    #                    post (no GI/SSR/rt)
+    #   geo_tex          geometry + textures + masked + post
+    #   off              geometry + post only
+    lvl = FEATURE_LEVELS[features]
     mcfg = MeshletFrameConfig(
         draw_capacity=draw_capacity, occlusion=True,
-        shadows=all_on, atmosphere=all_on,
-        gi=all_on, gi_mode="probe", gi_rt=all_on, rt_rays=2, ssr=all_on,
-        textured=all_on, alpha_masked=all_on, alpha_blend=all_on,
-        trilinear=(features == "all"),
+        shadows=lvl["shadows"], atmosphere=lvl["atmosphere"],
+        gi=lvl["gi"], gi_mode="probe", gi_rt=lvl["gi"], rt_rays=2,
+        ssr=lvl["gi"],
+        textured=lvl["textured"], alpha_masked=lvl["textured"],
+        alpha_blend=lvl["textured"],
+        shadow_masked=lvl["shadow_masked"],
+        trilinear=lvl["trilinear"],
         probe_cfg=ScreenProbeConfig(rays=16, steps=6))
 
     bvh = None
-    if all_on:
+    if lvl["gi"]:
         from chord_tpu.ops.rt import build_scene_bvh
         bvh = build_scene_bvh(pools, b.frame_instances(cam),
                               granularity="object")
 
     views_u = _camera_path(scene, cam, frames)
-    shadow_cfg = mcfg.shadow_cfg if all_on else None
+    shadow_cfg = mcfg.shadow_cfg if lvl["shadows"] else None
     dviews = [DeviceView.from_uniform(u, shadow_cfg=shadow_cfg)
               for u in views_u]
-    if all_on:
+    if lvl["atmosphere"] or lvl["gi"] or lvl["shadows"]:
         # sun-independent LUTs built once on the host driver
         from chord_tpu.ops import atmosphere as atm
         from chord_tpu.ops import brdf_lut as brdf
@@ -172,11 +202,12 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
     history = FrameHistory.empty(
         rh, rw, post_h=height if render_scale != 1.0 else None,
         post_w=width if render_scale != 1.0 else None,
-        gi_cfg=GIConfig() if all_on else None,
-        shadow_cascades=(mcfg.shadow_cfg.cascade_count if all_on else 0),
-        shadow_res=(mcfg.shadow_cfg.resolution if all_on else 1),
+        gi_cfg=GIConfig() if lvl["gi"] else None,
+        shadow_cascades=(mcfg.shadow_cfg.cascade_count
+                         if lvl["shadows"] else 0),
+        shadow_res=(mcfg.shadow_cfg.resolution if lvl["shadows"] else 1),
         shadow_div=mcfg.shadow_cfg.eval_res_div,
-        probe_tile=8 if all_on else 0)
+        probe_tile=8 if lvl["gi"] else 0)
     inst = b.frame_instances(cam)
 
     fn = jax.jit(functools.partial(
@@ -224,8 +255,7 @@ def _orchestrate(args) -> int:
     so each attempt needs a fresh process). Always emits ONE JSON line."""
     import subprocess
 
-    ladder = ([args.features] if args.features != "all"
-              else ["all", "no_tril", "off"])
+    ladder = [args.features] if args.features != "all" else LADDER
     last_err = "no attempts ran"
     for i, feat in enumerate(ladder):
         cmd = [sys.executable, __file__, "--child",
@@ -273,8 +303,7 @@ def main():
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--scene", default="bistro")
     ap.add_argument("--target-tris", type=int, default=2_600_000)
-    ap.add_argument("--features", default="all",
-                    choices=["all", "no_tril", "off"])
+    ap.add_argument("--features", default="all", choices=LADDER)
     ap.add_argument("--child", action="store_true",
                     help="run one measurement in-process (no degradation "
                          "ladder); used by the orchestrator")

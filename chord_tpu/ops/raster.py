@@ -385,7 +385,16 @@ def bin_windows(setup: TriangleSetup, config: RasterConfig) -> WorkQueue:
     # (sort-compaction — element scatters lower serially on TPU)
     big_i = big.astype(jnp.int32)
     n_big = jnp.sum(big_i)
-    big_overflow = jnp.maximum(n_big - c.big_capacity, 0)
+    # Exact dropped-pair count for big windows beyond capacity: each
+    # dropped window would have expanded into its span_x*span_y tile
+    # pairs. Sort the per-window tile counts with the same key as the
+    # id compaction; everything past the first big_capacity slots is
+    # dropped (non-big entries carry 0, so the tail sum is exact).
+    nt_big = jnp.where(big, span_x * span_y, 0).astype(jnp.int32)
+    _, nt_sorted = jax.lax.sort((1 - big_i, nt_big), num_keys=1,
+                                is_stable=True)
+    big_overflow_pairs = (jnp.sum(nt_sorted)
+                          - jnp.sum(nt_sorted[:c.big_capacity]))
     _, big_sorted = jax.lax.sort((1 - big_i, win_ids), num_keys=1,
                                  is_stable=True)
     if big_sorted.shape[0] < c.big_capacity:
@@ -422,7 +431,7 @@ def bin_windows(setup: TriangleSetup, config: RasterConfig) -> WorkQueue:
         keys_s = jnp.concatenate([keys_s, jnp.full((pad,), invalid_key)])
         vals_s = jnp.concatenate([vals_s, jnp.full((pad,), d, jnp.int32)])
     n_pairs = jnp.minimum(total, cap)
-    overflow = jnp.maximum(total - cap, 0) + big_overflow * 8
+    overflow = jnp.maximum(total - cap, 0) + big_overflow_pairs
 
     pk = keys_s[:cap]
     pv = vals_s[:cap]
@@ -1066,7 +1075,11 @@ def bin_windows_subtile(setup: TriangleSetup, config: RasterConfig
     big_cap = min(c.big_capacity, 128)
     big_rank = jnp.cumsum(big.astype(jnp.int32)) - 1
     n_big = jnp.sum(big.astype(jnp.int32))
-    big_overflow = jnp.maximum(n_big - big_cap, 0)
+    # exact dropped-pair count (see bin_windows): subwindow span of each
+    # big window past capacity
+    nt_big = jnp.where(big & (big_rank >= big_cap),
+                       (gx1 - gx0 + 1) * (ty1 - ty0 + 1), 0)
+    big_overflow_pairs = jnp.sum(nt_big).astype(jnp.int32)
     slot = jnp.where(big & (big_rank < big_cap), big_rank, big_cap)
     big_list = jnp.zeros((big_cap + 1,), jnp.int32).at[slot].set(
         win_ids, mode="drop")[:big_cap]
@@ -1097,7 +1110,7 @@ def bin_windows_subtile(setup: TriangleSetup, config: RasterConfig
         keys_s = jnp.concatenate([keys_s, jnp.full((pad,), invalid_key)])
         vals_s = jnp.concatenate([vals_s, jnp.full((pad,), d, jnp.int32)])
     n_pairs = jnp.minimum(total, cap)
-    overflow = jnp.maximum(total - cap, 0) + big_overflow * 8
+    overflow = jnp.maximum(total - cap, 0) + big_overflow_pairs
     pk = keys_s[:cap]
     pv = vals_s[:cap]
 

@@ -562,3 +562,157 @@ def bilateral_upsample(
             acc = acc + col * wt[..., None]
             wacc = wacc + wt
     return acc / jnp.maximum(wacc[..., None], 1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Specular GI filtering chain (reference:
+# gi_spatial_specular_remove_fireflare.hlsl + gi_spatial_filter_specular.hlsl
+# + the shared history reprojection). Runs at the specular sample res
+# (1/sample_res_div): edge-aware weights from the same-res depth/normal
+# planes, shifted-plane taps (no gathers).
+# ---------------------------------------------------------------------------
+
+def _edge_weight(pos_c, nrm_c, pos_s, nrm_s, sharp: float = 8.0):
+    """Reference weight = pow(normalFactor * distanceFactor, 16) with
+    normalFactor = pow(saturate(n.n'), 16) — a gentler exponent here
+    because the low-res planes already average geometry."""
+    nf = jnp.clip(jnp.sum(nrm_c * nrm_s, -1), 0.0, 1.0) ** 8
+    scale = jnp.maximum(jnp.linalg.norm(pos_c, axis=-1), 1e-3)
+    df = jnp.clip(1.0 - jnp.linalg.norm(pos_s - pos_c, axis=-1) / scale,
+                  0.0, 1.0)
+    return (nf * df) ** sharp
+
+
+def specular_firefly_clamp(
+    spec: jnp.ndarray,        # (Hq,Wq,3) raw specular radiance
+    pos_q: jnp.ndarray,       # (Hq,Wq,3) translated-world position
+    nrm_q: jnp.ndarray,       # (Hq,Wq,3)
+    rough_q: jnp.ndarray,     # (Hq,Wq)
+) -> jnp.ndarray:
+    """Firefly removal (gi_spatial_specular_remove_fireflare.hlsl): an
+    edge-aware scattered-neighborhood mean (the reference's 16 Halton
+    taps at ~4px stride -> 8 shifted planes at strides 1 and 2), then an
+    AABB clip of the result toward the local tile mean with a
+    roughness-lerped range. Mirror surfaces (roughness == 0) pass
+    through untouched, matching the reference's early-out."""
+    # center-free scattered mean: the reference's taps are offset Halton
+    # samples, so a firefly does not vote for itself — weight-sum ~0
+    # (e.g. a lone unconnected surface) falls back to the raw center
+    acc = jnp.zeros_like(spec)
+    wacc = jnp.zeros(spec.shape[:2])
+    for s in (1, 2):
+        for dy, dx in ((0, s), (0, -s), (s, 0), (-s, 0)):
+            p2 = jnp.roll(pos_q, (dy, dx), (0, 1))
+            n2 = jnp.roll(nrm_q, (dy, dx), (0, 1))
+            c2 = jnp.roll(spec, (dy, dx), (0, 1))
+            w = _edge_weight(pos_q, nrm_q, p2, n2)
+            acc = acc + c2 * w[..., None]
+            wacc = wacc + w
+    nb_mean = jnp.where((wacc > 1e-5)[..., None],
+                        acc / jnp.maximum(wacc, 1e-5)[..., None], spec)
+
+    # downward-only luminance clamp vs the neighborhood mean: a pixel
+    # may not exceed its (firefly-free) surroundings by more than 4x —
+    # this removes the outlier BEFORE it can pollute the blur/stat below
+    lum = jnp.max(spec, -1)
+    nb_lum = jnp.max(nb_mean, -1)
+    factor = jnp.minimum(1.0, (nb_lum * 4.0 + 0.25) /
+                         jnp.maximum(lum, 1e-5))
+    cleaned = spec * factor[..., None]
+
+    # gentle blur of the cleaned signal (center keeps weight 1)
+    acc = cleaned
+    wacc2 = jnp.ones(spec.shape[:2])
+    for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        p2 = jnp.roll(pos_q, (dy, dx), (0, 1))
+        n2 = jnp.roll(nrm_q, (dy, dx), (0, 1))
+        c2 = jnp.roll(cleaned, (dy, dx), (0, 1))
+        w = _edge_weight(pos_q, nrm_q, p2, n2)
+        acc = acc + c2 * w[..., None]
+        wacc2 = wacc2 + w
+    blurred = acc / wacc2[..., None]
+
+    # tile-mean statistic (the reference's 8x8 statSRV): 4x4 avg-pool at
+    # the already-reduced specular res
+    hq, wq = spec.shape[:2]
+    t = 4
+    ph, pw = -(-hq // t) * t, -(-wq // t) * t
+    padded = jnp.pad(blurred, ((0, ph - hq), (0, pw - wq), (0, 0)))
+    cnt = jnp.pad(jnp.ones((hq, wq, 1)), ((0, ph - hq), (0, pw - wq),
+                                          (0, 0)))
+    stat = (padded.reshape(ph // t, t, pw // t, t, 3).sum((1, 3)) /
+            jnp.maximum(cnt.reshape(ph // t, t, pw // t, t, 1)
+                        .sum((1, 3)), 1.0))
+    stat_full = jnp.repeat(jnp.repeat(stat, t, 0), t, 1)[:hq, :wq]
+
+    # clip range lerp(0.3, 0.5, roughness-remap), scaled by the stat
+    # magnitude so the clamp is scene-scale invariant
+    lf = jnp.clip(rough_q / 0.25, 0.0, 1.0)
+    rng = (0.3 + 0.2 * lf)[..., None] * (
+        jnp.max(jnp.abs(stat_full), -1, keepdims=True) + 0.25)
+    clipped = jnp.clip(blurred, stat_full - rng, stat_full + rng)
+    return jnp.where(rough_q[..., None] <= 1e-4, spec, clipped)
+
+
+def spatial_filter_specular(
+    spec: jnp.ndarray, pos_q: jnp.ndarray, nrm_q: jnp.ndarray,
+    rough_q: jnp.ndarray, taps: int = 3,
+) -> jnp.ndarray:
+    """Separable edge-aware specular blur (gi_spatial_filter_specular.hlsl
+    X/Y direction passes): filter radius grows with roughness (the
+    reference lerps 8..16px at full res; at 1/8 sample res that is 1..2
+    planes), zero radius (mirror) keeps the raw trace."""
+    rad_w = jnp.clip(rough_q / 0.25, 0.0, 1.0)   # 0 = mirror, 1 = glossy
+    out = spec
+    for axis in (1, 0):
+        acc = out
+        wacc = jnp.ones(rough_q.shape)
+        for s in range(1, taps + 1):
+            for sign in (-1, 1):
+                p2 = jnp.roll(pos_q, s * sign, axis)
+                n2 = jnp.roll(nrm_q, s * sign, axis)
+                c2 = jnp.roll(out, s * sign, axis)
+                w = (_edge_weight(pos_q, nrm_q, p2, n2) * rad_w *
+                     0.7 ** (s - 1))
+                acc = acc + c2 * w[..., None]
+                wacc = wacc + w
+        out = acc / wacc[..., None]
+    return out
+
+
+def temporal_specular(
+    spec: jnp.ndarray,           # (Hq,Wq,3) filtered fresh specular
+    motion_q: jnp.ndarray,       # (Hq,Wq,2) NDC motion
+    prev_spec: jnp.ndarray,      # (Hq,Wq,3) history
+    history_valid: jnp.ndarray,
+    rough_q: jnp.ndarray,
+    disocclusion: Optional[jnp.ndarray] = None,
+    alpha: float = 0.85,
+) -> jnp.ndarray:
+    """Temporal accumulation on the specular composite: reprojected
+    history with a neighborhood clamp; mirror surfaces get a shorter
+    history (reflections swim under TSR otherwise)."""
+    hq, wq = spec.shape[:2]
+    xs = jnp.arange(wq, dtype=jnp.float32)[None, :] + 0.5
+    ys = jnp.arange(hq, dtype=jnp.float32)[:, None] + 0.5
+    px = xs - motion_q[..., 0] * wq * 0.5
+    py = ys + motion_q[..., 1] * hq * 0.5
+    on = (px >= 0) & (px < wq) & (py >= 0) & (py < hq)
+    xi = jnp.clip(px.astype(jnp.int32), 0, wq - 1)
+    yi = jnp.clip(py.astype(jnp.int32), 0, hq - 1)
+    hist = prev_spec[yi, xi]
+
+    lo = spec
+    hi = spec
+    for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        nb = jnp.roll(spec, (dy, dx), (0, 1))
+        lo = jnp.minimum(lo, nb)
+        hi = jnp.maximum(hi, nb)
+    pad = (hi - lo) * 0.5 + 1e-3
+    hist = jnp.clip(hist, lo - pad, hi + pad)
+
+    a_r = alpha * (0.5 + 0.5 * jnp.clip(rough_q / 0.25, 0.0, 1.0))
+    a = a_r * history_valid * on.astype(jnp.float32)
+    if disocclusion is not None:
+        a = a * (1.0 - disocclusion)
+    return spec + (hist - spec) * a[..., None]

@@ -251,3 +251,98 @@ def evaluate_shadow(
     lit = lit / cfg.pcss_pcf_samples
 
     return jnp.where(in_map, lit, 1.0)
+
+
+def fit_cascades_device(
+    view_forward: jnp.ndarray,   # (3,) f32 camera forward (translated world)
+    sun_dir: jnp.ndarray,        # (3,)
+    tan_x: jnp.ndarray,          # () tan(fovx/2)
+    tan_y: jnp.ndarray,          # () tan(fovy/2)
+    z_range: jnp.ndarray,        # (2,) valid-depth view range (near, far)
+    cfg: ShadowConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device-side depth-range-driven cascade fit (the reference's
+    cascade_setup.hlsl: a 1-thread CS that reads the frame's valid-depth
+    min/max reduction and fits N cascades to the OCCUPIED range instead
+    of the whole frustum — shadow texels stop being wasted on empty
+    depth). Same split scheme / bounding-sphere / texel-snap maths as the
+    host `fit_cascades`, expressed in jnp so last frame's reduced range
+    (carried in FrameHistory) can feed it under jit.
+
+    -> (tw_to_light (N,4,4) f32, frustum planes (N,6,4) f32)."""
+    n = cfg.cascade_count
+    near = jnp.clip(z_range[0], 0.1, cfg.max_distance * 0.5)
+    far = jnp.clip(z_range[1], near * 1.5 + 0.5, cfg.max_distance)
+
+    f = jnp.arange(1, n + 1, dtype=jnp.float32) / n
+    log_d = near * (far / near) ** f
+    uni_d = near + (far - near) * f
+    splits = jnp.concatenate([near[None],
+                              cfg.split_lambda * log_d +
+                              (1 - cfg.split_lambda) * uni_d])   # (N+1,)
+
+    sun = sun_dir / jnp.maximum(jnp.linalg.norm(sun_dir), 1e-8)
+    up_y = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+    up_x = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+    up = jnp.where(jnp.abs(jnp.dot(sun, up_y)) > 0.95, up_x, up_y)
+
+    fwd = view_forward / jnp.maximum(jnp.linalg.norm(view_forward), 1e-8)
+    right = jnp.cross(fwd, up)
+    right = right / jnp.maximum(jnp.linalg.norm(right), 1e-8)
+    upv = jnp.cross(right, fwd)
+
+    # frustum-slice corners for every cascade at once: (N,2,2,2,3)
+    d = jnp.stack([splits[:-1], splits[1:]], 1)                  # (N,2)
+    sx = jnp.asarray([-1.0, 1.0])
+    sy = jnp.asarray([-1.0, 1.0])
+    corners = (fwd[None, None, None, None] * d[:, :, None, None, None] +
+               right[None, None, None, None] *
+               (sx[None, None, :, None, None] * tan_x *
+                d[:, :, None, None, None]) +
+               upv[None, None, None, None] *
+               (sy[None, None, None, :, None] * tan_y *
+                d[:, :, None, None, None]))                      # (N,2,2,2,3)
+    corners = corners.reshape(n, 8, 3)
+    center = corners.mean(1)                                     # (N,3)
+    radius = jnp.linalg.norm(corners - center[:, None], axis=-1).max(1)
+
+    texel = 2.0 * radius / cfg.resolution                        # (N,)
+
+    # look_at(center + sun*2r, center, up), row-vector convention
+    eye = center + sun[None] * (radius * 2.0)[:, None]           # (N,3)
+    fl = -sun[None] * jnp.ones((n, 1))                           # light fwd
+    s = jnp.cross(fl, jnp.broadcast_to(up, (n, 3)))
+    s = s / jnp.maximum(jnp.linalg.norm(s, axis=-1, keepdims=True), 1e-8)
+    u = jnp.cross(s, fl)
+    tx_ = -jnp.sum(eye * s, -1)
+    ty_ = -jnp.sum(eye * u, -1)
+    tz_ = jnp.sum(eye * fl, -1)
+    # texel snapping in light space keeps maps stable under motion
+    tx_ = jnp.floor(tx_ / texel) * texel
+    ty_ = jnp.floor(ty_ / texel) * texel
+    zero = jnp.zeros((n,))
+    one = jnp.ones((n,))
+    view = jnp.stack([
+        jnp.stack([s[:, 0], u[:, 0], -fl[:, 0], zero], -1),
+        jnp.stack([s[:, 1], u[:, 1], -fl[:, 1], zero], -1),
+        jnp.stack([s[:, 2], u[:, 2], -fl[:, 2], zero], -1),
+        jnp.stack([tx_, ty_, tz_, one], -1)], 1)                 # (N,4,4)
+
+    # ortho_reverse_z(-r, r, -r, r, 0, 4r) rows
+    inv_r = 1.0 / jnp.maximum(radius, 1e-6)
+    zr = 1.0 / (4.0 * radius)
+    proj = jnp.zeros((n, 4, 4))
+    proj = proj.at[:, 0, 0].set(inv_r)
+    proj = proj.at[:, 1, 1].set(inv_r)
+    proj = proj.at[:, 2, 2].set(zr)
+    proj = proj.at[:, 3, 2].set(4.0 * radius * zr)   # = 1.0
+    proj = proj.at[:, 3, 3].set(1.0)
+    mats = jnp.einsum("nij,njk->nik", view, proj).astype(jnp.float32)
+
+    # Gribb-Hartmann planes (row-vector): columns combinations, normalized
+    c0, c1, c2, c3 = (mats[:, :, i] for i in range(4))
+    planes = jnp.stack([c3 + c0, c3 - c0, c3 + c1, c3 - c1,
+                        c2, c3 - c2], 1)                         # (N,6,4)
+    pn = jnp.maximum(jnp.linalg.norm(planes[..., :3], axis=-1,
+                                     keepdims=True), 1e-12)
+    return mats, (planes / pn).astype(jnp.float32)

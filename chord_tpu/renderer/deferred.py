@@ -263,6 +263,7 @@ def render_frame_flat(
         probe_sh=history.probe_sh,
         probe_depth=history.probe_depth,
         gi_diffuse=history.gi_diffuse,
+        gi_specular=history.gi_specular,
         ddgi=history.ddgi,
     )
     stats = dict(raster_stats)

@@ -140,6 +140,11 @@ class MeshletFrameConfig(NamedTuple):
     # punch through via a deferred per-pixel alpha test. One masked layer;
     # shadows treat masked geometry as opaque.
     alpha_masked: bool = False
+    # alpha-tested masked shadow casters (the reference's Masked depth
+    # permutation, mesh_raster.hlsl DIM_PASS_TYPE=PASS_TYPE_DEPTH).
+    # Separable from alpha_masked so the bench degradation ladder can
+    # drop ONLY the masked-caster shadow path.
+    shadow_masked: bool = True
     masked_draw_capacity: int = 1024
     masked_layers: int = 1         # 2 = depth-peel a second masked layer
                                    # (raster z_clip; masked-behind-masked
@@ -168,6 +173,11 @@ def pixel_view_dirs(h: int, w: int, clip_to_tw: jnp.ndarray) -> jnp.ndarray:
     return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
 
 
+# diagnostic knob (tools/repro_shadow_kernel.py): cap the shadow raster
+# tile height search below 128 to bisect VMEM-shape-dependent faults
+_SHADOW_TILE_OVERRIDE = None
+
+
 def render_shadow_cascade(
     pools, instances, view: DeviceView, rc_main: RasterConfig,
     mcfg: "MeshletFrameConfig", k: jnp.ndarray,
@@ -186,8 +196,14 @@ def render_shadow_cascade(
     # tile_h=120 crashes; the 16-row depth-only layout happened to
     # tolerate the overhang). Pick the largest divisor of r that is a
     # multiple of 8*sub_s, capped near the main view's tile height.
-    tile_h_s = next((t for t in range(min(128, r), 7, -8)
-                     if r % t == 0 and t % rc_main.sub_s == 0), 8)
+    tile_cap = _SHADOW_TILE_OVERRIDE or 128
+    tile_h_s = next((t for t in range(min(tile_cap, r), 7, -8)
+                     if r % t == 0 and t % rc_main.sub_s == 0), None)
+    if tile_h_s is None:
+        raise ValueError(
+            f"no valid shadow tile_h for resolution {r} with "
+            f"sub_s={rc_main.sub_s}: need a multiple of 8 and of sub_s "
+            f"that divides {r}")
     rc = RasterConfig(width=r, height=r, tile_h=tile_h_s,
                       pair_capacity=rc_main.pair_capacity,
                       big_capacity=rc_main.big_capacity,
@@ -215,7 +231,8 @@ def render_shadow_cascade(
         def f():
             m = view.shadow_tw_to_light[i]
             planes = view.shadow_frustum_planes[i]
-            opq = False if mcfg.alpha_masked else None
+            sh_masked = mcfg.alpha_masked and mcfg.shadow_masked
+            opq = False if sh_masked else None
             cap_s = min(mcfg.shadow_draw_capacity,
                         -(-pools.num_pairs // 128) * 128)
             res = cull_pairs(pools, instances, planes,
@@ -226,7 +243,7 @@ def render_shadow_cascade(
                              enable_cone=False,   # depth pass: no backface
                              masked=opq)
             depth_i = depth_raster(res, m, cap_s, with_attrs=False)[0]
-            if mcfg.alpha_masked:
+            if sh_masked:
                 # alpha-tested masked casters (the reference's Masked
                 # depth permutation discards in the PS; here: raster the
                 # masked bucket with uv attributes, test, merge closest)
@@ -632,6 +649,7 @@ def render_frame_meshlet(
     new_probe_sh = history.probe_sh
     new_probe_depth = history.probe_depth
     new_gi_diffuse = history.gi_diffuse
+    new_gi_specular = history.gi_specular
     new_ddgi = history.ddgi
     if mcfg.gi:
         gcfg = mcfg.gi_cfg or gi_ops.GIConfig()
@@ -759,6 +777,7 @@ def render_frame_meshlet(
                                              cam_anchor, gcfg)
         with jax.named_scope("gi.specular"):
             from ..ops import brdf_lut as brdf
+            from ..ops import screen_probe as sp
             k = gcfg.sample_res_div
             pos_q = gbuf.position_tw[::k, ::k]
             nrm_q = gbuf.normal[::k, ::k]
@@ -794,6 +813,23 @@ def render_frame_meshlet(
                             view.sky_ambient * 0.5)
                         take = ((1.0 - ssr_conf) * rt_conf)[..., None]
                         spec_rad_q = spec_rad_q * (1 - take) + rt_col * take
+            # specular filtering chain (reference:
+            # gi_spatial_specular_remove_fireflare.hlsl ->
+            # gi_spatial_filter_specular.hlsl -> temporal accumulation):
+            # firefly clamp, roughness-scaled edge-aware blur, and a
+            # motion-reprojected history blend on the composite — without
+            # these the SSR/BVH-ray mirror noise sparkles under TSR.
+            rough_q = gbuf.roughness[::k, ::k]
+            with jax.named_scope("gi.specular.filter"):
+                spec_rad_q = sp.specular_firefly_clamp(
+                    spec_rad_q, pos_q, nrm_q, rough_q)
+                spec_rad_q = sp.spatial_filter_specular(
+                    spec_rad_q, pos_q, nrm_q, rough_q)
+                spec_rad_q = sp.temporal_specular(
+                    spec_rad_q, motion_dilated[::k, ::k],
+                    history.gi_specular, history.valid, rough_q,
+                    disocclusion=disocc[::k, ::k])
+            new_gi_specular = spec_rad_q
             hh, ww = gbuf.valid.shape
             spec_rad = post.upsample_nearest(spec_rad_q, k, hh, ww)
             lut = (view.brdf_lut if view.brdf_lut is not None
@@ -891,6 +927,7 @@ def render_frame_meshlet(
                            jnp.zeros_like(depth)[..., None]], -1)}
             if mcfg.gi:
                 extras["gi"] = indirect * 2.0
+                extras["specular"] = specular_gi * 4.0
             hdr = debug_visualize(mcfg.debug_mode, hdr, vis, depth, gbuf,
                                   draw_meshlet, pools, extras=extras)
 
@@ -935,6 +972,7 @@ def render_frame_meshlet(
         probe_sh=new_probe_sh,
         probe_depth=new_probe_depth,
         gi_diffuse=new_gi_diffuse,
+        gi_specular=new_gi_specular,
         ddgi=new_ddgi,
     )
     return image, new_history, stats

@@ -87,6 +87,9 @@ class FrameHistory:
     probe_sh: jnp.ndarray        # (Ph,Pw,28) f32 packed SH3 + numSample
     probe_depth: jnp.ndarray     # (Ph,Pw) f32 probe ndc depth (reverse-Z)
     gi_diffuse: jnp.ndarray      # (Hh,Wh,3) f32 half-res diffuse history
+    gi_specular: jnp.ndarray     # (Hq,Wq,3) f32 reduced-res specular
+                                 # history (the reference's specular
+                                 # temporal buffer; Hq = H/spec_div)
     # DDGI alternative GI path (reference DDGIContext, renderer/lighting.h;
     # selected by r.gi.method): tiny placeholder shapes when off.
     ddgi: "object"               # ops.ddgi.DDGIState pytree
@@ -107,11 +110,13 @@ class FrameHistory:
         ws, hs, offs = hzb_layout(w, h)
         total = offs[-1] + ws[-1] * hs[-1]
         gi_shape = sh_size(gi_cfg or GIConfig(cascades=1, probe_dim=2))
+        spec_div = (gi_cfg or GIConfig()).sample_res_div
         if probe_tile:
             pr_h, pr_w = -(-h // probe_tile), -(-w // probe_tile)
             gh, gw = -(-h // 2), -(-w // 2)
+            sh_, sw_ = -(-h // spec_div), -(-w // spec_div)
         else:
-            pr_h = pr_w = gh = gw = 1
+            pr_h = pr_w = gh = gw = sh_ = sw_ = 1
         return cls(
             valid=jnp.zeros((), jnp.float32),
             frame_count=jnp.zeros((), jnp.int32),
@@ -129,5 +134,6 @@ class FrameHistory:
             probe_sh=jnp.zeros((pr_h, pr_w, 28), jnp.float32),
             probe_depth=jnp.zeros((pr_h, pr_w), jnp.float32),
             gi_diffuse=jnp.zeros((gh, gw, 3), jnp.float32),
+            gi_specular=jnp.zeros((sh_, sw_, 3), jnp.float32),
             ddgi=DDGIState.empty(ddgi_cfg),
         )

@@ -213,3 +213,87 @@ def test_frame_with_probe_gi_smoke():
     # second frame accumulated samples
     assert float(np.asarray(r.history.probe_sh[..., 27]).max()) > 4.0
     assert np.asarray(img2).dtype == np.uint8
+
+
+# ---------------------------------------------------------------------------
+# Specular GI filtering chain (VERDICT r2 item 4; reference:
+# gi_spatial_specular_remove_fireflare.hlsl / gi_spatial_filter_specular.hlsl)
+# ---------------------------------------------------------------------------
+
+def _flat_plane(hq=16, wq=32, rough=0.3):
+    pos = np.zeros((hq, wq, 3), np.float32)
+    pos[..., 0] = np.arange(wq)[None, :] * 0.1
+    pos[..., 1] = np.arange(hq)[:, None] * 0.1
+    pos[..., 2] = -3.0
+    nrm = np.zeros((hq, wq, 3), np.float32)
+    nrm[..., 2] = 1.0
+    return (jnp.asarray(pos), jnp.asarray(nrm),
+            jnp.full((hq, wq), rough, jnp.float32))
+
+
+def test_specular_firefly_clamped():
+    """A single hot outlier on a flat glossy plane must be pulled to the
+    neighborhood level; the rest of the plane stays put."""
+    from chord_tpu.ops.screen_probe import specular_firefly_clamp
+
+    pos, nrm, rough = _flat_plane()
+    spec = np.full((16, 32, 3), 0.2, np.float32)
+    spec[8, 16] = 500.0   # firefly
+    out = np.asarray(specular_firefly_clamp(jnp.asarray(spec), pos, nrm,
+                                            rough))
+    assert out[8, 16].max() < 5.0, out[8, 16]
+    assert np.abs(out[2, 2] - 0.2).max() < 0.05
+
+
+def test_specular_firefly_mirror_passthrough():
+    """roughness == 0 (mirror) skips the filter (reference early-out)."""
+    from chord_tpu.ops.screen_probe import specular_firefly_clamp
+
+    pos, nrm, _ = _flat_plane()
+    rough = jnp.zeros((16, 32), jnp.float32)
+    spec = np.full((16, 32, 3), 0.2, np.float32)
+    spec[8, 16] = 500.0
+    out = np.asarray(specular_firefly_clamp(jnp.asarray(spec), pos, nrm,
+                                            rough))
+    np.testing.assert_allclose(out, spec, rtol=1e-6)
+
+
+def test_specular_spatial_filter_smooths_and_respects_edges():
+    from chord_tpu.ops.screen_probe import spatial_filter_specular
+
+    pos, nrm, rough = _flat_plane(rough=0.25)
+    rng = np.random.default_rng(3)
+    spec = rng.uniform(0, 1, (16, 32, 3)).astype(np.float32)
+    # right half: orthogonal normals -> filter must not bleed across
+    nrm = np.asarray(nrm).copy()
+    nrm[:, 16:] = [1.0, 0.0, 0.0]
+    spec[:, 16:] = 10.0
+    out = np.asarray(spatial_filter_specular(
+        jnp.asarray(spec), pos, jnp.asarray(nrm), rough))
+    left_in = spec[4:12, 2:12]
+    left_out = out[4:12, 2:12]
+    assert left_out.std() < left_in.std() * 0.7   # smoothed
+    assert np.abs(out[:, :13] - spec[:, :13]).max() < 5.0  # some smoothing ok
+    assert out[4:12, 2:12].max() < 3.0            # no 10.0 bleed-through
+
+
+def test_specular_temporal_reduces_flicker():
+    """Alternating noise under a static camera converges: the blended
+    frame-to-frame delta must be much smaller than the raw delta."""
+    from chord_tpu.ops.screen_probe import temporal_specular
+
+    rng = np.random.default_rng(4)
+    hq, wq = 16, 32
+    rough = jnp.full((hq, wq), 0.3, jnp.float32)
+    motion = jnp.zeros((hq, wq, 2), jnp.float32)
+    base = rng.uniform(0.2, 0.6, (hq, wq, 3)).astype(np.float32)
+    hist = jnp.asarray(base)
+    outs = []
+    for i in range(6):
+        fresh = base + rng.normal(0, 0.1, base.shape).astype(np.float32)
+        hist = temporal_specular(jnp.asarray(fresh), motion, hist,
+                                 jnp.float32(1.0), rough)
+        outs.append(np.asarray(hist))
+    raw_delta = 0.1 * np.sqrt(2)   # independent noise frame-to-frame
+    acc_delta = np.abs(outs[-1] - outs[-2]).mean()
+    assert acc_delta < raw_delta * 0.55, acc_delta

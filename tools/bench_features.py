@@ -78,7 +78,6 @@ def run_config(name, b, pools, n_src_tris, width, height, frames, **feat):
                             atmo_sky_lut=sky_lut, brdf_lut=lut)
                   for v in dviews]
     views_stacked = jax.tree.map(lambda *xs: jax.numpy.stack(xs), *dviews)
-    from chord_tpu.ops.gi import GIConfig
     history = FrameHistory.empty(
         height, width,
         gi_cfg=gi_cfg if feat.get("gi") else None,

@@ -24,14 +24,25 @@ sys.path.insert(0, ".")
 
 def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "noalpha"
+    if variant not in {"noalpha", "noshadowmask", "full"}:
+        sys.exit(f"unknown variant {variant!r}; "
+                 "expected noalpha|noshadowmask|full")
 
     import jax.numpy as jnp
 
     from chord_tpu.ops import shading as shading_ops
 
     if variant == "noalpha":
+        # Gate on payload_base: the shadow path passes 0, the main view
+        # passes base_m>0 — only the SHADOW-res alpha sampling is
+        # neutralized (the main masked path keeps the real test).
+        real_keep = shading_ops.masked_alpha_keep
+
         def keep_depth_only(vis_m, u_m, v_m, draw_object_m, payload_base,
                             pools, instances):
+            if payload_base != 0:
+                return real_keep(vis_m, u_m, v_m, draw_object_m,
+                                 payload_base, pools, instances)
             from chord_tpu.ops.shading import unpack_visibility
             slot_g, _ = unpack_visibility(vis_m)
             hit = slot_g - payload_base >= 0
@@ -39,15 +50,13 @@ def main():
         shading_ops.masked_alpha_keep = keep_depth_only
     elif variant == "noshadowmask":
         from chord_tpu.renderer import meshlet_frame as mf
-        real_cfg = mf.MeshletFrameConfig
 
         orig = mf.render_shadow_cascade
 
         def patched(pools, instances, view, rc_main, mcfg, k):
             return orig(pools, instances, view, rc_main,
-                        mcfg._replace(alpha_masked=False), k)
+                        mcfg._replace(shadow_masked=False), k)
         mf.render_shadow_cascade = patched
-        _ = real_cfg
 
     from tools.bench_features import run_config
     from bench import _make_scene
