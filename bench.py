@@ -257,6 +257,7 @@ def _orchestrate(args) -> int:
 
     ladder = [args.features] if args.features != "all" else LADDER
     last_err = "no attempts ran"
+    rung_log = {}   # feature level -> outcome string (kept in detail)
     for i, feat in enumerate(ladder):
         cmd = [sys.executable, __file__, "--child",
                "--width", str(args.width), "--height", str(args.height),
@@ -271,6 +272,8 @@ def _orchestrate(args) -> int:
                                timeout=2400)
         except subprocess.TimeoutExpired:
             last_err = f"features={feat}: child timed out"
+            rung_log[feat] = "timeout"
+            print(f"[ladder] {feat}: timeout", file=sys.stderr)
             continue
         line = next((ln for ln in p.stdout.splitlines()
                      if ln.startswith('{"metric"')), None)
@@ -279,14 +282,19 @@ def _orchestrate(args) -> int:
                         if p.stderr.strip() else "")
             last_err = (f"features={feat}: no JSON (rc={p.returncode}) "
                         f"{err_tail}")
+            rung_log[feat] = f"no JSON rc={p.returncode} {err_tail[:120]}"
+            print(f"[ladder] {last_err}", file=sys.stderr)
             continue
         rec = json.loads(line)
         if rec.get("value", -1) <= 0:
             last_err = f"features={feat}: {rec.get('error', 'value<=0')}"
+            rung_log[feat] = str(rec.get("error", "value<=0"))[:160]
+            print(f"[ladder] {last_err}", file=sys.stderr)
             continue
         if i > 0:
             rec.setdefault("detail", {})["degraded_from"] = ladder[0]
             rec["detail"]["degraded_reason"] = last_err[:300]
+            rec["detail"]["rung_log"] = rung_log
         print(json.dumps(rec))
         return 0
     print(json.dumps({

@@ -38,6 +38,11 @@ class HZBPyramid(NamedTuple):
     offsets: Tuple[int, ...]     # start of each level in `flat`
     mip0_w: int                  # pixel size the pyramid was built from
     mip0_h: int
+    # optional MAX (nearest-depth) pyramid, same layout as `flat`
+    # (reference hzb.hlsl:11-19 builds min AND max mips; the max side
+    # bounds the NEAREST occluder of a footprint — screen traces step
+    # past a whole footprint when the ray stays nearer than this)
+    flat_max: jnp.ndarray = None
 
     @property
     def levels(self) -> int:
@@ -73,26 +78,61 @@ def hzb_layout(width: int, height: int, max_levels: int = 12
     return tuple(ws), tuple(hs), tuple(offs)
 
 
-def build_hzb(depth: jnp.ndarray) -> HZBPyramid:
-    """(H,W) reverse-Z depth -> min-depth (far) pyramid.
+def _reduce2_max(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 max reduction (pad value 0 = far infinity is absorbing down)."""
+    h, w = x.shape
+    if h % 2 or w % 2:
+        x = jnp.pad(x, ((0, h % 2), (0, w % 2)))
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (2, 2), (2, 2),
+                                 "VALID")
+
+
+def build_hzb(depth: jnp.ndarray, with_max: bool = False) -> HZBPyramid:
+    """(H,W) reverse-Z depth -> min-depth (far) pyramid [+ max pyramid].
 
     Empty pixels are depth 0 (far infinity) which is absorbing for min —
-    exactly what a conservative occlusion test needs.
+    exactly what a conservative occlusion test needs. `with_max` also
+    builds the nearest-depth pyramid (reference hzb.hlsl builds both).
     """
     h, w = depth.shape
     ws, hs, offs = hzb_layout(w, h)
     mips: List[jnp.ndarray] = []
+    maxs: List[jnp.ndarray] = []
     cur = _reduce2(depth, jnp.minimum)
+    cur_max = _reduce2_max(depth) if with_max else None
     for lw, lh in zip(ws, hs):
         # shapes are static; _reduce2 halves each time
         assert cur.shape == (lh, lw), (cur.shape, lh, lw)
         mips.append(cur.reshape(-1))
+        if with_max:
+            maxs.append(cur_max.reshape(-1))
         if lw == 1 and lh == 1:
             break
         cur = _reduce2(cur, jnp.minimum)
+        if with_max:
+            cur_max = _reduce2_max(cur_max)
     flat = jnp.concatenate(mips)
+    flat_max = jnp.concatenate(maxs) if with_max else None
     return HZBPyramid(flat=flat, widths=ws, heights=hs, offsets=offs,
-                      mip0_w=w, mip0_h=h)
+                      mip0_w=w, mip0_h=h, flat_max=flat_max)
+
+
+def valid_depth_range(depth: jnp.ndarray, z_near: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """Valid-depth min/max reduce -> (2,) VIEW-space (near, far) distances
+    of the frame's occupied depth range (reference hzb.hlsl:11-19 writes
+    the same reduction next to the pyramid; cascade_setup.hlsl consumes
+    it to fit shadow cascades to geometry instead of the whole frustum).
+
+    reverse-Z infinite-far: ndc = z_near / view_z. Empty pixels (ndc 0)
+    are excluded; an all-empty frame returns (big, 0) — callers clip, and
+    near > far reads as "no valid range"."""
+    valid = depth > 0.0
+    near_ndc = jnp.max(depth)                         # nearest pixel
+    far_ndc = jnp.min(jnp.where(valid, depth, jnp.inf))
+    near_v = z_near / jnp.maximum(near_ndc, 1e-12)
+    far_v = z_near / jnp.maximum(far_ndc, 1e-12)      # inf ndc -> ~0
+    return jnp.stack([near_v, far_v]).astype(jnp.float32)
 
 
 def occlusion_test_spheres(

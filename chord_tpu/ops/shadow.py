@@ -56,6 +56,11 @@ class ShadowConfig(NamedTuple):
                                      # shadow-map gather cost
     jitter: bool = True              # per-pixel/per-frame Poisson rotation
                                      # (IGN, the STBN-texture replacement)
+    depth_range_fit: bool = True     # fit cascades on device to LAST
+                                     # frame's valid-depth min/max range
+                                     # (reference cascade_setup.hlsl) so
+                                     # shadow texels track occupied depth;
+                                     # off = host frustum-only fit
 
 
 # Poisson disk (unit radius) — fixed pattern like the reference's

@@ -77,11 +77,17 @@ class DeviceView:
     # split-sum env BRDF LUT (built once by the host driver; the frame
     # falls back to building it inline when absent)
     brdf_lut: Optional[jnp.ndarray] = None     # (S,S,2)
-    # Shadow cascades (None when shadows are off; reference: GPU cascade
-    # setup cascade_setup.hlsl — here fit on host, SURVEY.md §2.6)
+    # Shadow cascades (None when shadows are off): host frustum-only fit
+    # (the fallback) — when ShadowConfig.depth_range_fit is on, the frame
+    # refits on DEVICE from last frame's valid-depth range instead
+    # (reference cascade_setup.hlsl), using the view fields below.
     shadow_tw_to_light: Optional[jnp.ndarray] = None   # (N,4,4)
     shadow_frustum_planes: Optional[jnp.ndarray] = None  # (N,6,4)
     shadow_splits: Optional[jnp.ndarray] = None        # (N+1,)
+    # camera geometry for the device-side cascade fit
+    view_forward: Optional[jnp.ndarray] = None         # (3,)
+    tan_half_fov: Optional[jnp.ndarray] = None         # (2,) tan_x, tan_y
+    z_near: Optional[jnp.ndarray] = None               # ()
 
     @classmethod
     def from_uniform(cls, u: ViewUniform, sun_direction=(0.3, 0.8, 0.5),
@@ -94,6 +100,7 @@ class DeviceView:
         sky_ap1 = np.asarray(sky_ambient, np.float32) @ colorspace.SRGB_TO_AP1
 
         shadow_mats = shadow_planes = shadow_splits = None
+        view_forward = tan_half_fov = z_near = None
         if shadow_cfg is not None:
             from ..ops.shadow import fit_cascades
             from ..utils import math as cmath
@@ -109,6 +116,10 @@ class DeviceView:
             shadow_mats = jnp.asarray(mats)
             shadow_planes = jnp.asarray(planes)
             shadow_splits = jnp.asarray(splits)
+            tan_y = np.tan(u.fovy * 0.5)
+            view_forward = jnp.asarray(fwd.astype(np.float32))
+            tan_half_fov = jnp.asarray([tan_y * aspect, tan_y], jnp.float32)
+            z_near = jnp.asarray(u.z_near, jnp.float32)
 
         return cls(
             tw_to_clip=jnp.asarray(u.translated_world_to_clip),
@@ -126,6 +137,9 @@ class DeviceView:
             shadow_tw_to_light=shadow_mats,
             shadow_frustum_planes=shadow_planes,
             shadow_splits=shadow_splits,
+            view_forward=view_forward,
+            tan_half_fov=tan_half_fov,
+            z_near=z_near,
         )
 
 
@@ -264,6 +278,7 @@ def render_frame_flat(
         probe_depth=history.probe_depth,
         gi_diffuse=history.gi_diffuse,
         gi_specular=history.gi_specular,
+        depth_range=history.depth_range,
         ddgi=history.ddgi,
     )
     stats = dict(raster_stats)

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from ..ops import colorspace, gi as gi_ops, post, shading, \
     shadow as shadow_ops
 from ..ops.cull import DrawList, build_active_pairs, cull_pairs
-from ..ops.hzb import HZBPyramid, build_hzb, hzb_layout
+from ..ops.hzb import (HZBPyramid, build_hzb, hzb_layout,
+                       valid_depth_range as hzb_valid_depth_range)
 from ..ops.mesh_shader import mesh_shader_setup
 from ..ops.raster import (RasterConfig, bin_windows, raster_queue,
                           rasterize)
@@ -181,14 +182,21 @@ _SHADOW_TILE_OVERRIDE = None
 def render_shadow_cascade(
     pools, instances, view: DeviceView, rc_main: RasterConfig,
     mcfg: "MeshletFrameConfig", k: jnp.ndarray,
+    mats=None, planes_all=None,
 ) -> jnp.ndarray:
     """Depth-only raster of ONE cascade through the same software
     rasterizer (reference: renderShadow renderer.cpp:350 — cascade setup
     -> per-cascade cull -> depth-only meshlet raster,
     mesh_raster.cpp:468-486). Cascades refresh round-robin, one per
     frame (the reference's cascade history caching) — k selects which.
+    `mats`/`planes_all` override the host-fit view.shadow_* arrays (the
+    device depth-range cascade fit passes its own).
     -> (R,R) reverse-Z depth map."""
     scfg = mcfg.shadow_cfg
+    if mats is None:
+        mats = view.shadow_tw_to_light
+    if planes_all is None:
+        planes_all = view.shadow_frustum_planes
     r = scfg.resolution
     # tile_h must DIVIDE the cascade resolution: the with-attrs (40-row)
     # kernel faults the TPU worker when the last tile row overhangs the
@@ -229,8 +237,8 @@ def render_shadow_cascade(
 
     def one(i):
         def f():
-            m = view.shadow_tw_to_light[i]
-            planes = view.shadow_frustum_planes[i]
+            m = mats[i]
+            planes = planes_all[i]
             sh_masked = mcfg.alpha_masked and mcfg.shadow_masked
             opq = False if sh_masked else None
             cap_s = min(mcfg.shadow_draw_capacity,
@@ -420,6 +428,12 @@ def render_frame_meshlet(
         # opaque-only pyramid: conservative for next-frame occlusion (a
         # masked surface full of holes must not occlude)
         hzb_final = build_hzb(depth)
+    new_depth_range = history.depth_range
+    if view.z_near is not None:
+        # valid-depth min/max reduce (reference hzb.hlsl:11-19) — feeds
+        # NEXT frame's device-side cascade fit through the history
+        with jax.named_scope("hzb.depth_range"):
+            new_depth_range = hzb_valid_depth_range(depth, view.z_near)
 
     if mcfg.alpha_masked:
         # Masked material bucket (reference: pipeline_filter re-buckets
@@ -553,14 +567,30 @@ def render_frame_meshlet(
     if mcfg.shadows:
         n_casc = mcfg.shadow_cfg.cascade_count
         k = jnp.mod(history.frame_count, n_casc).astype(jnp.int32)
+        # Device-side cascade refit to LAST frame's valid-depth range
+        # (reference cascade_setup.hlsl reads the hzb min/max reduce).
+        # Falls back to the host frustum-only fit on the first frame
+        # (history invalid) or when the view lacks camera geometry.
+        fit_mats = view.shadow_tw_to_light
+        fit_planes = view.shadow_frustum_planes
+        if (mcfg.shadow_cfg.depth_range_fit
+                and view.view_forward is not None):
+            with jax.named_scope("shadow.cascade_fit"):
+                zr = jnp.where(history.valid > 0, history.depth_range,
+                               jnp.asarray([0.0, 1e9], jnp.float32))
+                fit_mats, fit_planes = shadow_ops.fit_cascades_device(
+                    view.view_forward, view.sun_direction,
+                    view.tan_half_fov[0], view.tan_half_fov[1], zr,
+                    mcfg.shadow_cfg)
         with jax.named_scope("shadow.render"):
             new_map = render_shadow_cascade(pools, instances, view, rc,
-                                            mcfg, k)
+                                            mcfg, k, mats=fit_mats,
+                                            planes_all=fit_planes)
             new_shadow_maps = jax.lax.dynamic_update_slice(
                 history.shadow_maps, new_map[None], (k, 0, 0))
             new_shadow_mats = jax.lax.dynamic_update_slice(
                 history.shadow_mats,
-                jax.lax.dynamic_slice(view.shadow_tw_to_light, (k, 0, 0),
+                jax.lax.dynamic_slice(fit_mats, (k, 0, 0),
                                       (1, 4, 4)), (k, 0, 0))
             shadow_maps = new_shadow_maps
         with jax.named_scope("shadow.evaluate"):
@@ -973,6 +1003,7 @@ def render_frame_meshlet(
         probe_depth=new_probe_depth,
         gi_diffuse=new_gi_diffuse,
         gi_specular=new_gi_specular,
+        depth_range=new_depth_range,
         ddgi=new_ddgi,
     )
     return image, new_history, stats

@@ -90,6 +90,10 @@ class FrameHistory:
     gi_specular: jnp.ndarray     # (Hq,Wq,3) f32 reduced-res specular
                                  # history (the reference's specular
                                  # temporal buffer; Hq = H/spec_div)
+    depth_range: jnp.ndarray     # (2,) f32 view-space (near, far) of the
+                                 # frame's valid depth (hzb.hlsl min/max
+                                 # reduce); feeds next frame's device-side
+                                 # cascade fit (cascade_setup.hlsl)
     # DDGI alternative GI path (reference DDGIContext, renderer/lighting.h;
     # selected by r.gi.method): tiny placeholder shapes when off.
     ddgi: "object"               # ops.ddgi.DDGIState pytree
@@ -135,5 +139,6 @@ class FrameHistory:
             probe_depth=jnp.zeros((pr_h, pr_w), jnp.float32),
             gi_diffuse=jnp.zeros((gh, gw, 3), jnp.float32),
             gi_specular=jnp.zeros((sh_, sw_, 3), jnp.float32),
+            depth_range=jnp.zeros((2,), jnp.float32),
             ddgi=DDGIState.empty(ddgi_cfg),
         )

@@ -195,3 +195,96 @@ def test_pcss_jitter_rotates_disk():
     # open scene: both fully lit regardless of rotation
     np.testing.assert_allclose(np.asarray(a), 1.0)
     np.testing.assert_allclose(np.asarray(b), 1.0)
+
+
+def test_fit_cascades_device_matches_host_at_full_range():
+    """The device fit at the full (0.1, max_distance) range must agree
+    with the host frustum-only fit (same split scheme / bounding sphere /
+    texel snap) to within a texel."""
+    from chord_tpu.ops.shadow import fit_cascades_device
+
+    cfg = ShadowConfig(cascade_count=4, resolution=256)
+    fwd = np.array([0.2, -0.1, -1.0])
+    fwd = fwd / np.linalg.norm(fwd)
+    sun = np.array([0.3, 0.8, 0.5])
+    fovy, aspect = np.radians(60.0), 16 / 9
+    host, splits = fit_cascades(fwd, sun, fovy, aspect, cfg)
+    tan_y = np.tan(fovy / 2)
+    dev, planes = fit_cascades_device(
+        jnp.asarray(fwd, jnp.float32),
+        jnp.asarray(sun / np.linalg.norm(sun), jnp.float32),
+        jnp.float32(tan_y * aspect), jnp.float32(tan_y),
+        jnp.asarray([0.1, cfg.max_distance], jnp.float32), cfg)
+    dev = np.asarray(dev)
+    assert dev.shape == (4, 4, 4) and np.asarray(planes).shape == (4, 6, 4)
+    # compare by projecting slice-center points (texel snap may differ by
+    # one texel between f32/f64 -> tolerance ~2 texels in NDC)
+    for i in range(4):
+        d = 0.5 * (splits[i] + splits[i + 1])
+        p = np.append(fwd * d, 1.0)
+        ch = p @ host[i].astype(np.float64)
+        cd = p @ dev[i].astype(np.float64)
+        tex_ndc = 2.0 / cfg.resolution
+        assert np.abs(ch[:2] - cd[:2]).max() < 3 * tex_ndc, (i, ch, cd)
+        assert abs(ch[2] - cd[2]) < 1e-2, (i, ch[2], cd[2])
+
+
+def test_fit_cascades_device_tight_range_shrinks_texels():
+    """A tight valid-depth range must produce smaller cascade radii (the
+    whole point of the depth-range fit: shadow texels track geometry)."""
+    from chord_tpu.ops.shadow import fit_cascades_device
+
+    cfg = ShadowConfig(cascade_count=4, resolution=256)
+    fwd = jnp.asarray([0.0, 0.0, -1.0], jnp.float32)
+    sun = jnp.asarray([0.3, 0.8, 0.5], jnp.float32)
+    sun = sun / jnp.linalg.norm(sun)
+    t = jnp.float32(np.tan(np.radians(30.0)))
+    full, _ = fit_cascades_device(fwd, sun, t * 16 / 9, t,
+                                  jnp.asarray([0.1, 80.0], jnp.float32),
+                                  cfg)
+    tight, _ = fit_cascades_device(fwd, sun, t * 16 / 9, t,
+                                   jnp.asarray([5.0, 12.0], jnp.float32),
+                                   cfg)
+    # radius_i = 1 / ||mats[i][:3, 0]|| (view rotation is orthonormal, the
+    # ortho proj scales column 0 by 1/radius)
+    r_full = 1.0 / np.linalg.norm(np.asarray(full)[:, :3, 0], axis=1)
+    r_tight = 1.0 / np.linalg.norm(np.asarray(tight)[:, :3, 0], axis=1)
+    # the far cascades are where frustum-only fitting wastes texels: the
+    # tight fit must shrink them dramatically (the near cascade is
+    # naturally larger — it covers [5, ~6] instead of [0.1, ~2])
+    assert r_tight[-1] < r_full[-1] * 0.25, (r_tight, r_full)
+    assert r_tight[-2] < r_full[-2] * 0.6, (r_tight, r_full)
+    # slice centers of the tight range still land on the maps
+    for i, d in enumerate([5.5, 7.0, 9.0, 11.5]):
+        clip = np.array([0, 0, -d, 1.0]) @ np.asarray(tight)[i]
+        assert abs(clip[0]) < 1 and abs(clip[1]) < 1 and 0 < clip[2] <= 1
+
+
+def test_frame_depth_range_history():
+    """The frame must record the valid-depth view range of its geometry
+    in history.depth_range (reference hzb.hlsl reduce), and the second
+    frame's device cascade fit must consume it without breaking shadows."""
+    b = build_sponza_like(detail=1)
+    pools = build_meshlet_pools(b)
+    cam = Camera(width=128, height=64)
+    cam.position = np.array([-15.0, 4.0, 0.0])
+    cam.look_at(np.array([10.0, 2.0, 0.0]))
+    inst = b.frame_instances(cam)
+    scfg = ShadowConfig(cascade_count=2, resolution=128, max_distance=60.0,
+                        pcss_blocker_samples=4, pcss_pcf_samples=4)
+    r = MeshletRenderer(
+        RendererConfig(width=128, height=64, pair_capacity=4096,
+                       big_capacity=128, interpret=True,
+                       enable_bloom=False, enable_tsr=False),
+        MeshletFrameConfig(draw_capacity=1024, occlusion=False,
+                           shadows=True, shadow_cfg=scfg,
+                           shadow_draw_capacity=1024))
+    r.render(pools, inst, cam.view_uniform(0))
+    near, far = np.asarray(r.history.depth_range)
+    assert 0.1 < near < far < 200.0, (near, far)
+    # second frame: the device cascade fit consumes the recorded range
+    img2, stats2 = r.render(pools, inst, cam.view_uniform(1))
+    assert np.asarray(img2).std() > 8.0
+    assert int(np.asarray(stats2["bin_overflow"])) == 0
+    near2, far2 = np.asarray(r.history.depth_range)
+    assert 0.1 < near2 < far2 < 200.0

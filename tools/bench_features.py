@@ -49,6 +49,7 @@ def run_config(name, b, pools, n_src_tris, width, height, frames, **feat):
         trilinear=feat.get("trilinear", False),
         alpha_masked=feat.get("alpha_masked", False),
         alpha_blend=feat.get("alpha_blend", False),
+        shadow_masked=feat.get("shadow_masked", True),
         probe_cfg=ScreenProbeConfig(rays=16, steps=6))
 
     bvh = None
@@ -157,6 +158,11 @@ def main():
         # compile when BOTH shadows and alpha_masked are on
         "shadow_masked": dict(shadows=True, textured=True,
                               alpha_masked=True),
+        # same combo with the masked-CASTER path disabled (opaque shadow
+        # raster only): isolates the with-attrs shadow raster + alpha
+        # sampling from the rest of the shadows+masked interaction
+        "shadow_masked_off": dict(shadows=True, textured=True,
+                                  alpha_masked=True, shadow_masked=False),
         "gi_tex": dict(gi=True, gi_mode="probe", gi_rt=True,
                        textured=True, alpha_masked=True, post=True),
         # perf-campaign A/Bs on the full config (bench.py ladder "all"):
