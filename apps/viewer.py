@@ -145,6 +145,9 @@ def main() -> int:
     ap.add_argument("--gi-rt", action="store_true",
                     help="software-BVH ray fallback for probe rays + SSR "
                          "misses (offscreen geometry)")
+    ap.add_argument("--rt-exact", action="store_true",
+                    help="triangle-exact BVH leaves (the reference's real "
+                         "ray query); default = fast meshlet proxies")
     ap.add_argument("--ssr", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--draw-capacity", type=int, default=8192,
@@ -198,6 +201,8 @@ def main() -> int:
                            normal_mapped=tex_pool is not None,
                            pbr_textures=tex_pool is not None,
                            gi_mode=args.gi_mode, gi_rt=args.gi_rt,
+                           rt_granularity=("triangle" if args.rt_exact
+                                           else "meshlet"),
                            ssr=args.ssr,
                            # masked/blend material buckets when present
                            alpha_masked=has_masked,

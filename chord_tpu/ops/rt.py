@@ -44,6 +44,13 @@ class SceneBVH(NamedTuple):
     leaf_albedo: jnp.ndarray    # (N,3) AP1 mean albedo per leaf
     leaf_emissive: jnp.ndarray  # (N,3) AP1
     leaf_sphere: jnp.ndarray = None   # (N,4) raw leaf spheres (dense path)
+    # triangle-exact mode (granularity="triangle"): Baldwin-Weber
+    # precomputed intersection planes per leaf triangle. Rows are
+    # [n | dn | n1 | d1 | n2 | d2] so t = -(o.n + dn)/(d.n) and the
+    # barycentrics are affine in the hit point — every per-ray term is a
+    # (R,3)@(3,T) contraction (MXU) or a gathered row (BVH scan).
+    tri_planes: jnp.ndarray = None    # (N,12) f32
+    leaf_normal: jnp.ndarray = None   # (N,3) f32 unit geometric normal
 
 
 def build_bvh_numpy(spheres: np.ndarray):
@@ -93,6 +100,22 @@ def build_bvh_numpy(spheres: np.ndarray):
             "leaf": np.asarray(out_leaf, np.int32)}
 
 
+def _tri_planes_np(v0, e1, e2):
+    """Baldwin-Weber precomputed planes (N,12) from triangle soup.
+    [n | dn | n1 | d1 | n2 | d2]: t = -(o.n + dn)/(d.n); u = p.n1 + d1;
+    v = p.n2 + d2; hit iff u>=0 & v>=0 & u+v<=1 (two-sided)."""
+    import numpy as onp
+
+    n = onp.cross(e1, e2)
+    denom = onp.maximum((n * n).sum(-1, keepdims=True), 1e-30)
+    n1 = onp.cross(e2, n) / denom
+    n2 = onp.cross(n, e1) / denom
+    dn = -(n * v0).sum(-1, keepdims=True)
+    d1 = -(n1 * v0).sum(-1, keepdims=True)
+    d2 = -(n2 * v0).sum(-1, keepdims=True)
+    return onp.concatenate([n, dn, n1, d1, n2, d2], -1).astype(onp.float32)
+
+
 def build_scene_bvh(pools, instances, coarse_only: bool = True,
                     granularity: str = "meshlet") -> SceneBVH:
     """World-space BVH over coarse proxy bounding spheres.
@@ -104,8 +127,72 @@ def build_scene_bvh(pools, instances, coarse_only: bool = True,
     low-frequency enough that object-sized proxies suffice (the frame's
     default). Built host-side at scene load (static scenes; the
     reference rebuilds its TLAS per frame on an async GPU queue — a host
-    rebuild hook serves dynamic scenes here)."""
+    rebuild hook serves dynamic scenes here).
+    granularity="triangle": TRIANGLE-EXACT leaves over the root-cut
+    meshlets' real geometry (the reference traces real triangles via
+    ray query, gi_raytracing.hlsli:41-45) — the fidelity mode; rays hit
+    actual silhouettes and return true geometric normals."""
     import numpy as onp
+
+    if granularity == "triangle":
+        pair_m = onp.asarray(pools.pair_meshlet)
+        pair_o = onp.asarray(pools.pair_object)
+        valid = onp.asarray(pools.pair_valid)
+        perr = onp.asarray(pools.meshlet_parent_error)[pair_m]
+        keep = valid & (perr > 1e30 if coarse_only
+                        else onp.ones_like(valid))
+        ids = onp.nonzero(keep)[0]
+        if len(ids) == 0:
+            ids = onp.nonzero(valid)[0]
+        m = pair_m[ids]
+        oi = pair_o[ids]
+        tri = onp.asarray(pools.tri_indices).reshape(-1, 128, 3)[m]
+        cnt = onp.asarray(pools.meshlet_tri_count)[m]
+        tmask = onp.arange(128)[None, :] < cnt[:, None]      # (K,128)
+        pos = onp.asarray(pools.positions)
+        v = pos[tri]                                         # (K,128,3,3)
+        o2w = onp.asarray(instances.object_to_tw)[oi]        # (K,4,4)
+        vh = onp.concatenate([v, onp.ones(v.shape[:3] + (1,))], -1)
+        vw = onp.einsum("ktcj,kjl->ktcl", vh, o2w)[..., :3]  # world
+        tri_inst = onp.broadcast_to(oi[:, None], tmask.shape)
+        v0 = vw[:, :, 0][tmask]
+        e1 = (vw[:, :, 1] - vw[:, :, 0])[tmask]
+        e2 = (vw[:, :, 2] - vw[:, :, 0])[tmask]
+        inst_id = tri_inst[tmask]
+        # drop degenerates (zero-area / padded repeats)
+        nrm = onp.cross(e1, e2)
+        area2 = onp.linalg.norm(nrm, axis=1)
+        ok = area2 > 1e-12
+        v0, e1, e2, nrm, inst_id, area2 = (v0[ok], e1[ok], e2[ok],
+                                           nrm[ok], inst_id[ok], area2[ok])
+        center = v0 + (e1 + e2) / 3.0
+        rad = onp.maximum(
+            onp.linalg.norm(v0 - center, axis=1),
+            onp.maximum(onp.linalg.norm(v0 + e1 - center, axis=1),
+                        onp.linalg.norm(v0 + e2 - center, axis=1)))
+        world = onp.concatenate([center, rad[:, None]],
+                                1).astype(onp.float32)
+        planes = _tri_planes_np(v0, e1, e2)
+
+        from ..native import available, bvh_build
+        bvh = bvh_build(world) if available() else build_bvh_numpy(world)
+        mat = onp.asarray(instances.object_material)[inst_id]
+        from . import colorspace
+        albedo = onp.asarray(pools.mat_base_color)[mat][:, :3]
+        albedo = onp.asarray(
+            colorspace.srgb_to_acescg(jnp.asarray(albedo)))
+        emissive = onp.asarray(pools.mat_emissive)[mat][:, :3]
+        unit_n = (nrm / area2[:, None]).astype(onp.float32)
+        return SceneBVH(
+            node_sphere=jnp.asarray(bvh["sphere"]),
+            node_count=jnp.asarray(bvh["count"]),
+            node_leaf=jnp.asarray(bvh["leaf"]),
+            leaf_albedo=jnp.asarray(albedo),
+            leaf_emissive=jnp.asarray(emissive),
+            leaf_sphere=jnp.asarray(world),
+            tri_planes=jnp.asarray(planes),
+            leaf_normal=jnp.asarray(unit_n),
+        )
 
     if granularity == "object":
         sph_o = onp.asarray(instances.object_sphere_tw)
@@ -179,18 +266,75 @@ def _ray_sphere(o, d, sph):
 # 65k rays).
 DENSE_LEAF_LIMIT = 16384
 
+# Dense triangle-exact path limit: 6 K=3 matmuls per chunk instead of 2,
+# so the crossover sits lower than the sphere path's.
+DENSE_TRI_LIMIT = 8192
+
 
 def trace(origins: jnp.ndarray, dirs: jnp.ndarray, bvh: SceneBVH,
           t_max: float = 1e9,
           max_steps: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Closest-hit trace. origins/dirs (...,3) -> (t (...,), leaf (...,)
     with -1 = miss). Dispatches to the dense MXU path for small leaf
-    sets; falls back to the stackless skip-pointer BVH scan."""
+    sets; falls back to the stackless skip-pointer BVH scan. Triangle
+    BVHs (granularity="triangle") test exact triangles at the leaves."""
+    if bvh.tri_planes is not None:
+        if (bvh.tri_planes.shape[0] <= DENSE_TRI_LIMIT and
+                max_steps is None):
+            return trace_dense_tri(origins, dirs, bvh.tri_planes, t_max)
+        return trace_bvh(origins, dirs, bvh, t_max, max_steps)
     if (bvh.leaf_sphere is not None and
             bvh.leaf_sphere.shape[0] <= DENSE_LEAF_LIMIT and
             max_steps is None):
         return trace_dense(origins, dirs, bvh.leaf_sphere, t_max)
     return trace_bvh(origins, dirs, bvh, t_max, max_steps)
+
+
+def trace_dense_tri(origins: jnp.ndarray, dirs: jnp.ndarray,
+                    planes: jnp.ndarray, t_max: float = 1e9,
+                    chunk: int = 512) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense triangle-exact closest hit: every per-ray quantity of the
+    Baldwin-Weber test is a (R,3)@(3,chunk) contraction — zero gathers,
+    branch-free (the TPU shape for ray-triangle, like trace_dense for
+    spheres). Two-sided, watertight within f32."""
+    shape = origins.shape[:-1]
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+    r = o.shape[0]
+    n_t = planes.shape[0]
+    pad = (-n_t) % chunk
+    if pad:
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((pad, 12), planes.dtype)], 0)  # den=0: miss
+    pls = planes.reshape(-1, chunk, 12)
+
+    def body(carry, pc):
+        t_best, leaf_best, base = carry
+        nN = pc[:, 0:3]
+        dn = pc[:, 3][None, :]
+        n1 = pc[:, 4:7]
+        d1 = pc[:, 7][None, :]
+        n2 = pc[:, 8:11]
+        d2 = pc[:, 11][None, :]
+        den = d @ nN.T                                    # (R,chunk) MXU
+        num = -(o @ nN.T + dn)
+        safe = jnp.abs(den) > 1e-12
+        t = num / jnp.where(safe, den, 1.0)
+        u = (o @ n1.T) + t * (d @ n1.T) + d1
+        v = (o @ n2.T) + t * (d @ n2.T) + d2
+        hit = safe & (t > 1e-4) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        t_hit = jnp.where(hit, t, jnp.inf)
+        j = jnp.argmin(t_hit, axis=1)
+        t_c = jnp.take_along_axis(t_hit, j[:, None], axis=1)[:, 0]
+        take = t_c < t_best
+        t_best = jnp.where(take, t_c, t_best)
+        leaf_best = jnp.where(take, base + j.astype(jnp.int32), leaf_best)
+        return (t_best, leaf_best, base + chunk), None
+
+    t0v = jnp.full((r,), t_max, jnp.float32)
+    l0 = jnp.full((r,), -1, jnp.int32)
+    (t, leaf, _), _ = jax.lax.scan(body, (t0v, l0, jnp.int32(0)), pls)
+    return t.reshape(shape), leaf.reshape(shape)
 
 
 def trace_dense(origins: jnp.ndarray, dirs: jnp.ndarray,
@@ -261,8 +405,9 @@ def trace_bvh(origins: jnp.ndarray, dirs: jnp.ndarray, bvh: SceneBVH,
         # visited-node count over all rays. Cap it — rays that run out of
         # budget conservatively miss (fall through to the sky/cache
         # fallback), which for fat coarse-proxy BVHs costs far less than
-        # letting one worst-case ray serialize the whole wavefront
-        max_steps = min(m, 384)
+        # letting one worst-case ray serialize the whole wavefront.
+        # Triangle BVHs are much deeper — give them a bigger budget.
+        max_steps = min(m, 1536 if bvh.tri_planes is not None else 384)
 
     def cond(state):
         i, _t, _l, steps = state
@@ -278,8 +423,24 @@ def trace_bvh(origins: jnp.ndarray, dirs: jnp.ndarray, bvh: SceneBVH,
         hit, t_in = _ray_sphere(o, d, sph)
         useful = hit & (t_in < t_best) & active
         is_leaf = lf >= 0
-        take = useful & is_leaf & (t_in > 1e-4)
-        t_best = jnp.where(take, t_in, t_best)
+        if bvh.tri_planes is not None:
+            # triangle-exact leaf test (the node sphere only prunes)
+            pc = bvh.tri_planes[jnp.maximum(lf, 0)]     # (R,12)
+            den = jnp.sum(d * pc[:, 0:3], -1)
+            safe = jnp.abs(den) > 1e-12
+            t_tri = -(jnp.sum(o * pc[:, 0:3], -1) + pc[:, 3]) / \
+                jnp.where(safe, den, 1.0)
+            p = o + t_tri[:, None] * d
+            u = jnp.sum(p * pc[:, 4:7], -1) + pc[:, 7]
+            v = jnp.sum(p * pc[:, 8:11], -1) + pc[:, 11]
+            tri_hit = safe & (t_tri > 1e-4) & (u >= 0.0) & (v >= 0.0) & \
+                (u + v <= 1.0)
+            take = useful & is_leaf & tri_hit & (t_tri < t_best)
+            t_leaf = t_tri
+        else:
+            take = useful & is_leaf & (t_in > 1e-4)
+            t_leaf = t_in
+        t_best = jnp.where(take, t_leaf, t_best)
         leaf_best = jnp.where(take, lf, leaf_best)
         step = jnp.where(useful & ~is_leaf, 1, cnt)
         i = jnp.where(active, i + step, i)
@@ -315,6 +476,32 @@ def trace_brute_numpy(origins: np.ndarray, dirs: np.ndarray,
     return tb, leaf.astype(np.int32)
 
 
+def trace_brute_tri_numpy(origins: np.ndarray, dirs: np.ndarray,
+                          v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
+    """O(R*N) Moller-Trumbore closest-hit oracle over raw triangles
+    (two-sided), independent of the Baldwin-Weber formulation."""
+    o = origins.reshape(-1, 1, 3)
+    d = dirs.reshape(-1, 1, 3)
+    v0 = v0.reshape(1, -1, 3)
+    e1 = e1.reshape(1, -1, 3)
+    e2 = e2.reshape(1, -1, 3)
+    p = np.cross(d, e2)
+    det = (e1 * p).sum(-1)
+    safe = np.abs(det) > 1e-12
+    inv = 1.0 / np.where(safe, det, 1.0)
+    s = o - v0
+    u = (s * p).sum(-1) * inv
+    q = np.cross(s, e1)
+    v = (d * q).sum(-1) * inv
+    t = (e2 * q).sum(-1) * inv
+    hit = safe & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-4)
+    t = np.where(hit, t, 1e9)
+    best = t.argmin(1)
+    tb = t[np.arange(len(best)), best]
+    leaf = np.where(tb < 1e9, best, -1)
+    return tb, leaf.astype(np.int32)
+
+
 def shade_hits(
     t: jnp.ndarray, leaf: jnp.ndarray,       # from trace()
     origins: jnp.ndarray, dirs: jnp.ndarray,
@@ -334,8 +521,14 @@ def shade_hits(
     # normal from the hit point against the leaf sphere center requires a
     # (N,4) leaf-sphere gather — store it in albedo-sized table instead?
     # The proxy normal: oppose the ray (grazing-robust, exact for a
-    # sphere hit seen head-on; adequate for cosine-weighted GI)
-    n = -dirs
+    # sphere hit seen head-on; adequate for cosine-weighted GI).
+    # Triangle-exact BVHs carry true geometric normals — use them,
+    # flipped toward the ray origin (two-sided shading).
+    if bvh.leaf_normal is not None:
+        gn = bvh.leaf_normal[lf]
+        n = gn * -jnp.sign(jnp.sum(gn * dirs, -1, keepdims=True) + 1e-12)
+    else:
+        n = -dirs
     ndl = jnp.clip(jnp.sum(n * sun_direction, -1), 0.0, 1.0)
     rad = alb * (sun_radiance * ndl[..., None] / np.pi +
                  ambient) + emis

@@ -130,6 +130,11 @@ class MeshletFrameConfig(NamedTuple):
     # probe rays + specular misses see OFFSCREEN geometry
     gi_rt: bool = False
     rt_rays: int = 4               # probe rays BVH-traced per frame
+    rt_granularity: str = "meshlet"   # BVH leaf fidelity: "object" |
+                                   # "meshlet" (proxy spheres, fast) |
+                                   # "triangle" (exact geometry at the
+                                   # root LOD cut — the reference's real
+                                   # ray query, gi_raytracing.hlsli:41)
     ssr: bool = False              # screen-space mirror reflections
     textured: bool = False         # sample material base-color textures
     normal_mapped: bool = False    # tangent-space normal maps (needs textured)
@@ -1127,7 +1132,8 @@ class MeshletRenderer:
             # host-side BVH build over the static scene (the reference's
             # TLAS build; rebuild here if instances move)
             from ..ops.rt import build_scene_bvh
-            self._bvh = build_scene_bvh(pools, instances)
+            self._bvh = build_scene_bvh(
+                pools, instances, granularity=self.mcfg.rt_granularity)
         if fresh and self.mcfg.shadows and \
                 self.mcfg.shadow_cfg.cascade_count > 1:
             # cascade-cache warmup: cascades refresh round-robin (one per

@@ -191,3 +191,149 @@ def test_dense_trace_matches_brute():
     np.testing.assert_allclose(np.asarray(t)[hit], t_ref[hit], rtol=1e-3)
     # identical closest LEAF too (strictly ordered ts in the random scene)
     np.testing.assert_array_equal(np.asarray(leaf)[hit], leaf_ref[hit])
+
+
+# ---------------------------------------------------------------------------
+# Triangle-exact mode (VERDICT r2 item 5; reference traces real geometry
+# via ray query, gi_raytracing.hlsli:41-45)
+# ---------------------------------------------------------------------------
+
+def _random_tris(n=300, seed=3):
+    rng = np.random.default_rng(seed)
+    v0 = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+    e1 = rng.normal(size=(n, 3)).astype(np.float32) * 2.0
+    e2 = rng.normal(size=(n, 3)).astype(np.float32) * 2.0
+    return v0, e1, e2
+
+
+def test_dense_tri_matches_moller_oracle():
+    v0, e1, e2 = _random_tris(300)
+    planes = rt._tri_planes_np(v0, e1, e2)
+    o, d = _random_rays(512, seed=4)
+    t, leaf = rt.trace_dense_tri(jnp.asarray(o), jnp.asarray(d),
+                                 jnp.asarray(planes))
+    t_ref, leaf_ref = rt.trace_brute_tri_numpy(o, d, v0, e1, e2)
+    t = np.asarray(t)
+    leaf = np.asarray(leaf)
+    hit = leaf >= 0
+    np.testing.assert_array_equal(hit, leaf_ref >= 0)
+    np.testing.assert_allclose(t[hit], t_ref[hit], rtol=2e-3, atol=1e-3)
+    np.testing.assert_array_equal(leaf[hit], leaf_ref[hit])
+    assert hit.sum() > 10
+
+
+def test_bvh_tri_traversal_matches_oracle():
+    """Skip-pointer scan with triangle leaf tests == brute Moller."""
+    v0, e1, e2 = _random_tris(220, seed=5)
+    center = v0 + (e1 + e2) / 3.0
+    rad = np.maximum(np.linalg.norm(v0 - center, axis=1), np.maximum(
+        np.linalg.norm(v0 + e1 - center, axis=1),
+        np.linalg.norm(v0 + e2 - center, axis=1)))
+    sph = np.concatenate([center, rad[:, None]], 1).astype(np.float32)
+    tree = rt.build_bvh_numpy(sph)
+    planes = rt._tri_planes_np(v0, e1, e2)
+    n = np.cross(e1, e2)
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    bvh = rt.SceneBVH(
+        node_sphere=jnp.asarray(tree["sphere"]),
+        node_count=jnp.asarray(tree["count"]),
+        node_leaf=jnp.asarray(tree["leaf"]),
+        leaf_albedo=jnp.ones((220, 3)), leaf_emissive=jnp.zeros((220, 3)),
+        leaf_sphere=jnp.asarray(sph),
+        tri_planes=jnp.asarray(planes),
+        leaf_normal=jnp.asarray(n.astype(np.float32)))
+    o, d = _random_rays(256, seed=6)
+    t, leaf = rt.trace_bvh(jnp.asarray(o), jnp.asarray(d), bvh,
+                           max_steps=1000)
+    t_ref, leaf_ref = rt.trace_brute_tri_numpy(o, d, v0, e1, e2)
+    hit = np.asarray(leaf) >= 0
+    np.testing.assert_array_equal(hit, leaf_ref >= 0)
+    np.testing.assert_allclose(np.asarray(t)[hit], t_ref[hit],
+                               rtol=2e-3, atol=1e-3)
+
+
+def test_triangle_bvh_sees_through_doorway():
+    """A wall with a doorway: sphere-proxy leaves are fat and BLOCK rays
+    through the opening; triangle-exact leaves pass them — the fidelity
+    gap the exact mode exists to close (offscreen bounce light through
+    openings)."""
+    # wall at x=0 spanning y,z in [-10,10] with a hole |y|<1.5, |z|<1.5,
+    # built from 4 rectangular frames of 2 triangles each
+    quads = []
+    def quad(y0, y1, z0, z1):
+        a = np.array([0, y0, z0]); b = np.array([0, y1, z0])
+        c = np.array([0, y1, z1]); d_ = np.array([0, y0, z1])
+        quads.append((a, b - a, c - a))
+        quads.append((a, c - a, d_ - a))
+    quad(-10, -1.5, -10, 10)
+    quad(1.5, 10, -10, 10)
+    quad(-1.5, 1.5, -10, -1.5)
+    quad(-1.5, 1.5, 1.5, 10)
+    v0 = np.stack([q[0] for q in quads]).astype(np.float32)
+    e1 = np.stack([q[1] for q in quads]).astype(np.float32)
+    e2 = np.stack([q[2] for q in quads]).astype(np.float32)
+    planes = rt._tri_planes_np(v0, e1, e2)
+    # through the doorway center vs into the wall
+    o = np.array([[-5.0, 0.0, 0.0], [-5.0, 5.0, 0.0]], np.float32)
+    d = np.array([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]], np.float32)
+    t, leaf = rt.trace_dense_tri(jnp.asarray(o), jnp.asarray(d),
+                                 jnp.asarray(planes))
+    leaf = np.asarray(leaf)
+    assert leaf[0] == -1, "doorway ray must pass the opening"
+    assert leaf[1] >= 0, "wall ray must hit"
+    np.testing.assert_allclose(np.asarray(t)[1], 5.0, rtol=1e-4)
+    # the sphere proxies of the same triangles are fat: they block the
+    # doorway ray (why the exact mode exists)
+    center = v0 + (e1 + e2) / 3.0
+    rad = np.maximum(np.linalg.norm(v0 - center, axis=1), np.maximum(
+        np.linalg.norm(v0 + e1 - center, axis=1),
+        np.linalg.norm(v0 + e2 - center, axis=1)))
+    sph = np.concatenate([center, rad[:, None]], 1).astype(np.float32)
+    _, leaf_sph = rt.trace_dense(jnp.asarray(o), jnp.asarray(d),
+                                 jnp.asarray(sph))
+    assert np.asarray(leaf_sph)[0] >= 0, \
+        "proxy spheres should block the doorway (the gap being tested)"
+
+
+def test_scene_bvh_triangle_granularity():
+    """Triangle BVH over the procedural scene: camera rays hit at the
+    same depth the brute triangle oracle reports."""
+    from chord_tpu.asset.procedural import build_sponza_like
+    from chord_tpu.rhi.meshlet_scene import build_meshlet_pools
+    from chord_tpu.utils.camera import Camera
+
+    b = build_sponza_like(detail=1)
+    pools = build_meshlet_pools(b)
+    cam = Camera(width=64, height=64)
+    cam.position = np.array([-15.0, 4.0, 3.0])
+    inst = b.frame_instances(cam)
+    bvh = rt.build_scene_bvh(pools, inst, granularity="triangle")
+    assert bvh.tri_planes is not None
+    n_tri = int(bvh.tri_planes.shape[0])
+    assert n_tri > 100
+    rng = np.random.default_rng(9)
+    d = rng.normal(size=(128, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = np.zeros((128, 3), np.float32)
+    t, leaf = rt.trace(jnp.asarray(o), jnp.asarray(d), bvh)
+    # independent oracle: rebuild the same root-cut triangle soup
+    pm = np.asarray(pools.pair_meshlet); po = np.asarray(pools.pair_object)
+    keep = np.asarray(pools.pair_valid) & \
+        (np.asarray(pools.meshlet_parent_error)[pm] > 1e30)
+    ids = np.nonzero(keep)[0]
+    tri = np.asarray(pools.tri_indices).reshape(-1, 128, 3)[pm[ids]]
+    cnt = np.asarray(pools.meshlet_tri_count)[pm[ids]]
+    tmask = np.arange(128)[None, :] < cnt[:, None]
+    v = np.asarray(pools.positions)[tri]
+    o2w = np.asarray(inst.object_to_tw)[po[ids]]
+    vh = np.concatenate([v, np.ones(v.shape[:3] + (1,))], -1)
+    vw = np.einsum("ktcj,kjl->ktcl", vh, o2w)[..., :3]
+    v0 = vw[:, :, 0][tmask]
+    e1 = (vw[:, :, 1] - vw[:, :, 0])[tmask]
+    e2 = (vw[:, :, 2] - vw[:, :, 0])[tmask]
+    ok = np.linalg.norm(np.cross(e1, e2), axis=1) > 1e-12
+    t_ref, leaf_ref = rt.trace_brute_tri_numpy(o, d, v0[ok], e1[ok], e2[ok])
+    hit = np.asarray(leaf) >= 0
+    np.testing.assert_array_equal(hit, leaf_ref >= 0)
+    np.testing.assert_allclose(np.asarray(t)[hit], t_ref[hit],
+                               rtol=5e-3, atol=1e-2)

@@ -92,12 +92,21 @@ def run_config(name, b, pools, n_src_tris, width, height, frames, **feat):
 
     fn = jax.jit(functools.partial(
         render_sequence_meshlet, config=config, mcfg=mcfg, bvh=bvh))
+    # AOT split so a compile-phase INTERNAL error is distinguishable from
+    # a runtime kernel fault in the logs
     t0 = time.time()
-    images, hist = fn(pools, inst, views_stacked, history)
-    _ = jax.device_get(images[-1, :1, :1])
+    compiled = fn.lower(pools, inst, views_stacked, history).compile()
     compile_s = time.time() - t0
+    print(json.dumps({"config": name, "phase": "compiled",
+                      "compile_s": round(compile_s, 1)}), flush=True)
     t0 = time.time()
-    images, hist = fn(pools, inst, views_stacked, history)
+    images, hist = compiled(pools, inst, views_stacked, history)
+    _ = jax.device_get(images[-1, :1, :1])
+    first_ms = (time.time() - t0) / frames * 1000.0
+    print(json.dumps({"config": name, "phase": "ran",
+                      "first_ms": round(first_ms, 2)}), flush=True)
+    t0 = time.time()
+    images, hist = compiled(pools, inst, views_stacked, history)
     _ = jax.device_get(images[-1, :1, :1])
     ms = (time.time() - t0) / frames * 1000.0
     print(json.dumps({"config": name, "ms": round(ms, 2),
@@ -163,6 +172,8 @@ def main():
         # sampling from the rest of the shadows+masked interaction
         "shadow_masked_off": dict(shadows=True, textured=True,
                                   alpha_masked=True, shadow_masked=False),
+        # shadows + plain textures, NO masked path at all
+        "shadow_tex": dict(shadows=True, textured=True),
         "gi_tex": dict(gi=True, gi_mode="probe", gi_rt=True,
                        textured=True, alpha_masked=True, post=True),
         # perf-campaign A/Bs on the full config (bench.py ladder "all"):
