@@ -64,6 +64,12 @@ class GIConfig(NamedTuple):
     ao_res_div: int = 2         # SSAO at 1/div res + upsample (AO is
                                 # low-frequency; the roll taps are
                                 # memory-bound so cost ~ 1/div^2)
+    ao_mode: str = "ssao"       # "ssao" | "rtao" — RTAO traces real AO
+                                # rays against the scene BVH (reference
+                                # gi_rt_ao.hlsl, cvar-selected vs SSAO in
+                                # screen_probe_gather.cpp:97-120); sees
+                                # offscreen occluders SSAO cannot
+    rtao_rays: int = 4          # hemisphere rays per pixel (rtao)
 
 
 SH0 = 0.2820948
@@ -299,6 +305,51 @@ def ssao(depth: jnp.ndarray,      # (H,W) reverse-Z
         occ = occ + a
         cnt += 1
     ao = 1.0 - cfg.ao_strength * occ / cnt
+    return jnp.clip(ao, 0.0, 1.0)
+
+
+def rtao(pos_tw: jnp.ndarray,     # (H,W,3)
+         normal: jnp.ndarray,     # (H,W,3)
+         bvh,                     # ops.rt.SceneBVH
+         cfg: GIConfig,
+         frame_index: jnp.ndarray = None) -> jnp.ndarray:
+    """Ray-traced AO (reference gi_rt_ao.hlsl: short ray-query rays vs
+    the TLAS, cvar-selected instead of SSAO): rtao_rays hemisphere rays
+    per pixel against the scene BVH with a radius falloff. Unlike SSAO
+    it sees occluders outside the screen. Ray directions are a fixed
+    cosine-ish fan oriented per pixel (branchless tangent basis) with an
+    IGN azimuth rotation per frame — TSR/temporal passes resolve the
+    sample rotation like they do the reference's blue-noise rays."""
+    from . import rt as rt_ops
+    from .bluenoise import interleaved_gradient_noise
+
+    h, w = normal.shape[:2]
+    n = normal
+    # branchless orthonormal basis (Duff et al. pattern)
+    s = jnp.where(n[..., 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + n[..., 2])
+    b = n[..., 0] * n[..., 1] * a
+    t1 = jnp.stack([1.0 + s * n[..., 0] ** 2 * a, s * b,
+                    -s * n[..., 0]], -1)
+    t2 = jnp.stack([b, s + n[..., 1] ** 2 * a, -n[..., 1]], -1)
+
+    rot = (interleaved_gradient_noise(h, w, frame_index) * 2.0 * np.pi
+           if frame_index is not None else jnp.zeros((h, w)))
+    occ = jnp.zeros((h, w))
+    k = max(cfg.rtao_rays, 1)
+    org = pos_tw + n * 0.05
+    for i in range(k):
+        # golden-angle fan, ~60 deg elevation (cosine-ish mass)
+        phi = rot + (i + 0.5) * (np.pi * (3.0 - np.sqrt(5.0)))
+        ct = np.float32(np.sqrt((i + 0.5) / k))        # cos(elevation)
+        st = np.float32(np.sqrt(1.0 - ct * ct))
+        d = (t1 * (jnp.cos(phi) * st)[..., None] +
+             t2 * (jnp.sin(phi) * st)[..., None] + n * ct)
+        t_hit, leaf = rt_ops.trace(org, d, bvh, t_max=cfg.ao_radius)
+        hit = leaf >= 0
+        occ = occ + jnp.where(
+            hit, jnp.clip(1.0 - t_hit / cfg.ao_radius, 0.0, 1.0), 0.0)
+    ao = 1.0 - cfg.ao_strength * occ / k
     return jnp.clip(ao, 0.0, 1.0)
 
 

@@ -688,13 +688,20 @@ def render_frame_meshlet(
     new_ddgi = history.ddgi
     if mcfg.gi:
         gcfg = mcfg.gi_cfg or gi_ops.GIConfig()
-        with jax.named_scope("gi.ssao"):
+        with jax.named_scope("gi.ao"):
             # reduced-res AO + upsample (the taps are the cost; the
-            # reference also runs AO below full res)
+            # reference also runs AO below full res). ao_mode="rtao"
+            # traces real rays against the scene BVH (gi_rt_ao.hlsl,
+            # cvar-selected in screen_probe_gather.cpp:97-120)
             kd = gcfg.ao_res_div
-            ao_h = gi_ops.ssao(depth[::kd, ::kd],
-                               gbuf.position_tw[::kd, ::kd],
-                               gbuf.normal[::kd, ::kd], gcfg)
+            if gcfg.ao_mode == "rtao" and bvh is not None:
+                ao_h = gi_ops.rtao(gbuf.position_tw[::kd, ::kd],
+                                   gbuf.normal[::kd, ::kd], bvh, gcfg,
+                                   frame_index=history.frame_count)
+            else:
+                ao_h = gi_ops.ssao(depth[::kd, ::kd],
+                                   gbuf.position_tw[::kd, ::kd],
+                                   gbuf.normal[::kd, ::kd], gcfg)
             ao = post.upsample_nearest(ao_h, kd, h, w)
         cam_anchor = jnp.zeros(3)       # camera at the TW origin
         if mcfg.gi_mode == "probe":

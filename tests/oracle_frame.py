@@ -66,8 +66,11 @@ def render_oracle(builder, cam, width, height,
         pos = np.asarray(mesh.positions, np.float64)
         ph = np.concatenate([pos, np.ones((len(pos), 1))], 1) @ l2w
         ptw = ph[:, :3] / ph[:, 3:4] - cam.position
+        # row-vector normal transform: n' = n @ inv(M)^T (the extra .T
+        # that used to be here applied the INVERSE rotation — harmless on
+        # the axis-aligned procedural scenes, wrong for rotated instances)
         nm = np.linalg.inv(l2w[:3, :3]).T
-        nrm = np.asarray(mesh.normals, np.float64) @ nm.T
+        nrm = np.asarray(mesh.normals, np.float64) @ nm
         nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-12)
         idx = np.asarray(mesh.indices, np.int64).reshape(-1, 3)
         tris.append(ptw[idx])

@@ -159,3 +159,129 @@ def test_nanite_stress_scene_builds():
     per_instance = sum(b.meshes[m].num_triangles for m, _, _ in b.instances)
     assert per_instance > 9 * 2 * 16 * 16 * 0.8   # ~2*rings^2 per sphere
     assert len(b.instances) == 10                 # 9 spheres + floor
+
+
+# ---------------------------------------------------------------------------
+# Real-asset end-to-end (VERDICT r2 item 7): a disk GLB with multiple
+# meshes, an interleaved vertex buffer, u16+u32 indices, embedded PNG
+# textures (sRGB/linear), masked foliage, node hierarchy -> AssetManager-
+# style import -> nanite build -> full frame -> independent oracle SSIM.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def demo_glb(tmp_path_factory):
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.make_demo_gltf import build_demo
+
+    p = tmp_path_factory.mktemp("demo") / "street.glb"
+    build_demo(p)
+    return p
+
+
+def _demo_scene(demo_glb, with_textures=True, skip_masked=False):
+    from chord_tpu.asset.gltf import into_builder, load_gltf
+    from chord_tpu.asset.texture import TexturePool
+    from chord_tpu.rhi import SceneBuilder
+    from chord_tpu.utils.camera import Camera
+
+    tp = TexturePool(256) if with_textures else None
+    scene = load_gltf(demo_glb, texture_pool=tp)
+    if skip_masked:
+        # drop foliage cards: two-sided masked semantics are gated by
+        # their own oracle tests (test_masked.py); the geometry SSIM
+        # gate compares the opaque content
+        keep = [i for i, (mid, _) in enumerate(scene.instances)
+                if scene.materials[scene.mesh_material[mid]].alpha_mode
+                != "mask"]
+        scene.instances = [scene.instances[i] for i in keep]
+    b = SceneBuilder()
+    if tp is not None:
+        b.texture_pool = tp
+    into_builder(scene, b)
+    cam = Camera(width=192, height=108)
+    cam.position = np.array([-16.0, 7.0, 13.0])
+    cam.look_at(np.array([0.0, 2.5, 0.0]))
+    return scene, b, cam
+
+
+def test_demo_glb_import_structure(demo_glb):
+    scene, b, cam = _demo_scene(demo_glb)
+    assert len(scene.meshes) == 6
+    assert scene.total_triangles > 1000
+    assert len(scene.instances) == 15          # hierarchy flattened
+    modes = {m.name: m.alpha_mode for m in scene.materials}
+    assert modes["leaf"] == "mask"
+    # textures imported: 4 sRGB baseColor + 1 linear metal-rough
+    layers = {m.base_color_texture for m in scene.materials}
+    assert len(layers - {-1}) == 4
+    assert any(m.metal_rough_texture >= 0 for m in scene.materials)
+    # interleaved building accessors decoded: unit-ish normals
+    bld = scene.meshes[0]
+    n = np.linalg.norm(bld.normals, axis=1)
+    np.testing.assert_allclose(n, 1.0, atol=1e-5)
+
+
+def test_demo_glb_full_frame(demo_glb):
+    """Textured + masked + nanite full frame over the disk asset."""
+    from chord_tpu.renderer.deferred import RendererConfig
+    from chord_tpu.renderer.meshlet_frame import (MeshletFrameConfig,
+                                                  MeshletRenderer)
+    from chord_tpu.rhi.meshlet_scene import build_meshlet_pools
+
+    scene, b, cam = _demo_scene(demo_glb)
+    pools = build_meshlet_pools(b, nanite=True)
+    assert pools.num_meshlets >= 15
+    inst = b.frame_instances(cam)
+    r = MeshletRenderer(
+        RendererConfig(width=192, height=108, pair_capacity=8192,
+                       big_capacity=256, interpret=True,
+                       enable_bloom=False, enable_tsr=False),
+        MeshletFrameConfig(draw_capacity=2048, occlusion=False,
+                           textured=True, alpha_masked=True))
+    img, stats = r.render(pools, inst, cam.view_uniform(0))
+    img = np.asarray(img).astype(np.float32)
+    assert int(np.asarray(stats["bin_overflow"])) == 0
+    assert img.std() > 8.0
+    # content sanity: brick walls red-dominant somewhere, foliage
+    # green-dominant somewhere (textures actually sampled)
+    redish = (img[..., 0] > img[..., 1] + 12) & (img[..., 0] > 40)
+    greenish = (img[..., 1] > img[..., 0] + 8) & (img[..., 1] > 40)
+    assert redish.mean() > 0.004, "no brick-textured pixels"
+    assert greenish.mean() > 0.002, "no leaf-masked pixels"
+
+
+@pytest.mark.slow
+def test_demo_glb_matches_oracle(demo_glb):
+    """Untextured geometry+shading SSIM vs the independent NumPy oracle
+    on the imported disk asset (BASELINE SSIM gate on real content)."""
+    from oracle_frame import render_oracle
+    from test_golden import ssim
+
+    from chord_tpu.renderer.deferred import RendererConfig
+    from chord_tpu.renderer.meshlet_frame import (MeshletFrameConfig,
+                                                  MeshletRenderer)
+    from chord_tpu.rhi.meshlet_scene import build_meshlet_pools
+    from chord_tpu.utils.cvar import cvars
+
+    scene, b, cam = _demo_scene(demo_glb, with_textures=False,
+                                skip_masked=True)
+    w, h = 256, 144
+    cam.width, cam.height = w, h
+    oracle = render_oracle(b, cam, w, h, exposure=1.0)
+    pools = build_meshlet_pools(b, nanite=False)
+    inst = b.frame_instances(cam)
+    cvars.set("r.exposure.fix", 1.0)
+    try:
+        r = MeshletRenderer(
+            RendererConfig(width=w, height=h, pair_capacity=8192,
+                           big_capacity=256, interpret=True,
+                           enable_bloom=False, enable_tsr=False),
+            MeshletFrameConfig(draw_capacity=2048, occlusion=False))
+        img, stats = r.render(pools, inst, cam.view_uniform(0))
+    finally:
+        cvars.set("r.exposure.fix", -1.0)
+    assert int(np.asarray(stats["bin_overflow"])) == 0
+    s = ssim(np.asarray(img), oracle)
+    assert s >= 0.98, f"disk-glTF SSIM vs oracle: {s:.4f}"
