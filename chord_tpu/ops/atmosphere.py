@@ -370,21 +370,56 @@ def sky_ambient_irradiance(lut: jnp.ndarray) -> jnp.ndarray:
 
 def aerial_perspective(p: AtmosphereParams, dist_units: jnp.ndarray,
                        sky_along_view: jnp.ndarray,
-                       cam_alt_km: float = 0.2):
+                       cam_alt_km=0.2,
+                       view_dir_y: jnp.ndarray = None):
     """Per-pixel aerial perspective on GEOMETRY (reference:
-    lighting.hlsl:75-135 evaluates the Bruneton LUTs per pixel for
-    distant-surface in-scattering). TPU form: constant-altitude analytic
-    integral — transmittance T = exp(-sigma_ext(h_cam) * d_km) and
-    in-scatter = skyview(dir) * (1 - T), reusing the sky-view radiance
-    already computed for every pixel direction (the in-scatter integral
-    along a ray converges to the sky radiance as d -> inf, so scaling by
-    (1-T) is exact at both limits and smooth in between).
+    lighting.hlsl:75-135 evaluates the Bruneton LUTs per pixel with
+    camera-altitude km math for distant-surface in-scattering).
+
+    TPU form: CLOSED-FORM slant-path optical depth. For an exponential
+    density exp(-h/H) along a ray with unit-slope dy starting at h0,
+      tau = sigma * H/dy * exp(-h0/H) * (1 - exp(-d*dy/H))
+    (limit sigma*exp(-h0/H)*d as dy -> 0) — exact for the flat-earth
+    exponential profiles (Rayleigh + Mie); the ozone tent is evaluated
+    at the path's mean altitude. This is altitude-AWARE: a flight-sim
+    camera at 10 km sees thin air, a ray slanting down into the haze
+    picks up the full boundary-layer extinction. In-scatter remains
+    skyview(dir) * (1 - T): exact at d=0 and d=inf, smooth in between.
 
     dist_units (...,) camera distance in world units;
-    sky_along_view (...,3) sky-view radiance along each pixel's dir.
+    sky_along_view (...,3) sky-view radiance along each pixel's dir;
+    cam_alt_km: scalar or traced () camera altitude in km;
+    view_dir_y (...,) unit view-direction y (None = constant-altitude).
     -> (transmittance (...,3), in_scatter (...,3))."""
     d_km = dist_units * p.km_per_unit
-    h = jnp.asarray(cam_alt_km)
-    ext = _extinction(p, h)                       # (3,)
-    t = jnp.exp(-ext * d_km[..., None])
+    h0 = jnp.clip(jnp.asarray(cam_alt_km, jnp.float32), 0.0,
+                  p.top_radius_km - p.ground_radius_km)
+    if view_dir_y is None:
+        ext = _extinction(p, h0)                  # (3,)
+        t = jnp.exp(-ext * d_km[..., None])
+        return t, sky_along_view * (1.0 - t)
+
+    dy = view_dir_y
+    h_end = jnp.clip(h0 + d_km * dy, 0.0,
+                     p.top_radius_km - p.ground_radius_km)
+
+    def tau_exp(sigma, H):
+        """Closed-form optical depth for density exp(-h/H)."""
+        flatish = jnp.abs(dy) < 1e-3
+        safe_dy = jnp.where(flatish, 1.0, dy)
+        slant = (H / safe_dy) * jnp.exp(-h0 / H) * \
+            (1.0 - jnp.exp(-d_km * dy / H))
+        level = d_km * jnp.exp(-h0 / H)
+        return sigma * jnp.where(flatish, level, slant)[..., None]
+
+    rs = jnp.asarray(p.rayleigh_scatter)
+    tau = tau_exp(rs, p.rayleigh_scale_h)
+    tau = tau + tau_exp(jnp.asarray(p.mie_scatter + p.mie_absorb),
+                        p.mie_scale_h)
+    # ozone tent: mean-altitude evaluation (slowly varying at 25 km)
+    h_mid = 0.5 * (h0 + h_end)
+    ozo = jnp.clip(1.0 - jnp.abs(h_mid - p.ozone_center_km) /
+                   (p.ozone_width_km * 0.5), 0.0, 1.0)
+    tau = tau + (ozo * d_km)[..., None] * jnp.asarray(p.ozone_absorb)
+    t = jnp.exp(-tau)
     return t, sky_along_view * (1.0 - t)

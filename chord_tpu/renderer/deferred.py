@@ -88,6 +88,9 @@ class DeviceView:
     view_forward: Optional[jnp.ndarray] = None         # (3,)
     tan_half_fov: Optional[jnp.ndarray] = None         # (2,) tan_x, tan_y
     z_near: Optional[jnp.ndarray] = None               # ()
+    # camera world altitude (world units, f32 of the f64 host position) —
+    # drives the altitude-aware aerial perspective (lighting.hlsl:75-135)
+    cam_world_y: Optional[jnp.ndarray] = None          # ()
 
     @classmethod
     def from_uniform(cls, u: ViewUniform, sun_direction=(0.3, 0.8, 0.5),
@@ -140,6 +143,7 @@ class DeviceView:
             view_forward=view_forward,
             tan_half_fov=tan_half_fov,
             z_near=z_near,
+            cam_world_y=jnp.asarray(np.float32(u.camera_world_pos[1])),
         )
 
 

@@ -929,14 +929,20 @@ def render_frame_meshlet(
 
     if mcfg.atmosphere:
         # aerial perspective on geometry (reference lighting.hlsl:75-135:
-        # per-pixel LUT eval for distant-surface in-scattering; ours is
-        # the constant-altitude analytic integral, ops/atmosphere.py)
+        # per-pixel LUT eval with camera-altitude km math; ours is the
+        # closed-form slant-path integral, ops/atmosphere.py)
         with jax.named_scope("atmosphere.aerial"):
             from ..ops import atmosphere as atm
 
+            p_ap = atm.AtmosphereParams()
             dist = jnp.linalg.norm(gbuf.position_tw, axis=-1)
+            dir_y = gbuf.position_tw[..., 1] / jnp.maximum(dist, 1e-6)
+            alt_km = (view.cam_world_y * p_ap.km_per_unit
+                      if view.cam_world_y is not None
+                      else jnp.float32(0.2))
             t_ap, in_scatter = atm.aerial_perspective(
-                atm.AtmosphereParams(), dist, sky_along_view_ap1)
+                p_ap, dist, sky_along_view_ap1,
+                cam_alt_km=alt_km, view_dir_y=dir_y)
             hdr = jnp.where(gbuf.valid[..., None],
                             hdr * t_ap + in_scatter, hdr)
 

@@ -196,3 +196,58 @@ def test_shadowed_frame_matches_oracle():
     # penumbra-free edges; systematic errors (flipped cascade, wrong
     # bias sign, broken matrix) land far below this gate
     assert s >= 0.97, f"shadowed SSIM vs ray-cast oracle: {s:.4f}"
+
+
+@pytest.mark.slow
+def test_shadow_gate_under_camera_motion():
+    """VERDICT r2 weak #6: the temporal shadow scheme (round-robin
+    cascade refresh + phase-amortized PCSS + reprojected mask) gated
+    UNDER MOTION. The camera translates for several frames; the ray-cast
+    oracle renders the FINAL pose; the engine's final frame — built from
+    up-to-N-frame-stale cascades and a motion-reprojected mask — must
+    still land the shadows where ground-truth rays say."""
+    from chord_tpu.ops.shadow import ShadowConfig
+    from chord_tpu.renderer.deferred import RendererConfig
+    from chord_tpu.renderer.meshlet_frame import (MeshletFrameConfig,
+                                                  MeshletRenderer)
+    from chord_tpu.rhi.meshlet_scene import build_meshlet_pools
+    from chord_tpu.utils.cvar import cvars
+    from oracle_frame import render_oracle
+
+    w, h = 256, 144
+    b, cam = _scene(w, h)
+    pools = build_meshlet_pools(b, nanite=False)
+
+    # production-shaped temporal config (NOT the single-frame special
+    # case): cached cascades, quarter-res phased PCSS, temporal mask
+    scfg = ShadowConfig(cascade_count=2, resolution=1024,
+                        max_distance=60.0, light_size_world=0.02,
+                        pcf_radius_px=0.75, eval_res_div=2,
+                        temporal=True, temporal_phase=2)
+    cvars.set("r.exposure.fix", 1.0)
+    try:
+        r = MeshletRenderer(
+            RendererConfig(width=w, height=h, pair_capacity=8192,
+                           big_capacity=256, interpret=True,
+                           enable_bloom=False, enable_tsr=False),
+            MeshletFrameConfig(draw_capacity=1024, occlusion=False,
+                               shadows=True, shadow_cfg=scfg,
+                               shadow_draw_capacity=1024))
+        img = None
+        for i in range(6):
+            # ~0.35 world units/frame of lateral+forward motion
+            cam.position = np.array([-15.0 + 0.25 * i, 4.0,
+                                     3.0 - 0.25 * i])
+            cam.look_at(np.array([10.0, 2.0, -2.0]))
+            img, stats = r.render(pools, b.frame_instances(cam),
+                                  cam.view_uniform(i))
+    finally:
+        cvars.set("r.exposure.fix", -1.0)
+    assert int(np.asarray(stats["bin_overflow"])) == 0
+    oracle = render_oracle(b, cam, w, h, exposure=1.0, shadows=True)
+    s = ssim(np.asarray(img), oracle)
+    # looser than the static gate: stale cascades + the phased temporal
+    # mask trade exactness for cost; gross failures (shadows dragged by
+    # reprojection, missed refresh, wrong matrices-for-map pairing)
+    # land far below
+    assert s >= 0.93, f"moving-camera shadowed SSIM: {s:.4f}"

@@ -32,7 +32,12 @@ VARIANTS = {"eval", "eval_noign", "phase", "temporal", "gather",
             # temporal sub-ops (the `temporal` variant crashes standalone;
             # these isolate which op pattern kills the worker)
             "t_roll", "t_up", "t_uproll", "t_gather2d", "t_blend",
-            "t_gatherflat"}
+            "t_gatherflat",
+            # evaluate embedded the way the FRAME embeds it: inside a
+            # lax.scan whose carry holds the shadow maps (round-robin
+            # dynamic_update_slice refresh) — none of the passing
+            # standalone repros had a scan-carried gather operand
+            "scan_eval", "scan_eval_nocarry"}
 
 
 def main():
@@ -68,7 +73,22 @@ def main():
         16 / 9, scfg)
     mats = jnp.asarray(mats)
 
-    if variant in ("eval", "eval_noign"):
+    if variant in ("scan_eval", "scan_eval_nocarry"):
+        def run(pos, nrm, maps, mats, fc):
+            def step(carry, i):
+                m = carry
+                if variant == "scan_eval":
+                    k = i % n
+                    new = jnp.full((1, r, r), 0.25, jnp.float32) * \
+                        (1.0 + i.astype(jnp.float32))
+                    m = jax.lax.dynamic_update_slice(m, new, (k, 0, 0))
+                noise = interleaved_gradient_noise(hp, wp, i)
+                q = shadow_ops.evaluate_shadow(pos, nrm, sun, m, mats,
+                                               scfg, noise=noise)
+                return m, q.mean()
+            _, qs = jax.lax.scan(step, maps, jnp.arange(2))
+            return qs
+    elif variant in ("eval", "eval_noign"):
         def run(pos, nrm, maps, mats, fc):
             noise = (interleaved_gradient_noise(hp, wp, fc)
                      if variant == "eval" else None)

@@ -6,13 +6,18 @@
 set -u
 TOOL="$1"; shift
 for v in "$@"; do
+  ok=0
   for i in $(seq 1 12); do
     if timeout 180 python tools/device_health.py 120 >/dev/null 2>&1; then
-      break
+      ok=1; break
     fi
-    echo "[health] worker not ready (try $i), waiting 30s" >&2
+    echo "[health] worker not ready (try $i), waiting 30s"
     sleep 30
   done
   echo "=== $v"
+  if [ "$ok" != 1 ]; then
+    echo "SKIPPED: worker unhealthy for ~40min — verdict would be garbage"
+    continue
+  fi
   timeout 900 python "$TOOL" "$v" 2>&1 | tail -2
 done
