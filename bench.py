@@ -207,11 +207,22 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
                          if lvl["shadows"] else 0),
         shadow_res=(mcfg.shadow_cfg.resolution if lvl["shadows"] else 1),
         shadow_div=mcfg.shadow_cfg.eval_res_div,
+        shadow_phase=(mcfg.shadow_cfg.temporal_phase
+                      if mcfg.shadow_cfg.temporal else 1),
         probe_tile=8 if lvl["gi"] else 0)
     inst = b.frame_instances(cam)
 
-    fn = jax.jit(functools.partial(
-        render_sequence_meshlet, config=config, mcfg=mcfg, bvh=bvh))
+    # pipelined-shadow configs (the axon worker-fault workaround) run the
+    # PCSS eval as its own dispatch per frame — a host loop of async
+    # dispatches instead of one scanned program
+    from chord_tpu.renderer.meshlet_frame import (render_sequence_split,
+                                                  shadow_pipelined)
+    if lvl["shadows"] and shadow_pipelined(mcfg.shadow_cfg):
+        fn = functools.partial(render_sequence_split, config=config,
+                               mcfg=mcfg, bvh=bvh)
+    else:
+        fn = jax.jit(functools.partial(
+            render_sequence_meshlet, config=config, mcfg=mcfg, bvh=bvh))
 
     # sync on a 1-pixel fetch: the scan output depends on every frame, so
     # this forces full completion without paying the axon tunnel's ~160 ms

@@ -95,6 +95,14 @@ class RasterConfig(NamedTuple):
                                   # from per-pixel raster order). Static:
                                   # costs one compare per row-group only
                                   # in specializations that use it.
+    sub_loop: bool = False        # iterate subwindows with a dynamic
+                                  # fori_loop instead of Python-unrolling
+                                  # S gated bodies: at sub_s=16 the
+                                  # unrolled kernel's Mosaic program is
+                                  # large enough to kill the remote
+                                  # compile helper (HTTP 500) — one
+                                  # dynamic body compiles in O(1) code
+                                  # size at any S
     interpret: bool = False       # pallas interpreter (CPU tests)
 
     @property
@@ -548,24 +556,36 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,
         # lazy value would re-run the (expensive) relayout per slice below
         blkT_scr[:, :] = jnp.transpose(coef_scr[slot])    # (R,128)->(128,R)
 
-        for s in range(s_cnt):
+        def visit(s, y0, y1):
+            # the WHOLE subwindow body (column slicing + the a*px hoist +
+            # the row loop) is gated: a subwindow whose bbox misses this
+            # tile costs one scalar compare, not ~15 full-width hoists
+            # (x-skipped subwindows previously still paid the hoist)
+            @pl.when(y1 > y0)
+            def _subwindow():
+                _raster_subwindow_body(s, y0, y1, blkT_scr, acc, acc_v_scr,
+                                       px, yoff_col, tile_py0, cs, RP,
+                                       n_attr, f32, NEG, zclip_ref)
+
+        def bounds(s):
             base = win * s_cnt + s
             y0 = jnp.clip(sy0_ref[base] - tile_py0, 0, c.tile_h)
             y1 = jnp.clip(sy1_ref[base] + 1 - tile_py0, 0, c.tile_h)
             # x-overlap skip folds into the row bounds (no scalar branch)
             xok = (sx1_ref[base] >= tile_px0) & \
                   (sx0_ref[base] < tile_px0 + c.tile_w)
-            y1 = jnp.where(xok, y1, 0)
+            return y0, jnp.where(xok, y1, 0)
 
-            # the WHOLE subwindow body (column slicing + the a*px hoist +
-            # the row loop) is gated: a subwindow whose bbox misses this
-            # tile costs one scalar compare, not ~15 full-width hoists
-            # (x-skipped subwindows previously still paid the hoist)
-            @pl.when(y1 > y0)
-            def _subwindow(s=s, y0=y0, y1=y1):
-                _raster_subwindow_body(s, y0, y1, blkT_scr, acc, acc_v_scr,
-                                       px, yoff_col, tile_py0, cs, RP,
-                                       n_attr, f32, NEG, zclip_ref)
+        if c.sub_loop:
+            def sub_body(s, _):
+                y0, y1 = bounds(s)
+                visit(s, y0, y1)
+                return 0
+            jax.lax.fori_loop(0, s_cnt, sub_body, 0)
+        else:
+            for s in range(s_cnt):
+                y0, y1 = bounds(s)
+                visit(s, y0, y1)
         return carry
 
     jax.lax.fori_loop(0, count, body, 0)
@@ -581,7 +601,9 @@ def _raster_subwindow_body(s, y0, y1, blkT_scr, acc, acc_v_scr, px,
     """One subwindow of the flat kernel: coefficient column setup + the
     packed dynamic row loop (split out so the caller can pl.when-gate
     the entire body)."""
-    sub = blkT_scr[s * cs:(s + 1) * cs, :]        # (cs, R)
+    # pl.ds: s may be a traced loop index (config.sub_loop); offsets are
+    # s*cs with cs a multiple of 8, so the sublane slice stays aligned
+    sub = blkT_scr[pl.ds(s * cs, cs), :]          # (cs, R)
     # tile the group's coefficient columns RP times along sublanes:
     # one inner iteration evaluates RP consecutive rows x cs
     # triangles as full (RP*cs, TW) ops — a single per-row chain is
@@ -749,7 +771,7 @@ def _raster_tile_kernel_bricks(win_ref, start_ref, count_ref,
     NEG = jnp.float32(-3e38)
 
     def _bricks_subwindow(s, y0, y1, sx0, sx1):
-        sub = blkT_scr[s * cs:(s + 1) * cs, :]        # (cs, R)
+        sub = blkT_scr[pl.ds(s * cs, cs), :]      # (cs, R)
         rp = RP
         col4 = lambda k: f32(jnp.concatenate(
             [sub[:, k:k + 1]] * rp, axis=0))          # (rp*cs, 1)

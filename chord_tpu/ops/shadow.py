@@ -56,6 +56,17 @@ class ShadowConfig(NamedTuple):
                                      # shadow-map gather cost
     jitter: bool = True              # per-pixel/per-frame Poisson rotation
                                      # (IGN, the STBN-texture replacement)
+    pipelined: bool | None = None    # consume the PCSS eval one frame
+                                     # LATE: evaluate_shadow's result
+                                     # leaves the frame as a root output
+                                     # and re-enters as a parameter next
+                                     # frame. Works around an axon TPU
+                                     # worker fault when the eval's
+                                     # gather subgraph fuses into any
+                                     # in-program consumer (device
+                                     # bisect: tools/repro_eval_kernel
+                                     # .py). None = auto: on for the
+                                     # axon backend, off elsewhere.
     depth_range_fit: bool = True     # fit cascades on device to LAST
                                      # frame's valid-depth min/max range
                                      # (reference cascade_setup.hlsl) so

@@ -164,6 +164,8 @@ class ShardedRenderer:
                                  if m.shadows else 0),
                 shadow_res=(m.shadow_cfg.resolution if m.shadows else 1),
                 shadow_div=m.shadow_cfg.eval_res_div,
+                shadow_phase=(m.shadow_cfg.temporal_phase
+                              if m.shadow_cfg.temporal else 1),
                 probe_tile=8 if m.gi else 0)
             self.history = jax.tree.map(
                 lambda x: jnp.stack([x] * self.n), one)

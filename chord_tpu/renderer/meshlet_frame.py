@@ -569,6 +569,7 @@ def render_frame_meshlet(
     new_shadow_mask = history.shadow_mask
     new_shadow_maps = history.shadow_maps
     new_shadow_mats = history.shadow_mats
+    new_shadow_eval = history.shadow_eval
     if mcfg.shadows:
         n_casc = mcfg.shadow_cfg.cascade_count
         k = jnp.mod(history.frame_count, n_casc).astype(jnp.int32)
@@ -618,24 +619,49 @@ def render_frame_meshlet(
             else:
                 pos_e = pos_qv
                 nrm_e = gbuf.normal[::kdiv, ::kdiv]
-            noise = None
-            if scfg_.jitter:
-                from ..ops.bluenoise import interleaved_gradient_noise
-                noise = interleaved_gradient_noise(
-                    pos_e.shape[0], pos_e.shape[1], history.frame_count)
-            q_eval = shadow_ops.evaluate_shadow(
-                pos_e, nrm_e, view.sun_direction,
-                shadow_maps, new_shadow_mats, scfg_, noise=noise)
+            # Pipelined PCSS (axon worker-fault workaround, see
+            # ShadowConfig.pipelined): evaluate_shadow does NOT run in
+            # this program — its subgraph coexisting with the temporal
+            # blend crashes the TPU worker even with no dataflow between
+            # them (device bisect tools/repro_eval_kernel.py: tm_hist/
+            # tm_dual crash, tm_split passes). The frame exports the
+            # eval INPUTS via stats; the host wrapper runs the eval as
+            # its own dispatch (shadow_eval_step) and carries the result
+            # into history.shadow_eval, which the mask below consumes
+            # one frame late at the phase it was computed for.
+            pipe = scfg_.pipelined
+            if pipe is None:
+                pipe = jax.default_backend() == "axon"
+            if pipe:
+                stats["shadow_split"] = {
+                    "pos_e": pos_e, "nrm_e": nrm_e,
+                    "fc": history.frame_count}
+                q_use = history.shadow_eval
+                pidx_u = jnp.remainder(history.frame_count - 1,
+                                       ph * ph).astype(jnp.int32)
+                py_u, px_u = pidx_u // ph, pidx_u % ph
+            else:
+                noise = None
+                if scfg_.jitter:
+                    from ..ops.bluenoise import interleaved_gradient_noise
+                    noise = interleaved_gradient_noise(
+                        pos_e.shape[0], pos_e.shape[1],
+                        history.frame_count)
+                q_use = shadow_ops.evaluate_shadow(
+                    pos_e, nrm_e, view.sun_direction,
+                    shadow_maps, new_shadow_mats, scfg_, noise=noise)
+                py_u, px_u = ((py_, px_) if ph > 1
+                              else (jnp.int32(0), jnp.int32(0)))
             if ph > 1:
                 sun_shadow_q = jnp.roll(
-                    post.upsample_nearest(q_eval, ph, he, we),
-                    (py_, px_), axis=(0, 1))
+                    post.upsample_nearest(q_use, ph, he, we),
+                    (py_u, px_u), axis=(0, 1))
                 iy_ = jnp.arange(he, dtype=jnp.int32)[:, None]
                 ix_ = jnp.arange(we, dtype=jnp.int32)[None, :]
-                phase_mask = ((jnp.remainder(iy_, ph) == py_) &
-                              (jnp.remainder(ix_, ph) == px_))
+                phase_mask = ((jnp.remainder(iy_, ph) == py_u) &
+                              (jnp.remainder(ix_, ph) == px_u))
             else:
-                sun_shadow_q = q_eval
+                sun_shadow_q = q_use
                 phase_mask = None
         if mcfg.shadow_cfg.temporal:
             # Temporal soft-shadow mask (reference caches + temporally
@@ -1017,6 +1043,7 @@ def render_frame_meshlet(
         shadow_mask=new_shadow_mask,
         shadow_maps=new_shadow_maps,
         shadow_mats=new_shadow_mats,
+        shadow_eval=new_shadow_eval,
         probe_sh=new_probe_sh,
         probe_depth=new_probe_depth,
         gi_diffuse=new_gi_diffuse,
@@ -1025,6 +1052,32 @@ def render_frame_meshlet(
         ddgi=new_ddgi,
     )
     return image, new_history, stats
+
+
+def shadow_pipelined(scfg: shadow_ops.ShadowConfig) -> bool:
+    """Resolve ShadowConfig.pipelined (None = auto: axon backend only)."""
+    pipe = scfg.pipelined
+    if pipe is None:
+        pipe = jax.default_backend() == "axon"
+    return bool(pipe)
+
+
+def shadow_eval_step(pos_e, nrm_e, sun_direction, shadow_maps,
+                     shadow_mats, fc, scfg: shadow_ops.ShadowConfig):
+    """The split PCSS-evaluate dispatch (ShadowConfig.pipelined): runs
+    evaluate_shadow as its OWN program whose result is the sole root —
+    the device-verified safe configuration (tools/repro_eval_kernel.py
+    `eval` passes; coexisting with the temporal blend in one program
+    crashes the axon worker). The result enters the NEXT frame through
+    history.shadow_eval."""
+    noise = None
+    if scfg.jitter:
+        from ..ops.bluenoise import interleaved_gradient_noise
+        noise = interleaved_gradient_noise(
+            pos_e.shape[0], pos_e.shape[1], fc)
+    return shadow_ops.evaluate_shadow(pos_e, nrm_e, sun_direction,
+                                      shadow_maps, shadow_mats, scfg,
+                                      noise=noise)
 
 
 def render_sequence_meshlet(
@@ -1037,6 +1090,12 @@ def render_sequence_meshlet(
     dispatch) and for offline/animation rendering. views_stacked is a
     DeviceView pytree with a leading (N,) axis; returns (N,H,W,3) u8."""
 
+    if mcfg.shadows and shadow_pipelined(mcfg.shadow_cfg):
+        raise ValueError(
+            "render_sequence_meshlet cannot scan a pipelined-shadow "
+            "frame (the split eval is its own dispatch) — use "
+            "render_sequence_split")
+
     def step(hist, view):
         image, new_hist, _stats = render_frame_meshlet(
             pools, instances, view, hist, config, mcfg, bvh=bvh)
@@ -1044,6 +1103,45 @@ def render_sequence_meshlet(
 
     new_history, images = jax.lax.scan(step, history, views_stacked)
     return images, new_history
+
+
+def render_sequence_split(
+    pools, instances, views_stacked, history: FrameHistory,
+    config: RendererConfig, mcfg: MeshletFrameConfig,
+    bvh=None,
+):
+    """Camera-path runner for pipelined-shadow configs: a Python loop of
+    TWO async dispatches per frame (frame program + split PCSS eval).
+    Dispatches pipeline on the device — nothing synchronizes until the
+    caller fetches the stacked images."""
+    frame_fn, eval_fn = _split_sequence_fns(config, mcfg)
+    n = int(jax.tree_util.tree_leaves(views_stacked)[0].shape[0])
+    images = []
+    for i in range(n):
+        view = jax.tree_util.tree_map(lambda x: x[i], views_stacked)
+        image, history, stats = frame_fn(pools, instances, view, history,
+                                         bvh)
+        sp = stats.get("shadow_split")
+        if sp is not None:
+            q = eval_fn(sp["pos_e"], sp["nrm_e"], view.sun_direction,
+                        history.shadow_maps, history.shadow_mats,
+                        sp["fc"])
+            history = history.replace(shadow_eval=q)
+        images.append(image)
+    return jnp.stack(images), history
+
+
+@functools.lru_cache(maxsize=16)
+def _split_sequence_fns(config, mcfg):
+    """Jitted (frame, eval) dispatch pair for render_sequence_split,
+    cached on the static configs so repeat calls (bench warm pass) reuse
+    the compiled executables instead of re-tracing fresh partials."""
+    def frame_fn(pools, instances, view, history, bvh):
+        return render_frame_meshlet(pools, instances, view, history,
+                                    config=config, mcfg=mcfg, bvh=bvh)
+
+    eval_fn = functools.partial(shadow_eval_step, scfg=mcfg.shadow_cfg)
+    return jax.jit(frame_fn), jax.jit(eval_fn)
 
 
 class MeshletRenderer:
@@ -1058,6 +1156,21 @@ class MeshletRenderer:
         self._bvh = None
         self._frame_fn = jax.jit(functools.partial(
             render_frame_meshlet, config=config, mcfg=mcfg))
+        # split PCSS-eval dispatch for pipelined-shadow configs (see
+        # ShadowConfig.pipelined): runs as its own program after the frame
+        self._eval_fn = jax.jit(functools.partial(
+            shadow_eval_step, scfg=mcfg.shadow_cfg))
+
+    def _resolve_split(self, stats, view):
+        """Run the split PCSS eval (pipelined shadows) and fold its result
+        into history.shadow_eval for the next frame to consume."""
+        sp = stats.get("shadow_split")
+        if sp is None:
+            return
+        q = self._eval_fn(sp["pos_e"], sp["nrm_e"], view.sun_direction,
+                          self.history.shadow_maps,
+                          self.history.shadow_mats, sp["fc"])
+        self.history = self.history.replace(shadow_eval=q)
 
     def reset_history(self) -> None:
         self.history = None
@@ -1120,6 +1233,8 @@ class MeshletRenderer:
                                  if self.mcfg.shadows else 0),
                 shadow_res=(self.mcfg.shadow_cfg.resolution
                             if self.mcfg.shadows else 1),
+                shadow_phase=(self.mcfg.shadow_cfg.temporal_phase
+                              if self.mcfg.shadow_cfg.temporal else 1),
                 probe_tile=(
                     (self.mcfg.probe_cfg.tile if self.mcfg.probe_cfg
                      else 8)
@@ -1155,6 +1270,8 @@ class MeshletRenderer:
             for _ in range(self.mcfg.shadow_cfg.cascade_count - 1):
                 _img, self.history, _stats = self._frame_fn(
                     pools, instances, view, self.history, bvh=self._bvh)
+                self._resolve_split(_stats, view)
         image, self.history, stats = self._frame_fn(
             pools, instances, view, self.history, bvh=self._bvh)
+        self._resolve_split(stats, view)
         return image, stats

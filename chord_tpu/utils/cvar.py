@@ -135,6 +135,11 @@ cvars.register("r.raster.subS", 8,
                "tris, each with its own bbox row loop). Workload model: "
                "row iterations 59972/40555/32709 at S=4/8/16 on the "
                "bench heavy camera.", vtype=int)
+cvars.register("r.raster.subLoop", False,
+               "Iterate raster subwindows with a dynamic fori_loop "
+               "instead of unrolling S gated bodies (needed to compile "
+               "subS=16: the unrolled Mosaic program crashes the remote "
+               "compile helper).", vtype=bool)
 cvars.register("r.raster.bricks", False,
                "Brick accumulator layout: vreg rows cover 4x32-px bricks "
                "so narrow triangle groups skip non-overlapped 32-px "

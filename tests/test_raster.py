@@ -359,3 +359,25 @@ def test_overflow_exact_at_capacity_boundary():
     # both capacities squeezed
     n, ov = pairs_at(total_true // 2, 2)
     assert n + ov == total_true
+
+
+def test_sub_loop_bit_identical():
+    """config.sub_loop (dynamic fori over subwindows) is the SAME math in
+    a different control structure — outputs must be bit-identical to the
+    unrolled kernel at every sub_s, with and without attrs."""
+    rng = np.random.default_rng(17)
+    clip, indices, valid, payload = make_random_tris(120, rng)
+    attrs = rng.normal(size=(clip.shape[0], 5)).astype(np.float32)
+    for sub_s, tile_h in ((4, 8), (8, 8), (16, 16)):
+        for with_attrs in (False, True):
+            base = CFG._replace(sub_s=sub_s, tile_h=tile_h,
+                                with_attrs=with_attrs)
+            kw = dict(attrs=jnp.asarray(attrs)) if with_attrs else {}
+            outs_u = rasterize(jnp.asarray(clip), jnp.asarray(indices),
+                               jnp.asarray(valid), jnp.asarray(payload),
+                               base, **kw)
+            outs_l = rasterize(jnp.asarray(clip), jnp.asarray(indices),
+                               jnp.asarray(valid), jnp.asarray(payload),
+                               base._replace(sub_loop=True), **kw)
+            for u, l in zip(outs_u[:-1], outs_l[:-1]):
+                np.testing.assert_array_equal(np.asarray(u), np.asarray(l))

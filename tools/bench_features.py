@@ -87,16 +87,30 @@ def run_config(name, b, pools, n_src_tris, width, height, frames, **feat):
         shadow_res=(mcfg.shadow_cfg.resolution
                     if feat.get("shadows") else 1),
         shadow_div=mcfg.shadow_cfg.eval_res_div,
+        shadow_phase=(mcfg.shadow_cfg.temporal_phase
+                      if mcfg.shadow_cfg.temporal else 1),
         probe_tile=8 if feat.get("gi") else 0)
     inst = b.frame_instances(cam)
 
-    fn = jax.jit(functools.partial(
-        render_sequence_meshlet, config=config, mcfg=mcfg, bvh=bvh))
-    # AOT split so a compile-phase INTERNAL error is distinguishable from
-    # a runtime kernel fault in the logs
-    t0 = time.time()
-    compiled = fn.lower(pools, inst, views_stacked, history).compile()
-    compile_s = time.time() - t0
+    from chord_tpu.renderer.meshlet_frame import (render_sequence_split,
+                                                  shadow_pipelined)
+    if feat.get("shadows") and shadow_pipelined(mcfg.shadow_cfg):
+        # pipelined shadows: host loop of two dispatches/frame; warm pass
+        # doubles as the compile (no AOT split available)
+        compiled = functools.partial(render_sequence_split, config=config,
+                                     mcfg=mcfg, bvh=bvh)
+        t0 = time.time()
+        images, _ = compiled(pools, inst, views_stacked, history)
+        _ = jax.device_get(images[-1, :1, :1])
+        compile_s = time.time() - t0
+    else:
+        fn = jax.jit(functools.partial(
+            render_sequence_meshlet, config=config, mcfg=mcfg, bvh=bvh))
+        # AOT split so a compile-phase INTERNAL error is distinguishable
+        # from a runtime kernel fault in the logs
+        t0 = time.time()
+        compiled = fn.lower(pools, inst, views_stacked, history).compile()
+        compile_s = time.time() - t0
     print(json.dumps({"config": name, "phase": "compiled",
                       "compile_s": round(compile_s, 1)}), flush=True)
     t0 = time.time()

@@ -89,7 +89,10 @@ def main():
     history = FrameHistory.empty(
         h, w, gi_cfg=gcfg, shadow_cascades=mcfg.shadow_cfg.cascade_count,
         shadow_res=mcfg.shadow_cfg.resolution,
-        shadow_div=mcfg.shadow_cfg.eval_res_div, probe_tile=8)
+        shadow_div=mcfg.shadow_cfg.eval_res_div,
+        shadow_phase=(mcfg.shadow_cfg.temporal_phase
+                      if mcfg.shadow_cfg.temporal else 1),
+        probe_tile=8)
 
     ws, hs, offs = mf.hzb_layout(w, h)
 

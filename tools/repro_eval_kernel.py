@@ -37,7 +37,22 @@ VARIANTS = {"eval", "eval_noign", "phase", "temporal", "gather",
             # lax.scan whose carry holds the shadow maps (round-robin
             # dynamic_update_slice refresh) — none of the passing
             # standalone repros had a scan-carried gather operand
-            "scan_eval", "scan_eval_nocarry"}
+            "scan_eval", "scan_eval_nocarry",
+            # eval COMPOSED with pieces of the temporal blend (eval alone
+            # and blend alone pass; the composition crashes — isolate
+            # which downstream op fused with eval kills the worker)
+            "tm_up", "tm_gather", "tm_barrier", "tm_pallas", "tm_copy",
+            # structural fixes: tm_dual returns q as an EXTRA jit output
+            # alongside the blended mask (root materialization of the
+            # gather fusion); tm_split runs eval and blend as TWO separate
+            # jit dispatches (eval-as-root passed, blend-with-q-param
+            # passed — this composes the two known-good configs)
+            "tm_dual", "tm_split",
+            # tm_hist: the PIPELINED composition — blend consumes LAST
+            # frame's q (a jit parameter: known-good config 2) while this
+            # frame's eval result is only a root output (known-good
+            # config 1). One dispatch, one frame of latency.
+            "tm_hist"}
 
 
 def main():
@@ -45,7 +60,13 @@ def main():
     if variant not in VARIANTS:
         sys.exit(f"unknown variant {variant!r}; expected {sorted(VARIANTS)}")
 
+    import os
+
     import jax
+
+    if os.environ.get("REPRO_CPU"):
+        # the axon site package overrides JAX_PLATFORMS — override back
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -108,6 +129,116 @@ def main():
             noise = interleaved_gradient_noise(hp, wp, fc)
             return shadow_ops.evaluate_shadow(pos_e, nrm_e, sun, maps,
                                               mats, scfg, noise=noise)
+    elif variant in ("tm_up", "tm_gather", "tm_barrier", "tm_pallas",
+                     "tm_copy"):
+        pos = jnp.asarray(rng.uniform(-20, 20, (he, we, 3)), jnp.float32)
+        nrm = jnp.asarray(nrm_[:1, :1] * np.ones((he, we, 3)), jnp.float32)
+        nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+        prev_mask = jnp.asarray(rng.uniform(0, 1, (he, we)), jnp.float32)
+        pm = jnp.asarray(rng.normal(size=(4, 4)), jnp.float32)
+
+        def run(pos, nrm, maps, mats, fc):
+            from chord_tpu.ops import post
+            pidx = jnp.remainder(fc, ph * ph)
+            py_, px_ = pidx // ph, pidx % ph
+            shift = lambda a: jnp.roll(a, (-py_, -px_), axis=(0, 1))
+            pos_e = shift(pos)[::ph, ::ph]
+            nrm_e = shift(nrm)[::ph, ::ph]
+            noise = interleaved_gradient_noise(hp, wp, fc)
+            q = shadow_ops.evaluate_shadow(pos_e, nrm_e, sun, maps, mats,
+                                           scfg, noise=noise)
+            if variant == "tm_barrier":
+                q = jax.lax.optimization_barrier(q)
+            elif variant == "tm_pallas":
+                from chord_tpu.ops.fusion_barrier import fusion_barrier
+                q = fusion_barrier(q)
+            elif variant == "tm_copy":
+                # copy_p: a cheap non-fusible(?) hint
+                q = jax.lax.stop_gradient(jnp.asarray(q)).copy()
+            if variant == "tm_gather":
+                # blend with a reprojection gather at EVAL res (no
+                # upsample/roll between eval and the gather-blend)
+                c = (pos_e[..., 0:1] * pm[0] + pos_e[..., 1:2] * pm[1] +
+                     pos_e[..., 2:3] * pm[2] + pm[3])
+                wc = jnp.maximum(c[..., 3], 1e-6)
+                px2 = (c[..., 0] / wc * 0.5 + 0.5) * we
+                py2 = (0.5 - c[..., 1] / wc * 0.5) * he
+                xi = jnp.clip(px2.astype(jnp.int32), 0, we - 1)
+                yi = jnp.clip(py2.astype(jnp.int32), 0, he - 1)
+                prev = prev_mask[yi, xi]
+                return q + (prev - q) * 0.5
+            sq = jnp.roll(post.upsample_nearest(q, ph, he, we),
+                          (py_, px_), axis=(0, 1))
+            if variant == "tm_up":
+                return sq
+            # tm_barrier: the FULL temporal blend behind the barrier
+            c = (pos[..., 0:1] * pm[0] + pos[..., 1:2] * pm[1] +
+                 pos[..., 2:3] * pm[2] + pm[3])
+            wc = jnp.maximum(c[..., 3], 1e-6)
+            px2 = (c[..., 0] / wc * 0.5 + 0.5) * we
+            py2 = (0.5 - c[..., 1] / wc * 0.5) * he
+            on = ((px2 >= 0) & (px2 < we) & (py2 >= 0) & (py2 < he) &
+                  (c[..., 3] > 0))
+            xi = jnp.clip(px2.astype(jnp.int32), 0, we - 1)
+            yi = jnp.clip(py2.astype(jnp.int32), 0, he - 1)
+            prev = prev_mask[yi, xi]
+            resid = jnp.abs(prev - sq)
+            alpha = 0.7 * on.astype(jnp.float32) * jnp.exp(-4.0 * resid)
+            return sq + (prev - sq) * alpha
+    elif variant in ("tm_dual", "tm_split", "tm_hist"):
+        pos = jnp.asarray(rng.uniform(-20, 20, (he, we, 3)), jnp.float32)
+        nrm = jnp.asarray(nrm_[:1, :1] * np.ones((he, we, 3)), jnp.float32)
+        nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+        prev_mask = jnp.asarray(rng.uniform(0, 1, (he, we)), jnp.float32)
+        pm = jnp.asarray(rng.normal(size=(4, 4)), jnp.float32)
+
+        def eval_part(pos, nrm, maps, mats, fc):
+            pidx = jnp.remainder(fc, ph * ph)
+            py_, px_ = pidx // ph, pidx % ph
+            shift = lambda a: jnp.roll(a, (-py_, -px_), axis=(0, 1))
+            pos_e = shift(pos)[::ph, ::ph]
+            nrm_e = shift(nrm)[::ph, ::ph]
+            noise = interleaved_gradient_noise(hp, wp, fc)
+            return shadow_ops.evaluate_shadow(pos_e, nrm_e, sun, maps,
+                                              mats, scfg, noise=noise)
+
+        def blend_part(pos, q, fc):
+            from chord_tpu.ops import post
+            pidx = jnp.remainder(fc, ph * ph)
+            py_, px_ = pidx // ph, pidx % ph
+            sq = jnp.roll(post.upsample_nearest(q, ph, he, we),
+                          (py_, px_), axis=(0, 1))
+            c = (pos[..., 0:1] * pm[0] + pos[..., 1:2] * pm[1] +
+                 pos[..., 2:3] * pm[2] + pm[3])
+            wc = jnp.maximum(c[..., 3], 1e-6)
+            px2 = (c[..., 0] / wc * 0.5 + 0.5) * we
+            py2 = (0.5 - c[..., 1] / wc * 0.5) * he
+            on = ((px2 >= 0) & (px2 < we) & (py2 >= 0) & (py2 < he) &
+                  (c[..., 3] > 0))
+            xi = jnp.clip(px2.astype(jnp.int32), 0, we - 1)
+            yi = jnp.clip(py2.astype(jnp.int32), 0, he - 1)
+            prev = prev_mask[yi, xi]
+            resid = jnp.abs(prev - sq)
+            alpha = 0.7 * on.astype(jnp.float32) * jnp.exp(-4.0 * resid)
+            return sq + (prev - sq) * alpha
+
+        if variant == "tm_dual":
+            def run(pos, nrm, maps, mats, fc):
+                q = eval_part(pos, nrm, maps, mats, fc)
+                return blend_part(pos, q, fc), q
+        elif variant == "tm_hist":
+            # prev-frame q arrives as a PARAMETER, this frame's q leaves
+            # only as a root output — neither good config is disturbed.
+            def run(pos, nrm, maps, mats, fc, q_prev):
+                q_new = eval_part(pos, nrm, maps, mats, fc)
+                return blend_part(pos, q_prev, fc), q_new
+        else:  # tm_split: two separate device dispatches
+            f1 = jax.jit(eval_part)
+            f2 = jax.jit(blend_part)
+
+            def run(pos, nrm, maps, mats, fc):
+                q = f1(pos, nrm, maps, mats, fc)
+                return f2(pos, q, fc)
     elif variant == "temporal":
         pos = jnp.asarray(rng.uniform(-20, 20, (he, we, 3)), jnp.float32)
         nrm = jnp.asarray(nrm_[:1, :1] * np.ones((he, we, 3)), jnp.float32)
@@ -206,14 +337,25 @@ def main():
                 acc += flat[cascade * (r * r) + y * r + x]
             return acc
 
-    fn = jax.jit(run)
+    fn = run if variant == "tm_split" else jax.jit(run)
+
+    def call(i, qp):
+        if variant == "tm_hist":
+            return fn(pos, nrm, maps, mats, jnp.int32(i), qp)
+        return fn(pos, nrm, maps, mats, jnp.int32(i))
+
+    q_prev = jnp.zeros((hp, wp), jnp.float32)
     t0 = time.time()
-    out = jax.device_get(fn(pos, nrm, maps, mats, jnp.int32(1)))
+    out = jax.device_get(call(1, q_prev))
+    tot = sum(float(np.sum(a)) for a in jax.tree_util.tree_leaves(out))
     print(f"{variant} compile+run ok in {time.time() - t0:.1f}s "
-          f"sum={float(np.sum(out)):.3f}")
+          f"sum={tot:.3f}")
     t0 = time.time()
     for i in range(3):
-        out = jax.device_get(fn(pos, nrm, maps, mats, jnp.int32(i)))
+        res = call(i, q_prev)
+        if variant == "tm_hist":
+            q_prev = res[1]
+        out = jax.device_get(res)
     print(f"{variant} steady ok {(time.time() - t0) / 3 * 1000:.1f} ms")
 
 
