@@ -56,17 +56,20 @@ class ShadowConfig(NamedTuple):
                                      # shadow-map gather cost
     jitter: bool = True              # per-pixel/per-frame Poisson rotation
                                      # (IGN, the STBN-texture replacement)
-    pipelined: bool | None = None    # consume the PCSS eval one frame
-                                     # LATE: evaluate_shadow's result
-                                     # leaves the frame as a root output
-                                     # and re-enters as a parameter next
-                                     # frame. Works around an axon TPU
-                                     # worker fault when the eval's
-                                     # gather subgraph fuses into any
-                                     # in-program consumer (device
-                                     # bisect: tools/repro_eval_kernel
-                                     # .py). None = auto: on for the
-                                     # axon backend, off elsewhere.
+    pipelined: bool | None = None    # run the WHOLE shadow pipeline
+                                     # (cascade fit + round-robin raster
+                                     # + PCSS eval) as its own dispatch
+                                     # after the frame, consumed one
+                                     # frame LATE through history.
+                                     # Works around axon TPU worker
+                                     # faults when the shadow raster /
+                                     # eval subgraphs share a program
+                                     # with the textured raster / the
+                                     # temporal blend (device bisects:
+                                     # tools/repro_eval_kernel.py,
+                                     # tools/bisect_shadow_masked.py).
+                                     # None = auto: on for the axon
+                                     # backend, off elsewhere.
     depth_range_fit: bool = True     # fit cascades on device to LAST
                                      # frame's valid-depth min/max range
                                      # (reference cascade_setup.hlsl) so

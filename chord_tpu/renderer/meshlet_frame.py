@@ -571,34 +571,23 @@ def render_frame_meshlet(
     new_shadow_mats = history.shadow_mats
     new_shadow_eval = history.shadow_eval
     if mcfg.shadows:
-        n_casc = mcfg.shadow_cfg.cascade_count
-        k = jnp.mod(history.frame_count, n_casc).astype(jnp.int32)
-        # Device-side cascade refit to LAST frame's valid-depth range
-        # (reference cascade_setup.hlsl reads the hzb min/max reduce).
-        # Falls back to the host frustum-only fit on the first frame
-        # (history invalid) or when the view lacks camera geometry.
-        fit_mats = view.shadow_tw_to_light
-        fit_planes = view.shadow_frustum_planes
-        if (mcfg.shadow_cfg.depth_range_fit
-                and view.view_forward is not None):
-            with jax.named_scope("shadow.cascade_fit"):
-                zr = jnp.where(history.valid > 0, history.depth_range,
-                               jnp.asarray([0.0, 1e9], jnp.float32))
-                fit_mats, fit_planes = shadow_ops.fit_cascades_device(
-                    view.view_forward, view.sun_direction,
-                    view.tan_half_fov[0], view.tan_half_fov[1], zr,
-                    mcfg.shadow_cfg)
-        with jax.named_scope("shadow.render"):
-            new_map = render_shadow_cascade(pools, instances, view, rc,
-                                            mcfg, k, mats=fit_mats,
-                                            planes_all=fit_planes)
-            new_shadow_maps = jax.lax.dynamic_update_slice(
-                history.shadow_maps, new_map[None], (k, 0, 0))
-            new_shadow_mats = jax.lax.dynamic_update_slice(
-                history.shadow_mats,
-                jax.lax.dynamic_slice(fit_mats, (k, 0, 0),
-                                      (1, 4, 4)), (k, 0, 0))
-            shadow_maps = new_shadow_maps
+        pipe = shadow_pipelined(mcfg.shadow_cfg)
+        if not pipe:
+            n_casc = mcfg.shadow_cfg.cascade_count
+            k = jnp.mod(history.frame_count, n_casc).astype(jnp.int32)
+            fit_mats, fit_planes = _shadow_cascade_fit(view, history,
+                                                       mcfg.shadow_cfg)
+            with jax.named_scope("shadow.render"):
+                new_map = render_shadow_cascade(pools, instances, view, rc,
+                                                mcfg, k, mats=fit_mats,
+                                                planes_all=fit_planes)
+                new_shadow_maps = jax.lax.dynamic_update_slice(
+                    history.shadow_maps, new_map[None], (k, 0, 0))
+                new_shadow_mats = jax.lax.dynamic_update_slice(
+                    history.shadow_mats,
+                    jax.lax.dynamic_slice(fit_mats, (k, 0, 0),
+                                          (1, 4, 4)), (k, 0, 0))
+                shadow_maps = new_shadow_maps
         with jax.named_scope("shadow.evaluate"):
             scfg_ = mcfg.shadow_cfg
             kdiv = scfg_.eval_res_div
@@ -619,19 +608,22 @@ def render_frame_meshlet(
             else:
                 pos_e = pos_qv
                 nrm_e = gbuf.normal[::kdiv, ::kdiv]
-            # Pipelined PCSS (axon worker-fault workaround, see
-            # ShadowConfig.pipelined): evaluate_shadow does NOT run in
-            # this program — its subgraph coexisting with the temporal
-            # blend crashes the TPU worker even with no dataflow between
-            # them (device bisect tools/repro_eval_kernel.py: tm_hist/
-            # tm_dual crash, tm_split passes). The frame exports the
-            # eval INPUTS via stats; the host wrapper runs the eval as
-            # its own dispatch (shadow_eval_step) and carries the result
-            # into history.shadow_eval, which the mask below consumes
-            # one frame late at the phase it was computed for.
-            pipe = scfg_.pipelined
-            if pipe is None:
-                pipe = jax.default_backend() == "axon"
+            # Pipelined shadows (axon worker-fault workaround, see
+            # ShadowConfig.pipelined): NEITHER the cascade raster NOR
+            # evaluate_shadow runs in this program — the with-attrs
+            # shadow raster coexisting with the textured main raster
+            # crashes the TPU worker (device bisect: 'textured' passes,
+            # 'rest' passes, shadows+textured crashes even with the
+            # alpha sampling stubbed — tools/bisect_shadow_masked.py
+            # noalpha), and the eval subgraph coexisting with the
+            # temporal blend crashes it too (tools/repro_eval_kernel.py
+            # tm_hist/tm_dual crash, tm_split passes). The frame exports
+            # the eval INPUTS via stats; the host wrapper runs cascade
+            # fit + raster + PCSS eval as their own dispatch
+            # (shadow_service_step) whose outputs re-enter through
+            # history.{shadow_maps,shadow_mats,shadow_eval}; the mask
+            # below consumes the eval one frame late at the phase it was
+            # computed for.
             if pipe:
                 stats["shadow_split"] = {
                     "pos_e": pos_e, "nrm_e": nrm_e,
@@ -1062,22 +1054,64 @@ def shadow_pipelined(scfg: shadow_ops.ShadowConfig) -> bool:
     return bool(pipe)
 
 
-def shadow_eval_step(pos_e, nrm_e, sun_direction, shadow_maps,
-                     shadow_mats, fc, scfg: shadow_ops.ShadowConfig):
-    """The split PCSS-evaluate dispatch (ShadowConfig.pipelined): runs
-    evaluate_shadow as its OWN program whose result is the sole root —
-    the device-verified safe configuration (tools/repro_eval_kernel.py
-    `eval` passes; coexisting with the temporal blend in one program
-    crashes the axon worker). The result enters the NEXT frame through
-    history.shadow_eval."""
+def _shadow_cascade_fit(view, history, scfg: shadow_ops.ShadowConfig):
+    """Cascade fit matrices/planes: device-side refit to LAST frame's
+    valid-depth range (reference cascade_setup.hlsl reads the hzb min/max
+    reduce) with a host frustum-only fallback on the first frame (history
+    invalid) or when the view lacks camera geometry."""
+    fit_mats = view.shadow_tw_to_light
+    fit_planes = view.shadow_frustum_planes
+    if scfg.depth_range_fit and view.view_forward is not None:
+        with jax.named_scope("shadow.cascade_fit"):
+            zr = jnp.where(history.valid > 0, history.depth_range,
+                           jnp.asarray([0.0, 1e9], jnp.float32))
+            fit_mats, fit_planes = shadow_ops.fit_cascades_device(
+                view.view_forward, view.sun_direction,
+                view.tan_half_fov[0], view.tan_half_fov[1], zr, scfg)
+    return fit_mats, fit_planes
+
+
+def shadow_service_step(pools, instances, view, history, pos_e, nrm_e,
+                        fc, *, config: RendererConfig,
+                        mcfg: "MeshletFrameConfig"):
+    """The split shadow dispatch (ShadowConfig.pipelined): cascade fit ->
+    round-robin cascade raster (incl. alpha-tested masked casters) ->
+    PCSS evaluate, as their OWN program. Runs after the frame that
+    exported (pos_e, nrm_e, fc); its outputs re-enter the NEXT frame
+    through history.{shadow_maps, shadow_mats, shadow_eval}.
+
+    Isolation rationale (device-bisected): the with-attrs shadow raster
+    crashes the axon worker when it shares a program with the textured
+    main raster, and evaluate_shadow crashes it when it shares one with
+    the temporal blend — this dispatch contains the shadow side of both
+    pairs and nothing else (the shape of the passing 'rest' bisect
+    config). Uses history.depth_range from the SAME frame the g-buffer
+    came from — one frame fresher than the in-frame fit.
+
+    -> (shadow_maps (N,R,R), shadow_mats (N,4,4), q (He/ph, We/ph))."""
+    scfg = mcfg.shadow_cfg
+    rc = config.raster_config()
+    n_casc = scfg.cascade_count
+    k = jnp.mod(fc, n_casc).astype(jnp.int32)
+    fit_mats, fit_planes = _shadow_cascade_fit(view, history, scfg)
+    with jax.named_scope("shadow.render"):
+        new_map = render_shadow_cascade(pools, instances, view, rc,
+                                        mcfg, k, mats=fit_mats,
+                                        planes_all=fit_planes)
+        new_maps = jax.lax.dynamic_update_slice(
+            history.shadow_maps, new_map[None], (k, 0, 0))
+        new_mats = jax.lax.dynamic_update_slice(
+            history.shadow_mats,
+            jax.lax.dynamic_slice(fit_mats, (k, 0, 0), (1, 4, 4)),
+            (k, 0, 0))
     noise = None
     if scfg.jitter:
         from ..ops.bluenoise import interleaved_gradient_noise
         noise = interleaved_gradient_noise(
             pos_e.shape[0], pos_e.shape[1], fc)
-    return shadow_ops.evaluate_shadow(pos_e, nrm_e, sun_direction,
-                                      shadow_maps, shadow_mats, scfg,
-                                      noise=noise)
+    q = shadow_ops.evaluate_shadow(pos_e, nrm_e, view.sun_direction,
+                                   new_maps, new_mats, scfg, noise=noise)
+    return new_maps, new_mats, q
 
 
 def render_sequence_meshlet(
@@ -1111,10 +1145,10 @@ def render_sequence_split(
     bvh=None,
 ):
     """Camera-path runner for pipelined-shadow configs: a Python loop of
-    TWO async dispatches per frame (frame program + split PCSS eval).
-    Dispatches pipeline on the device — nothing synchronizes until the
-    caller fetches the stacked images."""
-    frame_fn, eval_fn = _split_sequence_fns(config, mcfg)
+    TWO async dispatches per frame (frame program + split shadow
+    service). Dispatches pipeline on the device — nothing synchronizes
+    until the caller fetches the stacked images."""
+    frame_fn, svc_fn = _split_sequence_fns(config, mcfg)
     n = int(jax.tree_util.tree_leaves(views_stacked)[0].shape[0])
     images = []
     for i in range(n):
@@ -1123,25 +1157,27 @@ def render_sequence_split(
                                          bvh)
         sp = stats.get("shadow_split")
         if sp is not None:
-            q = eval_fn(sp["pos_e"], sp["nrm_e"], view.sun_direction,
-                        history.shadow_maps, history.shadow_mats,
-                        sp["fc"])
-            history = history.replace(shadow_eval=q)
+            maps, mats, q = svc_fn(pools, instances, view, history,
+                                   sp["pos_e"], sp["nrm_e"], sp["fc"])
+            history = history.replace(shadow_maps=maps, shadow_mats=mats,
+                                      shadow_eval=q)
         images.append(image)
     return jnp.stack(images), history
 
 
 @functools.lru_cache(maxsize=16)
 def _split_sequence_fns(config, mcfg):
-    """Jitted (frame, eval) dispatch pair for render_sequence_split,
-    cached on the static configs so repeat calls (bench warm pass) reuse
-    the compiled executables instead of re-tracing fresh partials."""
+    """Jitted (frame, shadow-service) dispatch pair for
+    render_sequence_split, cached on the static configs so repeat calls
+    (bench warm pass) reuse the compiled executables instead of
+    re-tracing fresh partials."""
     def frame_fn(pools, instances, view, history, bvh):
         return render_frame_meshlet(pools, instances, view, history,
                                     config=config, mcfg=mcfg, bvh=bvh)
 
-    eval_fn = functools.partial(shadow_eval_step, scfg=mcfg.shadow_cfg)
-    return jax.jit(frame_fn), jax.jit(eval_fn)
+    svc_fn = functools.partial(shadow_service_step, config=config,
+                               mcfg=mcfg)
+    return jax.jit(frame_fn), jax.jit(svc_fn)
 
 
 class MeshletRenderer:
@@ -1156,21 +1192,23 @@ class MeshletRenderer:
         self._bvh = None
         self._frame_fn = jax.jit(functools.partial(
             render_frame_meshlet, config=config, mcfg=mcfg))
-        # split PCSS-eval dispatch for pipelined-shadow configs (see
-        # ShadowConfig.pipelined): runs as its own program after the frame
-        self._eval_fn = jax.jit(functools.partial(
-            shadow_eval_step, scfg=mcfg.shadow_cfg))
+        # split shadow-service dispatch for pipelined-shadow configs (see
+        # ShadowConfig.pipelined): cascade fit + raster + PCSS eval run
+        # as their own program after the frame
+        self._svc_fn = jax.jit(functools.partial(
+            shadow_service_step, config=config, mcfg=mcfg))
 
-    def _resolve_split(self, stats, view):
-        """Run the split PCSS eval (pipelined shadows) and fold its result
-        into history.shadow_eval for the next frame to consume."""
+    def _resolve_split(self, stats, pools, instances, view):
+        """Run the split shadow service (pipelined shadows) and fold its
+        outputs into history for the next frame to consume."""
         sp = stats.get("shadow_split")
         if sp is None:
             return
-        q = self._eval_fn(sp["pos_e"], sp["nrm_e"], view.sun_direction,
-                          self.history.shadow_maps,
-                          self.history.shadow_mats, sp["fc"])
-        self.history = self.history.replace(shadow_eval=q)
+        maps, mats, q = self._svc_fn(pools, instances, view, self.history,
+                                     sp["pos_e"], sp["nrm_e"], sp["fc"])
+        self.history = self.history.replace(shadow_maps=maps,
+                                            shadow_mats=mats,
+                                            shadow_eval=q)
 
     def reset_history(self) -> None:
         self.history = None
@@ -1270,8 +1308,8 @@ class MeshletRenderer:
             for _ in range(self.mcfg.shadow_cfg.cascade_count - 1):
                 _img, self.history, _stats = self._frame_fn(
                     pools, instances, view, self.history, bvh=self._bvh)
-                self._resolve_split(_stats, view)
+                self._resolve_split(_stats, pools, instances, view)
         image, self.history, stats = self._frame_fn(
             pools, instances, view, self.history, bvh=self._bvh)
-        self._resolve_split(stats, view)
+        self._resolve_split(stats, pools, instances, view)
         return image, stats

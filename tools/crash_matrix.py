@@ -27,6 +27,12 @@ CELLS = [
     ("nomask_syncf", ["--post", "1", "--masked", "0", "--sync", "frame"]),
     ("notex_syncf", ["--post", "1", "--textured", "0", "--masked", "0",
                      "--sync", "frame"]),
+    # CONTROLS — configs that passed on device in r2 (tex 88.3 ms@2f,
+    # off 57.9 ms). If these crash too, the worker/tunnel has degraded
+    # and the feature cells are uninterpretable.
+    ("ctl_texonly", ["--post", "1", "--shadows", "0", "--sync", "frame"]),
+    ("ctl_off", ["--post", "1", "--shadows", "0", "--textured", "0",
+                 "--masked", "0", "--sync", "frame"]),
 ]
 
 

@@ -80,7 +80,7 @@ def main():
                       if mcfg.shadow_cfg.temporal else 1))
     inst = b.frame_instances(cam)
 
-    frame_fn, eval_fn = _split_sequence_fns(config, mcfg)
+    frame_fn, svc_fn = _split_sequence_fns(config, mcfg)
 
     for p in range(args.passes):
         history = history0
@@ -94,10 +94,10 @@ def main():
                 _ = jax.device_get(img[:1, :1])
             sp = stats.get("shadow_split")
             if sp is not None:
-                q = eval_fn(sp["pos_e"], sp["nrm_e"], view.sun_direction,
-                            history.shadow_maps, history.shadow_mats,
-                            sp["fc"])
-                history = history.replace(shadow_eval=q)
+                maps, mats, q = svc_fn(pools, inst, view, history,
+                                       sp["pos_e"], sp["nrm_e"], sp["fc"])
+                history = history.replace(shadow_maps=maps,
+                                          shadow_mats=mats, shadow_eval=q)
                 if args.sync in ("frame", "eval"):
                     _ = jax.device_get(q[:1, :1])
             print(json.dumps({"pass": p, "frame": i,
