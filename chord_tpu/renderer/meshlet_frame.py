@@ -625,13 +625,17 @@ def render_frame_meshlet(
             # below consumes the eval one frame late at the phase it was
             # computed for.
             if pipe:
+                # Export EVERYTHING the service needs (incl. the temporal
+                # blend's eval-res inputs) and consume last frame's READY
+                # blended mask — the frame keeps zero shadow gathers (the
+                # blend's reprojection gather co-residing with the rest
+                # of the frame is itself a fault suspect).
                 stats["shadow_split"] = {
-                    "pos_e": pos_e, "nrm_e": nrm_e,
+                    "pos_e": pos_e, "nrm_e": nrm_e, "pos_q": pos_qv,
+                    "valid_q": gbuf.valid[::kdiv, ::kdiv],
+                    "disocc_q": disocc[::kdiv, ::kdiv],
                     "fc": history.frame_count}
-                q_use = history.shadow_eval
-                pidx_u = jnp.remainder(history.frame_count - 1,
-                                       ph * ph).astype(jnp.int32)
-                py_u, px_u = pidx_u // ph, pidx_u % ph
+                sun_shadow_q = history.shadow_mask
             else:
                 noise = None
                 if scfg_.jitter:
@@ -642,52 +646,22 @@ def render_frame_meshlet(
                 q_use = shadow_ops.evaluate_shadow(
                     pos_e, nrm_e, view.sun_direction,
                     shadow_maps, new_shadow_mats, scfg_, noise=noise)
-                py_u, px_u = ((py_, px_) if ph > 1
-                              else (jnp.int32(0), jnp.int32(0)))
-            if ph > 1:
-                sun_shadow_q = jnp.roll(
-                    post.upsample_nearest(q_use, ph, he, we),
-                    (py_u, px_u), axis=(0, 1))
-                iy_ = jnp.arange(he, dtype=jnp.int32)[:, None]
-                ix_ = jnp.arange(we, dtype=jnp.int32)[None, :]
-                phase_mask = ((jnp.remainder(iy_, ph) == py_u) &
-                              (jnp.remainder(ix_, ph) == px_u))
-            else:
-                sun_shadow_q = q_use
-                phase_mask = None
-        if mcfg.shadow_cfg.temporal:
+                sun_shadow_q, phase_mask = _phase_expand(
+                    q_use, history.frame_count, ph, he, we)
+        if mcfg.shadow_cfg.temporal and not pipe:
             # Temporal soft-shadow mask (reference caches + temporally
             # blends its PCSS mask, lighting.h:23-29): reproject last
             # frame's eval-res mask through the previous view-proj and
             # blend, with a residual guard against sun/geometry changes.
             # Gathers stay at eval res (1/kdiv^2 of full res — cheap).
             with jax.named_scope("shadow.temporal"):
-                pos_q = gbuf.position_tw[::kdiv, ::kdiv]
-                hq, wq = sun_shadow_q.shape
-                pm = view.prev_tw_to_clip_nj
-                c = (pos_q[..., 0:1] * pm[0] + pos_q[..., 1:2] * pm[1] +
-                     pos_q[..., 2:3] * pm[2] + pm[3])
-                wc = jnp.maximum(c[..., 3], 1e-6)
-                px = (c[..., 0] / wc * 0.5 + 0.5) * wq
-                py = (0.5 - c[..., 1] / wc * 0.5) * hq
-                on = ((px >= 0) & (px < wq) & (py >= 0) & (py < hq) &
-                      (c[..., 3] > 0))
-                xi = jnp.clip(px.astype(jnp.int32), 0, wq - 1)
-                yi = jnp.clip(py.astype(jnp.int32), 0, hq - 1)
-                prev = history.shadow_mask[yi, xi]
-                resid = jnp.abs(prev - sun_shadow_q)
-                # phase pixels blend toward the fresh PCSS value; the rest
-                # keep the reprojected history unless the residual vs the
-                # nearest fresh value says the shadow moved
-                a0 = mcfg.shadow_cfg.temporal_alpha
-                base = (jnp.where(phase_mask, a0, 1.0)
-                        if phase_mask is not None else a0)
-                alpha = (base * history.valid *
-                         on.astype(jnp.float32) *
-                         gbuf.valid[::kdiv, ::kdiv].astype(jnp.float32) *
-                         (1.0 - disocc[::kdiv, ::kdiv]) *
-                         jnp.exp(-4.0 * resid))
-                sun_shadow_q = sun_shadow_q + (prev - sun_shadow_q) * alpha
+                sun_shadow_q = _blend_shadow_mask(
+                    sun_shadow_q, phase_mask,
+                    gbuf.position_tw[::kdiv, ::kdiv],
+                    history.shadow_mask, history.valid,
+                    gbuf.valid[::kdiv, ::kdiv], disocc[::kdiv, ::kdiv],
+                    view.prev_tw_to_clip_nj,
+                    mcfg.shadow_cfg.temporal_alpha)
         new_shadow_mask = sun_shadow_q
         with jax.named_scope("shadow.upsample"):
             sun_shadow = post.upsample_nearest(sun_shadow_q, kdiv, h, w)
@@ -1054,6 +1028,51 @@ def shadow_pipelined(scfg: shadow_ops.ShadowConfig) -> bool:
     return bool(pipe)
 
 
+def _phase_expand(q, fc, ph: int, he: int, we: int):
+    """Expand a phase-decimated PCSS eval (He/ph, We/ph) to eval res
+    (he, we) at the phase it was computed for (frame counter fc):
+    nearest-upsample + roll to the phase offset. -> (mask, phase_mask)
+    where phase_mask marks the pixels fresh THIS phase (None at ph=1)."""
+    if ph <= 1:
+        return q, None
+    pidx = jnp.remainder(fc, ph * ph).astype(jnp.int32)
+    py_, px_ = pidx // ph, pidx % ph
+    mask = jnp.roll(post.upsample_nearest(q, ph, he, we),
+                    (py_, px_), axis=(0, 1))
+    iy_ = jnp.arange(he, dtype=jnp.int32)[:, None]
+    ix_ = jnp.arange(we, dtype=jnp.int32)[None, :]
+    phase_mask = ((jnp.remainder(iy_, ph) == py_) &
+                  (jnp.remainder(ix_, ph) == px_))
+    return mask, phase_mask
+
+
+def _blend_shadow_mask(sun_shadow_q, phase_mask, pos_q, prev_mask,
+                       hist_valid, valid_q, disocc_q, pm, a0: float):
+    """Temporal soft-shadow blend (reference lighting.h:23-29): reproject
+    the previous eval-res mask through the previous view-proj and blend.
+    Phase pixels blend toward the fresh PCSS value; the rest keep the
+    reprojected history unless the residual vs the nearest fresh value
+    says the shadow moved."""
+    hq, wq = sun_shadow_q.shape
+    c = (pos_q[..., 0:1] * pm[0] + pos_q[..., 1:2] * pm[1] +
+         pos_q[..., 2:3] * pm[2] + pm[3])
+    wc = jnp.maximum(c[..., 3], 1e-6)
+    px = (c[..., 0] / wc * 0.5 + 0.5) * wq
+    py = (0.5 - c[..., 1] / wc * 0.5) * hq
+    on = ((px >= 0) & (px < wq) & (py >= 0) & (py < hq) &
+          (c[..., 3] > 0))
+    xi = jnp.clip(px.astype(jnp.int32), 0, wq - 1)
+    yi = jnp.clip(py.astype(jnp.int32), 0, hq - 1)
+    prev = prev_mask[yi, xi]
+    resid = jnp.abs(prev - sun_shadow_q)
+    base = (jnp.where(phase_mask, a0, 1.0)
+            if phase_mask is not None else a0)
+    alpha = (base * hist_valid * on.astype(jnp.float32) *
+             valid_q.astype(jnp.float32) * (1.0 - disocc_q) *
+             jnp.exp(-4.0 * resid))
+    return sun_shadow_q + (prev - sun_shadow_q) * alpha
+
+
 def _shadow_cascade_fit(view, history, scfg: shadow_ops.ShadowConfig):
     """Cascade fit matrices/planes: device-side refit to LAST frame's
     valid-depth range (reference cascade_setup.hlsl reads the hzb min/max
@@ -1071,27 +1090,35 @@ def _shadow_cascade_fit(view, history, scfg: shadow_ops.ShadowConfig):
     return fit_mats, fit_planes
 
 
-def shadow_service_step(pools, instances, view, history, pos_e, nrm_e,
-                        fc, *, config: RendererConfig,
+def shadow_service_step(pools, instances, view, history, sp, *,
+                        config: RendererConfig,
                         mcfg: "MeshletFrameConfig"):
     """The split shadow dispatch (ShadowConfig.pipelined): cascade fit ->
     round-robin cascade raster (incl. alpha-tested masked casters) ->
-    PCSS evaluate, as their OWN program. Runs after the frame that
-    exported (pos_e, nrm_e, fc); its outputs re-enter the NEXT frame
-    through history.{shadow_maps, shadow_mats, shadow_eval}.
+    PCSS evaluate -> phase expand + temporal blend, as their OWN
+    program. Runs after the frame that exported `sp` (the stats
+    "shadow_split" dict: pos_e/nrm_e/pos_q/valid_q/disocc_q/fc); its
+    outputs re-enter the NEXT frame through history.{shadow_maps,
+    shadow_mats, shadow_eval, shadow_mask} — the frame consumes the
+    READY eval-res mask and keeps zero shadow compute beyond the final
+    upsample.
 
     Isolation rationale (device-bisected): the with-attrs shadow raster
     crashes the axon worker when it shares a program with the textured
-    main raster, and evaluate_shadow crashes it when it shares one with
-    the temporal blend — this dispatch contains the shadow side of both
-    pairs and nothing else (the shape of the passing 'rest' bisect
-    config). Uses history.depth_range from the SAME frame the g-buffer
-    came from — one frame fresher than the in-frame fit.
+    main raster, the PCSS eval crashes it when it shares one with the
+    temporal blend, and the all-features frame crashed at frame 0 even
+    with raster+eval removed — so the blend (the frame's last shadow
+    gather subgraph) moves here too. Uses history.depth_range from the
+    SAME frame the g-buffer came from — one frame fresher than the
+    in-frame fit.
 
-    -> (shadow_maps (N,R,R), shadow_mats (N,4,4), q (He/ph, We/ph))."""
+    -> (shadow_maps (N,R,R), shadow_mats (N,4,4), q (He/ph, We/ph),
+        mask (He, We))."""
     scfg = mcfg.shadow_cfg
     rc = config.raster_config()
     n_casc = scfg.cascade_count
+    fc = sp["fc"]
+    pos_e, nrm_e = sp["pos_e"], sp["nrm_e"]
     k = jnp.mod(fc, n_casc).astype(jnp.int32)
     fit_mats, fit_planes = _shadow_cascade_fit(view, history, scfg)
     with jax.named_scope("shadow.render"):
@@ -1111,7 +1138,16 @@ def shadow_service_step(pools, instances, view, history, pos_e, nrm_e,
             pos_e.shape[0], pos_e.shape[1], fc)
     q = shadow_ops.evaluate_shadow(pos_e, nrm_e, view.sun_direction,
                                    new_maps, new_mats, scfg, noise=noise)
-    return new_maps, new_mats, q
+    ph = scfg.temporal_phase if scfg.temporal else 1
+    hq, wq = sp["pos_q"].shape[:2]
+    mask, phase_mask = _phase_expand(q, fc, ph, hq, wq)
+    if scfg.temporal:
+        with jax.named_scope("shadow.temporal"):
+            mask = _blend_shadow_mask(
+                mask, phase_mask, sp["pos_q"], history.shadow_mask,
+                history.valid, sp["valid_q"], sp["disocc_q"],
+                view.prev_tw_to_clip_nj, scfg.temporal_alpha)
+    return new_maps, new_mats, q, mask
 
 
 def render_sequence_meshlet(
@@ -1157,10 +1193,10 @@ def render_sequence_split(
                                          bvh)
         sp = stats.get("shadow_split")
         if sp is not None:
-            maps, mats, q = svc_fn(pools, instances, view, history,
-                                   sp["pos_e"], sp["nrm_e"], sp["fc"])
+            maps, mats, q, mask = svc_fn(pools, instances, view, history,
+                                         sp)
             history = history.replace(shadow_maps=maps, shadow_mats=mats,
-                                      shadow_eval=q)
+                                      shadow_eval=q, shadow_mask=mask)
         images.append(image)
     return jnp.stack(images), history
 
@@ -1204,11 +1240,12 @@ class MeshletRenderer:
         sp = stats.get("shadow_split")
         if sp is None:
             return
-        maps, mats, q = self._svc_fn(pools, instances, view, self.history,
-                                     sp["pos_e"], sp["nrm_e"], sp["fc"])
+        maps, mats, q, mask = self._svc_fn(pools, instances, view,
+                                           self.history, sp)
         self.history = self.history.replace(shadow_maps=maps,
                                             shadow_mats=mats,
-                                            shadow_eval=q)
+                                            shadow_eval=q,
+                                            shadow_mask=mask)
 
     def reset_history(self) -> None:
         self.history = None

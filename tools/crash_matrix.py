@@ -33,6 +33,21 @@ CELLS = [
     ("ctl_texonly", ["--post", "1", "--shadows", "0", "--sync", "frame"]),
     ("ctl_off", ["--post", "1", "--shadows", "0", "--textured", "0",
                  "--masked", "0", "--sync", "frame"]),
+    # Split-service bisection: which SIDE of the two-dispatch scheme
+    # carries the fault — the frame program alone (shadow consumption:
+    # temporal blend + upsample, no raster/eval), the shadow service
+    # alone (cascade raster + masked alpha + PCSS eval), or only their
+    # coexistence.
+    ("frame_only", ["--post", "1", "--sync", "frame",
+                    "--mode", "frame_only"]),
+    ("svc_only", ["--post", "1", "--sync", "eval",
+                  "--mode", "service_only"]),
+    ("frame_only_p0", ["--post", "0", "--sync", "frame",
+                       "--mode", "frame_only"]),
+    ("nomask_syncf2", ["--post", "1", "--masked", "0", "--sync",
+                       "frame"]),
+    ("notex_syncf2", ["--post", "1", "--textured", "0", "--masked", "0",
+                      "--sync", "frame"]),
 ]
 
 

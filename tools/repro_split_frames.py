@@ -40,6 +40,13 @@ def main():
     ap.add_argument("--textured", type=int, default=1)
     ap.add_argument("--masked", type=int, default=1)
     ap.add_argument("--shadows", type=int, default=1)
+    ap.add_argument("--mode", default="both",
+                    choices=["both", "frame_only", "service_only"],
+                    help="both = frame + shadow service dispatches; "
+                    "frame_only = frame program only (service skipped, "
+                    "history.shadow_eval stays at its initial value); "
+                    "service_only = ONE warmup frame to get real eval "
+                    "inputs, then loop the shadow-service dispatch alone")
     args = ap.parse_args()
 
     import jax
@@ -82,6 +89,37 @@ def main():
 
     frame_fn, svc_fn = _split_sequence_fns(config, mcfg)
 
+    if args.mode == "service_only":
+        # one warmup frame for real eval inputs, then the service alone
+        view = dviews[0]
+        img, history, stats = frame_fn(pools, inst, view, history0, None)
+        sp = stats["shadow_split"]
+        _ = jax.device_get(img[:1, :1])
+        print(json.dumps({"warmup": True}), flush=True)
+        for p in range(args.passes):
+            t0 = time.time()
+            q = None
+            for i in range(args.frames):
+                view = dviews[i]
+                sp_i = dict(sp, fc=sp["fc"] + i)
+                maps, mats, q, mask = svc_fn(pools, inst, view, history,
+                                             sp_i)
+                history = history.replace(shadow_maps=maps,
+                                          shadow_mats=mats, shadow_eval=q,
+                                          shadow_mask=mask)
+                if args.sync in ("frame", "eval"):
+                    _ = jax.device_get(q[:1, :1])
+                print(json.dumps({"pass": p, "frame": i,
+                                  "t": round(time.time() - t0, 2)}),
+                      flush=True)
+            _ = jax.device_get(q[:1, :1])
+            dt = time.time() - t0
+            print(json.dumps({"pass": p, "done": True,
+                              "ms_per_frame": round(
+                                  dt / args.frames * 1000, 1)}),
+                  flush=True)
+        return
+
     for p in range(args.passes):
         history = history0
         t0 = time.time()
@@ -93,11 +131,12 @@ def main():
             if args.sync == "frame":
                 _ = jax.device_get(img[:1, :1])
             sp = stats.get("shadow_split")
-            if sp is not None:
-                maps, mats, q = svc_fn(pools, inst, view, history,
-                                       sp["pos_e"], sp["nrm_e"], sp["fc"])
+            if sp is not None and args.mode == "both":
+                maps, mats, q, mask = svc_fn(pools, inst, view, history,
+                                             sp)
                 history = history.replace(shadow_maps=maps,
-                                          shadow_mats=mats, shadow_eval=q)
+                                          shadow_mats=mats, shadow_eval=q,
+                                          shadow_mask=mask)
                 if args.sync in ("frame", "eval"):
                     _ = jax.device_get(q[:1, :1])
             print(json.dumps({"pass": p, "frame": i,
