@@ -26,7 +26,7 @@ import numpy as np
 
 NORTH_STAR_MS = 16.6   # BASELINE.json
 
-# Degradation-ladder feature levels, richest first (see bench_frame).
+# Feature levels for the measurement ladder (see bench_frame).
 FEATURE_LEVELS = {
     "all": dict(shadows=True, atmosphere=True, gi=True, textured=True,
                 shadow_masked=True, trilinear=True),
@@ -43,6 +43,12 @@ FEATURE_LEVELS = {
     "off": dict(shadows=False, atmosphere=False, gi=False, textured=False,
                 shadow_masked=False, trilinear=False),
 }
+# Climb SAFEST FIRST (r3 postmortem: richest-first burned the whole driver
+# window on crashing rungs and recorded nothing). A floor number lands
+# within the first rung; every later success upgrades it.
+CLIMB = ["off", "geo_tex", "geo_shadow_atmo", "all"]
+# tried only if "all" fails — isolate which feature killed it
+FALLBACKS = ["no_tril", "no_masked_shadow"]
 LADDER = list(FEATURE_LEVELS)
 
 
@@ -266,57 +272,84 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
     }
 
 
-def _orchestrate(args) -> int:
-    """Run the measurement in a child process and degrade the feature set
-    if the child dies (a worker fault poisons the in-process jax client,
-    so each attempt needs a fresh process). Always emits ONE JSON line."""
+def _run_rung(args, feat, timeout_s):
+    """Run one ladder rung in a fresh child process (a worker fault
+    poisons the in-process jax client). -> (record dict or None, note)."""
     import subprocess
 
-    ladder = [args.features] if args.features != "all" else LADDER
-    last_err = "no attempts ran"
-    rung_log = {}   # feature level -> outcome string (kept in detail)
-    for i, feat in enumerate(ladder):
-        cmd = [sys.executable, __file__, "--child",
-               "--width", str(args.width), "--height", str(args.height),
-               "--detail", str(args.detail), "--frames", str(args.frames),
-               "--scene", args.scene, "--target-tris", str(args.target_tris),
-               "--render-scale", str(args.render_scale),
-               "--features", feat]
-        if args.skip_secondary or feat != "all":
-            cmd.append("--skip-secondary")
-        try:
-            p = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=2400)
-        except subprocess.TimeoutExpired:
-            last_err = f"features={feat}: child timed out"
-            rung_log[feat] = "timeout"
-            print(f"[ladder] {feat}: timeout", file=sys.stderr)
-            continue
-        line = next((ln for ln in p.stdout.splitlines()
-                     if ln.startswith('{"metric"')), None)
-        if line is None:
-            err_tail = (p.stderr.strip().splitlines()[-1][:200]
-                        if p.stderr.strip() else "")
-            last_err = (f"features={feat}: no JSON (rc={p.returncode}) "
-                        f"{err_tail}")
-            rung_log[feat] = f"no JSON rc={p.returncode} {err_tail[:120]}"
-            print(f"[ladder] {last_err}", file=sys.stderr)
-            continue
-        rec = json.loads(line)
-        if rec.get("value", -1) <= 0:
-            last_err = f"features={feat}: {rec.get('error', 'value<=0')}"
-            rung_log[feat] = str(rec.get("error", "value<=0"))[:160]
-            print(f"[ladder] {last_err}", file=sys.stderr)
-            continue
-        if i > 0:
-            rec.setdefault("detail", {})["degraded_from"] = ladder[0]
-            rec["detail"]["degraded_reason"] = last_err[:300]
-            rec["detail"]["rung_log"] = rung_log
-        print(json.dumps(rec))
+    cmd = [sys.executable, __file__, "--child",
+           "--width", str(args.width), "--height", str(args.height),
+           "--detail", str(args.detail), "--frames", str(args.frames),
+           "--scene", args.scene, "--target-tris", str(args.target_tris),
+           "--render-scale", str(args.render_scale),
+           "--features", feat, "--skip-secondary"]
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None, "timeout"
+    line = next((ln for ln in p.stdout.splitlines()
+                 if ln.startswith('{"metric"')), None)
+    if line is None:
+        err_tail = (p.stderr.strip().splitlines()[-1][:200]
+                    if p.stderr.strip() else "")
+        return None, f"no JSON rc={p.returncode} {err_tail[:160]}"
+    rec = json.loads(line)
+    if rec.get("value", -1) <= 0:
+        return None, str(rec.get("error", "value<=0"))[:200]
+    return rec, "ok"
+
+
+def _orchestrate(args) -> int:
+    """Climb the feature ladder SAFEST FIRST, each rung a fresh child
+    process, and print the best-so-far JSON line after EVERY successful
+    rung (flushed) — if the driver kills us mid-climb, the floor number
+    is already on stdout (r3 recorded nothing; never again). The final
+    printed line is the richest rung that succeeded."""
+    ladder = CLIMB if args.features == "all" else [args.features]
+    rung_log = {}     # feature level -> "ok NN.Nms" | error note
+    best = None       # record of the RICHEST successful rung
+    t_start = time.time()
+
+    def emit(rec):
+        rec.setdefault("detail", {})["rung_log"] = dict(rung_log)
+        print(json.dumps(rec), flush=True)
+
+    def climb(feats):
+        nonlocal best
+        for feat in feats:
+            left = args.budget_s - (time.time() - t_start)
+            if best is not None and left < 120:
+                rung_log[feat] = "skipped: budget"
+                continue
+            rec, note = _run_rung(args, feat,
+                                  min(args.child_timeout, max(left, 180)))
+            if rec is None:
+                rung_log[feat] = note
+                print(f"[ladder] {feat}: {note}", file=sys.stderr)
+                return False
+            ms = rec.get("value")
+            rung_log[feat] = (f"ok {ms}ms compile_s="
+                              f"{rec.get('detail', {}).get('compile_s')}")
+            print(f"[ladder] {feat}: {ms} ms", file=sys.stderr)
+            best = rec   # later rungs are strictly richer
+            emit(rec)
+        return True
+
+    complete = climb(ladder)
+    if not complete and ladder == CLIMB and best is not None:
+        # "all" (or a floor rung) failed: isolate which feature killed it
+        climb([f for f in FALLBACKS if f not in rung_log])
+    if best is not None:
+        if best["detail"].get("features") != "all":
+            best["detail"]["degraded_from"] = "all"
+        emit(best)
         return 0
     print(json.dumps({
         "metric": "full_pipeline_1080p_ms_per_frame",
-        "value": -1, "unit": "ms", "vs_baseline": 0, "error": last_err}))
+        "value": -1, "unit": "ms", "vs_baseline": 0,
+        "error": "; ".join(f"{k}: {v}" for k, v in rung_log.items())}),
+        flush=True)
     return 1
 
 
@@ -332,12 +365,19 @@ def main():
     ap.add_argument("--child", action="store_true",
                     help="run one measurement in-process (no degradation "
                          "ladder); used by the orchestrator")
-    ap.add_argument("--render-scale", type=float, default=1.0,
+    ap.add_argument("--render-scale", type=float, default=0.6667,
                     help="TSR upscale: render at scale*res, temporal-"
                          "upscale to full res (the reference's render-dim"
-                         " -> post-dim DimensionConfig chain)")
+                         " -> post-dim DimensionConfig chain, "
+                         "renderer/renderer.h:55-89; the reference "
+                         "headline runs upscaled too). 1.0 = native.")
     ap.add_argument("--skip-secondary", action="store_true",
                     help="skip the feature-off secondary measurement")
+    ap.add_argument("--child-timeout", type=int, default=1000,
+                    help="per-rung child process timeout (s)")
+    ap.add_argument("--budget-s", type=int, default=3300,
+                    help="total orchestrator budget: once a number is "
+                         "recorded, no new rung starts with <120s left")
     args = ap.parse_args()
 
     if not args.child:

@@ -31,6 +31,8 @@ Package layout:
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
 
 # Geometry math (vertex transforms, color matrices, barycentrics) needs true
@@ -38,3 +40,16 @@ import jax as _jax
 # edge equations and depth planes. Hot kernels opt into lower precision
 # explicitly where it is safe.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compiled-program cache — the analog of the reference's shader
+# blob disk cache (shader_compiler/shader.cpp:212-216) + VkPipelineCache
+# (graphics/graphics.h:110): a program once compiled is never compiled
+# again, across processes. The frame program costs minutes to compile on
+# the tunneled device; this makes every repeat run (bench rungs, tools,
+# tests) near-free. Opt out with CHORD_NO_COMPILE_CACHE=1.
+if not _os.environ.get("CHORD_NO_COMPILE_CACHE"):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("CHORD_COMPILE_CACHE_DIR", "/tmp/chord_xla_cache"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1021,10 +1021,16 @@ def render_frame_meshlet(
 
 
 def shadow_pipelined(scfg: shadow_ops.ShadowConfig) -> bool:
-    """Resolve ShadowConfig.pipelined (None = auto: axon backend only)."""
+    """Resolve ShadowConfig.pipelined (None = auto: any non-CPU backend).
+
+    Round-3 postmortem: the auto-detect used to test `== "axon"`, but the
+    tunneled device reports `jax.default_backend() == "tpu"` (the axon
+    platform registers as a tpu backend), so the bench ran the inline
+    (worker-faulting) path. Default to the split dispatch on every real
+    accelerator; CPU (tests/oracles) keeps the single-program frame."""
     pipe = scfg.pipelined
     if pipe is None:
-        pipe = jax.default_backend() == "axon"
+        pipe = jax.default_backend() != "cpu"
     return bool(pipe)
 
 
