@@ -75,6 +75,14 @@ class ShadowConfig(NamedTuple):
                                      # (reference cascade_setup.hlsl) so
                                      # shadow texels track occupied depth;
                                      # off = host frustum-only fit
+    eval_kernel: bool | None = None  # PCSS eval via the Pallas tile
+                                     # kernel (ops/shadow_kernel.py:
+                                     # windowed one-hot-matmul taps, no
+                                     # XLA gathers — the root fix for
+                                     # the r2/r3 TPU worker faults).
+                                     # None = auto: on for any non-CPU
+                                     # backend, gather path on CPU
+                                     # (tests/oracle parity).
 
 
 # Poisson disk (unit radius) — fixed pattern like the reference's
@@ -270,6 +278,30 @@ def evaluate_shadow(
     lit = lit / cfg.pcss_pcf_samples
 
     return jnp.where(in_map, lit, 1.0)
+
+
+def evaluate_shadow_auto(
+    position_tw: jnp.ndarray,
+    normal: jnp.ndarray,
+    sun_dir: jnp.ndarray,
+    shadow_maps: jnp.ndarray,
+    tw_to_light: jnp.ndarray,
+    cfg: ShadowConfig,
+    noise: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """PCSS eval dispatcher: the Pallas tile kernel on accelerators
+    (ShadowConfig.eval_kernel, see ops/shadow_kernel.py), the reference
+    XLA gather path on CPU / when forced off."""
+    use_kernel = cfg.eval_kernel
+    if use_kernel is None:
+        use_kernel = jax.default_backend() != "cpu"
+    if use_kernel:
+        from .shadow_kernel import evaluate_shadow_pallas
+        return evaluate_shadow_pallas(
+            position_tw, normal, sun_dir, shadow_maps, tw_to_light, cfg,
+            noise=noise, interpret=jax.default_backend() == "cpu")
+    return evaluate_shadow(position_tw, normal, sun_dir, shadow_maps,
+                           tw_to_light, cfg, noise=noise)
 
 
 def fit_cascades_device(

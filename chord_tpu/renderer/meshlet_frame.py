@@ -643,7 +643,7 @@ def render_frame_meshlet(
                     noise = interleaved_gradient_noise(
                         pos_e.shape[0], pos_e.shape[1],
                         history.frame_count)
-                q_use = shadow_ops.evaluate_shadow(
+                q_use = shadow_ops.evaluate_shadow_auto(
                     pos_e, nrm_e, view.sun_direction,
                     shadow_maps, new_shadow_mats, scfg_, noise=noise)
                 sun_shadow_q, phase_mask = _phase_expand(
@@ -1142,8 +1142,9 @@ def shadow_service_step(pools, instances, view, history, sp, *,
         from ..ops.bluenoise import interleaved_gradient_noise
         noise = interleaved_gradient_noise(
             pos_e.shape[0], pos_e.shape[1], fc)
-    q = shadow_ops.evaluate_shadow(pos_e, nrm_e, view.sun_direction,
-                                   new_maps, new_mats, scfg, noise=noise)
+    q = shadow_ops.evaluate_shadow_auto(pos_e, nrm_e, view.sun_direction,
+                                        new_maps, new_mats, scfg,
+                                        noise=noise)
     ph = scfg.temporal_phase if scfg.temporal else 1
     hq, wq = sp["pos_q"].shape[:2]
     mask, phase_mask = _phase_expand(q, fc, ph, hq, wq)

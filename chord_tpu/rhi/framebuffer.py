@@ -130,9 +130,16 @@ class FrameHistory:
         if probe_tile:
             pr_h, pr_w = -(-h // probe_tile), -(-w // probe_tile)
             gh, gw = -(-h // 2), -(-w // 2)
+        else:
+            pr_h = pr_w = gh = gw = 1
+        # the specular temporal history is written for EVERY gi mode
+        # (the filter chain runs on the composite SSR/BVH/cache trace),
+        # not just the probe path — size it off GI being enabled, or the
+        # ddgi/cache modes scan-carry a mismatched (1,1,3) (ADVICE r3)
+        if gi_cfg is not None:
             sh_, sw_ = -(-h // spec_div), -(-w // spec_div)
         else:
-            pr_h = pr_w = gh = gw = sh_ = sw_ = 1
+            sh_ = sw_ = 1
         return cls(
             valid=jnp.zeros((), jnp.float32),
             frame_count=jnp.zeros((), jnp.int32),

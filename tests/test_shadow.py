@@ -214,6 +214,102 @@ def test_temporal_shadow_mask_accumulates():
     assert d34 < d01, f"no convergence: {d34} !< {d01}"
 
 
+def _occluder_setup(res=256, casc=1):
+    """Straight-down sun, analytic occluder quad at y=5 over x,z in
+    [-5,0] splatted into every cascade (the test_shadow_occluder scheme)."""
+    cfg = ShadowConfig(cascade_count=casc, resolution=res,
+                       max_distance=40.0, light_size_world=0.5)
+    sun = np.array([0.0, 1.0, 0.0])
+    mats, _ = fit_cascades(np.array([0.0, 0.0, -1.0]), sun,
+                           np.radians(60.0), 1.0, cfg)
+    maps = np.zeros((casc, res, res), np.float32)
+    quad = np.array([[-5.0, 5.0, -5.0], [0.0, 5.0, -5.0],
+                     [0.0, 5.0, 0.0], [-5.0, 5.0, 0.0]])
+    for c in range(casc):
+        clip = (np.concatenate([quad, np.ones((4, 1))], 1)
+                @ mats[c].astype(np.float64))
+        uv = np.stack([(clip[:, 0] * 0.5 + 0.5) * res,
+                       (0.5 - clip[:, 1] * 0.5) * res], 1)
+        z = clip[:, 2].mean()
+        x0, x1 = int(uv[:, 0].min()), int(np.ceil(uv[:, 0].max()))
+        y0, y1 = int(uv[:, 1].min()), int(np.ceil(uv[:, 1].max()))
+        maps[c, max(y0, 0):y1, max(x0, 0):x1] = z
+    return cfg, sun, jnp.asarray(mats), jnp.asarray(maps)
+
+
+def _ground_grid(h, w, span):
+    xs = np.linspace(-span, span, w)
+    zs = np.linspace(-span, span, h)
+    pos = np.zeros((h, w, 3), np.float32)
+    pos[..., 0] = xs[None, :]
+    pos[..., 2] = zs[:, None]
+    nrm = np.zeros((h, w, 3), np.float32)
+    nrm[..., 1] = 1.0
+    return jnp.asarray(pos), jnp.asarray(nrm)
+
+
+def test_pcss_pallas_kernel_matches_gather_path():
+    """The Pallas tile kernel (ops/shadow_kernel.py) must be tap-exact
+    against evaluate_shadow when every tile selects one cascade at
+    level 0 (the common case), and geometrically consistent (same
+    shadowed set) when tiles decimate or span cascades."""
+    from chord_tpu.ops.shadow_kernel import evaluate_shadow_pallas
+
+    rng = np.random.default_rng(0)
+    # exact regime: single cascade, receiver extent fits level 0
+    cfg, sun, mats, maps = _occluder_setup(casc=1)
+    pos, nrm = _ground_grid(64, 96, 7.0)
+    noise = jnp.asarray(rng.uniform(0, 1, (64, 96)).astype(np.float32))
+    a = np.asarray(evaluate_shadow(pos, nrm, jnp.asarray(sun, jnp.float32),
+                                   maps, mats, cfg, noise=noise))
+    b = np.asarray(evaluate_shadow_pallas(
+        pos, nrm, jnp.asarray(sun, jnp.float32), maps, mats, cfg,
+        noise=noise, interpret=True))
+    assert (a < 0.5).mean() > 0.02, "test scene must cast shadow"
+    np.testing.assert_allclose(b, a, atol=1e-5)
+
+    # decimated regime (wide extent -> coarser pyramid level): the
+    # shadowed sets must agree except at penumbra boundaries
+    pos, nrm = _ground_grid(64, 96, 30.0)
+    noise = jnp.asarray(rng.uniform(0, 1, (64, 96)).astype(np.float32))
+    a = np.asarray(evaluate_shadow(pos, nrm, jnp.asarray(sun, jnp.float32),
+                                   maps, mats, cfg, noise=noise))
+    b = np.asarray(evaluate_shadow_pallas(
+        pos, nrm, jnp.asarray(sun, jnp.float32), maps, mats, cfg,
+        noise=noise, interpret=True))
+    assert np.abs(a - b).mean() < 0.01
+    assert abs((a < 0.5).mean() - (b < 0.5).mean()) < 0.01
+
+    # multi-cascade: per-tile cascade choice may differ from per-pixel
+    # (seam tiles take the containing coarser cascade) but the shadow
+    # set must match closely
+    cfg, sun, mats, maps = _occluder_setup(casc=4)
+    pos, nrm = _ground_grid(64, 96, 7.0)
+    a = np.asarray(evaluate_shadow(pos, nrm, jnp.asarray(sun, jnp.float32),
+                                   maps, mats, cfg))
+    b = np.asarray(evaluate_shadow_pallas(
+        pos, nrm, jnp.asarray(sun, jnp.float32), maps, mats, cfg,
+        interpret=True))
+    assert abs((a < 0.5).mean() - (b < 0.5).mean()) < 0.03
+    assert np.abs(a - b).mean() < 0.05
+
+
+def test_evaluate_shadow_auto_dispatch():
+    """eval_kernel=True routes through the Pallas kernel on CPU
+    (interpret mode) and preserves the evaluate_shadow contract."""
+    from chord_tpu.ops.shadow import evaluate_shadow_auto
+
+    cfg, sun, mats, maps = _occluder_setup(casc=1)
+    pos, nrm = _ground_grid(32, 64, 7.0)
+    a = np.asarray(evaluate_shadow_auto(
+        pos, nrm, jnp.asarray(sun, jnp.float32), maps, mats,
+        cfg._replace(eval_kernel=True)))
+    ref = np.asarray(evaluate_shadow(
+        pos, nrm, jnp.asarray(sun, jnp.float32), maps, mats, cfg))
+    np.testing.assert_allclose(a, ref, atol=1e-5)
+    assert (a < 0.2).any() and (a > 0.9).any()
+
+
 def test_interleaved_gradient_noise():
     from chord_tpu.ops.bluenoise import interleaved_gradient_noise
 
