@@ -343,6 +343,43 @@ def _orchestrate(args) -> int:
     if best is not None:
         if best["detail"].get("features") != "all":
             best["detail"]["degraded_from"] = "all"
+        # per-feature cost table from the ladder deltas (the bench-level
+        # analog of the reference's per-pass GPU timer table,
+        # renderer.cpp:277-280 — localizes a regression to a feature
+        # group straight from the artifact)
+        ms_of = {}
+        for k, v in rung_log.items():
+            if v.startswith("ok "):
+                ms_of[k] = float(v.split("ms")[0][3:])
+        cost = {}
+        for hi, lo, label in (("geo_tex", "off", "textures_masked_blend"),
+                              ("geo_shadow_atmo", "geo_tex",
+                               "shadows_atmosphere"),
+                              ("all", "geo_shadow_atmo",
+                               "gi_ssr_rt_trilinear")):
+            if hi in ms_of and lo in ms_of:
+                cost[label] = round(ms_of[hi] - ms_of[lo], 3)
+        if "off" in ms_of:
+            cost["geometry_post_floor"] = round(ms_of["off"], 3)
+        if cost:
+            best["detail"]["feature_cost_ms"] = cost
+        # 4K capture (BASELINE config #5 is "1080p AND 4K"): one extra
+        # all-features rung at 2160p output if the budget allows
+        left = args.budget_s - (time.time() - t_start)
+        if (complete and args.features == "all"
+                and best["detail"].get("features") == "all"
+                and left > 300 and args.width == 1920):
+            import copy
+            a4 = copy.copy(args)
+            a4.width, a4.height = 3840, 2160
+            rec4, note4 = _run_rung(a4, "all",
+                                    min(args.child_timeout, left - 60))
+            rung_log["all_4k"] = (f"ok {rec4['value']}ms" if rec4
+                                  else note4)
+            if rec4:
+                best["detail"]["ms_4k"] = rec4["value"]
+                best["detail"]["mtris_per_s_4k"] = \
+                    rec4["detail"].get("mtris_per_s")
         emit(best)
         return 0
     print(json.dumps({

@@ -25,8 +25,12 @@ TPU adaptation (no RT cores, gathers are expensive):
 - Specular GI: SH-based ambient specular (dominant-direction approx);
   mirror-trace SSR is a later stage.
 
-SH convention: L1 band, 4 coeffs per RGB channel (12 floats/probe) +
-a weight channel. Y = [0.2820948, 0.4886025*y, 0.4886025*z, 0.4886025*x].
+SH convention: SH3 (3 bands, 9 coeffs) per RGB channel — 27 floats/probe
++ a weight channel — matching the reference's world-probe radiance
+(shader/gi.h:21-29 SH3_gi, 9 float3 coeffs; the repo's world cache was
+L1-only until round 4, which lost the directionality the screen probes
+carry). Basis order/constants are ops/sh.py's (shared with the screen
+probes, so injection is a 1:1 coefficient copy).
 """
 
 from __future__ import annotations
@@ -74,11 +78,17 @@ class GIConfig(NamedTuple):
 
 SH0 = 0.2820948
 SH1 = 0.4886025
+NSH = 9            # SH3 coeffs per channel (reference shader/gi.h:21-29)
+NFL = NSH * 3      # SH floats per probe (rgb-major blocks of 9)
+ROW = NFL + 1      # + weight channel
+_ROW_PAD = 32 - ROW   # pad rows to 32 so row gathers stay on the
+                      # aligned fast path (minor dims pad to lanes)
 
 
 def sh_size(cfg: GIConfig) -> Tuple[int, ...]:
-    """Cache shape: (cascades, D^3, 13) = 12 SH coeffs (rgb x 4) + weight."""
-    return (cfg.cascades, cfg.probe_dim ** 3, 13)
+    """Cache shape: (cascades, D^3, 28) = 27 SH3 coeffs (rgb x 9) +
+    weight."""
+    return (cfg.cascades, cfg.probe_dim ** 3, ROW)
 
 
 def _probe_coords(pos_w: jnp.ndarray, cascade: int, cfg: GIConfig,
@@ -105,7 +115,7 @@ def _wrap_index(cell: jnp.ndarray, cfg: GIConfig) -> jnp.ndarray:
 
 
 def inject_surfels(
-    cache: jnp.ndarray,          # (C, D^3, 13)
+    cache: jnp.ndarray,          # (C, D^3, 28)
     pos_w: jnp.ndarray,          # (N,3) lit surface points (world/TW)
     radiance: jnp.ndarray,       # (N,3) outgoing radiance (AP1)
     normal: jnp.ndarray,         # (N,3)
@@ -120,13 +130,13 @@ def inject_surfels(
     (surfel - probe); we approximate it with the surfel normal's opposite
     (cheap, avoids per-corner direction math) which is exact for probes in
     front of the surface — the dominant visibility case."""
+    from . import sh as sh_ops
+
     out = cache
     d = -normal                   # direction radiance travels (into scene)
-    y = jnp.stack([jnp.full(d.shape[:-1], SH0),
-                   SH1 * d[..., 1], SH1 * d[..., 2], SH1 * d[..., 0]],
-                  axis=-1)                            # (N,4)
-    contrib = radiance[:, None, :] * y[:, :, None]    # (N,4,3)
-    flat = contrib.reshape(-1, 12)                    # rgb-major per coeff
+    y = sh_ops.sh_basis(d)                            # (N,9)
+    contrib = radiance[:, None, :] * y[:, :, None]    # (N,9,3)
+    flat = jnp.transpose(contrib, (0, 2, 1)).reshape(-1, NFL)  # rgb-major
     if only_cascade is not None and not isinstance(only_cascade, int):
         # traced cascade index: one scatter via lax.switch
         def branch(c):
@@ -146,15 +156,15 @@ def inject_surfels(
         w = ok.astype(jnp.float32)
         payload = jnp.concatenate(
             [jnp.where(ok[:, None], flat, 0.0), w[:, None]], axis=1)
-        upd = jnp.zeros((cfg.probe_dim ** 3 + 1, 13)).at[idx].add(
+        upd = jnp.zeros((cfg.probe_dim ** 3 + 1, ROW)).at[idx].add(
             payload, mode="drop")[:-1]
         # normalized mean of this frame's surfels, blended temporally
-        cnt = jnp.maximum(upd[:, 12:13], 1e-6)
-        mean = upd[:, :12] / cnt
-        has = (upd[:, 12:13] > 0.0).astype(jnp.float32)
+        cnt = jnp.maximum(upd[:, NFL:ROW], 1e-6)
+        mean = upd[:, :NFL] / cnt
+        has = (upd[:, NFL:ROW] > 0.0).astype(jnp.float32)
         a = cfg.temporal_alpha * has
-        new_sh = out[c, :, :12] * (1.0 - a) + mean * a
-        new_w = jnp.minimum(out[c, :, 12:13] + has, 64.0)
+        new_sh = out[c, :, :NFL] * (1.0 - a) + mean * a
+        new_w = jnp.minimum(out[c, :, NFL:ROW] + has, 64.0)
         out = out.at[c].set(jnp.concatenate([new_sh, new_w], axis=1))
     return out
 
@@ -163,8 +173,8 @@ def propagate(cache: jnp.ndarray, cfg: GIConfig) -> jnp.ndarray:
     """One Jacobi diffusion step: blend each probe toward the average of
     its 6 neighbors (the reference's SHPropagate world-cache pass)."""
     d = cfg.probe_dim
-    vol = cache[:, :, :12].reshape(cfg.cascades, d, d, d, 12)
-    wgt = cache[:, :, 12:].reshape(cfg.cascades, d, d, d, 1)
+    vol = cache[:, :, :NFL].reshape(cfg.cascades, d, d, d, NFL)
+    wgt = cache[:, :, NFL:].reshape(cfg.cascades, d, d, d, 1)
     acc = jnp.zeros_like(vol)
     wacc = jnp.zeros_like(wgt)
     for axis in (1, 2, 3):
@@ -178,37 +188,36 @@ def propagate(cache: jnp.ndarray, cfg: GIConfig) -> jnp.ndarray:
     blend = jnp.where(wgt > 0, 0.1, jnp.where(wacc > 0, 0.5, 0.0))
     vol = vol * (1 - blend) + neighbor_mean * blend
     new_w = jnp.maximum(wgt, jnp.where(wacc > 0, 0.5, 0.0))
-    return jnp.concatenate([vol.reshape(cfg.cascades, d ** 3, 12),
+    return jnp.concatenate([vol.reshape(cfg.cascades, d ** 3, NFL),
                             new_w.reshape(cfg.cascades, d ** 3, 1)], axis=2)
 
 
 def sample_irradiance(
-    cache: jnp.ndarray,          # (C, D^3, 13)
+    cache: jnp.ndarray,          # (C, D^3, 28)
     pos_w: jnp.ndarray,          # (...,3) surface points
     normal: jnp.ndarray,         # (...,3)
     cam_pos: jnp.ndarray,        # (3,)
     cfg: GIConfig,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (irradiance (...,3) AP1, confidence (...,)). Picks the finest
-    in-bounds cascade; trilinear over 8 probes; cosine-lobe SH eval."""
+    in-bounds cascade; trilinear over 8 probes; cosine-lobe SH3 eval."""
+    from . import sh as sh_ops
+
     n = normal
-    # cosine-convolved irradiance basis (A0=pi, A1=2pi/3 folded with Y)
-    basis = jnp.stack([jnp.full(n.shape[:-1], np.pi * SH0),
-                       (2 * np.pi / 3) * SH1 * n[..., 1],
-                       (2 * np.pi / 3) * SH1 * n[..., 2],
-                       (2 * np.pi / 3) * SH1 * n[..., 0]], axis=-1)  # (...,4)
+    # cosine-convolved irradiance basis: Y(n) * A_band (A2 = pi/4)
+    basis = sh_ops.sh_basis(n) * jnp.asarray(sh_ops.A_BAND)   # (...,9)
 
     irr = jnp.zeros(n.shape[:-1] + (3,))
     conf = jnp.zeros(n.shape[:-1])
     done = jnp.zeros(n.shape[:-1], bool)
-    # 16-wide rows: see sample_radiance
-    cache = jnp.pad(cache, ((0, 0), (0, 0), (0, 3)))
+    # 32-wide rows: see sample_radiance
+    cache = jnp.pad(cache, ((0, 0), (0, 0), (0, _ROW_PAD)))
     for c in range(cfg.cascades):
         g, inb = _probe_coords(pos_w, c, cfg, cam_pos)
         if cfg.trilinear:
             base = jnp.floor(g)      # probes sit at integer grid coords
             frac = g - base
-            acc = jnp.zeros(n.shape[:-1] + (12,))
+            acc = jnp.zeros(n.shape[:-1] + (NFL,))
             wacc = jnp.zeros(n.shape[:-1])
             for dx in (0, 1):
                 for dy in (0, 1):
@@ -216,26 +225,26 @@ def sample_irradiance(
                         cell = base.astype(jnp.int32) + \
                             jnp.asarray([dx, dy, dz], jnp.int32)
                         idx = _wrap_index(cell, cfg)
-                        probe = cache[c, idx]               # (...,13)
+                        probe = cache[c, idx]               # (...,32)
                         tw = (jnp.where(dx, frac[..., 0], 1 - frac[..., 0]) *
                               jnp.where(dy, frac[..., 1], 1 - frac[..., 1]) *
                               jnp.where(dz, frac[..., 2], 1 - frac[..., 2]))
-                        has = (probe[..., 12] > 0.5).astype(jnp.float32)
-                        acc = acc + probe[..., :12] * (tw * has)[..., None]
+                        has = (probe[..., NFL] > 0.5).astype(jnp.float32)
+                        acc = acc + probe[..., :NFL] * (tw * has)[..., None]
                         wacc = wacc + tw * has
         else:
             # nearest probe: one gather per cascade (the upsample blur
             # smooths the blockiness, like the reference's probe-res GI)
             cell = jnp.floor(g + 0.5).astype(jnp.int32)
             probe = cache[c, _wrap_index(cell, cfg)]
-            has = (probe[..., 12] > 0.5).astype(jnp.float32)
-            acc = probe[..., :12] * has[..., None]
+            has = (probe[..., NFL] > 0.5).astype(jnp.float32)
+            acc = probe[..., :NFL] * has[..., None]
             wacc = has
         sh = acc / jnp.maximum(wacc[..., None], 1e-6)
         e = jnp.stack([
-            jnp.sum(sh[..., 0:4] * basis, -1),
-            jnp.sum(sh[..., 4:8] * basis, -1),
-            jnp.sum(sh[..., 8:12] * basis, -1)], axis=-1)
+            jnp.sum(sh[..., 0:NSH] * basis, -1),
+            jnp.sum(sh[..., NSH:2 * NSH] * basis, -1),
+            jnp.sum(sh[..., 2 * NSH:NFL] * basis, -1)], axis=-1)
         use = inb & ~done & (wacc > 0.1)
         irr = jnp.where(use[..., None], jnp.maximum(e, 0.0), irr)
         conf = jnp.where(use, jnp.clip(wacc, 0.0, 1.0), conf)
@@ -244,34 +253,34 @@ def sample_irradiance(
 
 
 def sample_radiance(
-    cache: jnp.ndarray,          # (C, D^3, 13)
+    cache: jnp.ndarray,          # (C, D^3, 28)
     pos_w: jnp.ndarray,          # (...,3)
     direction: jnp.ndarray,      # (...,3) lookup direction (e.g. reflection)
     cam_pos: jnp.ndarray,
     cfg: GIConfig,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """-> (radiance (...,3), confidence). SH L1 radiance evaluated along a
-    direction — feeds ambient SPECULAR (the reference's specular GI trace
-    is replaced by this cache lookup on TPU)."""
+    """-> (radiance (...,3), confidence). SH3 radiance evaluated along a
+    direction — feeds ambient SPECULAR (the rough-lobe fallback under the
+    GGX-sampled SSR/BVH traces)."""
+    from . import sh as sh_ops
+
     d = direction
-    basis = jnp.stack([jnp.full(d.shape[:-1], SH0),
-                       SH1 * d[..., 1], SH1 * d[..., 2], SH1 * d[..., 0]],
-                      axis=-1)
+    basis = sh_ops.sh_basis(d)                                # (...,9)
     rad = jnp.zeros(d.shape[:-1] + (3,))
     conf = jnp.zeros(d.shape[:-1])
     done = jnp.zeros(d.shape[:-1], bool)
-    # 16-wide rows: (N,13) row gathers fall off the TPU fast path (minor
+    # 32-wide rows: (N,28) row gathers fall off the TPU fast path (minor
     # dims pad to 128 lanes); pad once, gather aligned rows
-    cache16 = jnp.pad(cache, ((0, 0), (0, 0), (0, 3)))
+    cache32 = jnp.pad(cache, ((0, 0), (0, 0), (0, _ROW_PAD)))
     for c in range(cfg.cascades):
         g, inb = _probe_coords(pos_w, c, cfg, cam_pos)
         cell = jnp.floor(g + 0.5).astype(jnp.int32)
-        probe = cache16[c, _wrap_index(cell, cfg)]
-        sh = probe[..., :12]
-        e = jnp.stack([jnp.sum(sh[..., 0:4] * basis, -1),
-                       jnp.sum(sh[..., 4:8] * basis, -1),
-                       jnp.sum(sh[..., 8:12] * basis, -1)], -1)
-        has = probe[..., 12] > 0.5
+        probe = cache32[c, _wrap_index(cell, cfg)]
+        sh = probe[..., :NFL]
+        e = jnp.stack([jnp.sum(sh[..., 0:NSH] * basis, -1),
+                       jnp.sum(sh[..., NSH:2 * NSH] * basis, -1),
+                       jnp.sum(sh[..., 2 * NSH:NFL] * basis, -1)], -1)
+        has = probe[..., NFL] > 0.5
         use = inb & ~done & has
         rad = jnp.where(use[..., None], jnp.maximum(e, 0.0) * np.pi, rad)
         conf = jnp.where(use, 1.0, conf)
@@ -319,7 +328,17 @@ def rtao(pos_tw: jnp.ndarray,     # (H,W,3)
     it sees occluders outside the screen. Ray directions are a fixed
     cosine-ish fan oriented per pixel (branchless tangent basis) with an
     IGN azimuth rotation per frame — TSR/temporal passes resolve the
-    sample rotation like they do the reference's blue-noise rays."""
+    sample rotation like they do the reference's blue-noise rays.
+
+    BVH granularity matters (ADVICE r3): proxy-sphere BVHs
+    (build_scene_bvh granularity="meshlet"/"object") bound flat
+    neighboring geometry with spheres that poke ABOVE the surface, so
+    short AO rays from a flat floor graze neighboring proxies at
+    near-zero t and read as occlusion. Rays starting INSIDE a proxy are
+    already skipped (trace discards t_entry<=1e-4), but grazing
+    neighbors are real sphere hits. Use granularity="triangle" for
+    rtao; proxy BVHs remain fine for GI radiance rays (which want
+    coarse any-geometry hits) and for scenes whose leaves ARE spheres."""
     from . import rt as rt_ops
     from .bluenoise import interleaved_gradient_noise
 
@@ -415,7 +434,7 @@ def update_cache(
         # propagate only the cascade injected this frame (diffusion of the
         # others advances on their turn — same steady state, 1/C the work)
         d3 = cfg.probe_dim ** 3
-        one = jax.lax.dynamic_slice(cache, (only, 0, 0), (1, d3, 13))
+        one = jax.lax.dynamic_slice(cache, (only, 0, 0), (1, d3, ROW))
         prop1 = propagate(one, cfg._replace(cascades=1))
         return jax.lax.dynamic_update_slice(cache, prop1, (only, 0, 0))
     return propagate(cache, cfg)

@@ -174,7 +174,7 @@ def trace_probes(
     tw_to_clip: jnp.ndarray,     # (4,4) current nojitter
     frame_count: jnp.ndarray,
     cfg: ScreenProbeConfig,
-    world_cache=None,            # optional (C,D^3,13) SH L1 cache
+    world_cache=None,            # optional (C,D^3,28) SH3 cache
     gi_cfg=None,                 # ops.gi.GIConfig for the cache
     sky_ambient: Optional[jnp.ndarray] = None,   # (3,) AP1 miss radiance
     traced_miss: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
@@ -348,15 +348,15 @@ def inject_world_cache(cache: jnp.ndarray, probe_sh: jnp.ndarray,
                        probes: ProbeState, gi_cfg,
                        frame_count=None) -> jnp.ndarray:
     """Feed converged screen probes into the world SH cache
-    (gi_world_probe_sh_inject.hlsl): the probe's L1 radiance (first 4 of
-    the 9 coeffs map 1:1 onto the cache's L1 layout, reordered) scattered
-    to the probe's world cell — replaces the round-1 surfel inject."""
+    (gi_world_probe_sh_inject.hlsl): the probe's FULL SH3 radiance —
+    the cache is SH3 since round 4 (reference shader/gi.h:21-29), so
+    all 9 coefficients copy 1:1 (same ops/sh.py basis order) and the
+    cache keeps the directionality the screen probes resolved."""
     from . import gi as gi_ops
 
     shc, n = sh.unpack(probe_sh)                        # (Ph,Pw,9,3), (Ph,Pw)
-    # cache L1 layout: [Y00, Y1y, Y1z, Y1x] per channel == sh basis 0..3
-    flat = shc[..., :4, :].reshape(-1, 4, 3)
-    flat = jnp.transpose(flat, (0, 2, 1)).reshape(-1, 12)   # rgb-major
+    flat = shc.reshape(-1, 9, 3)
+    flat = jnp.transpose(flat, (0, 2, 1)).reshape(-1, gi_ops.NFL)  # rgb-major
     pos = probes.pos_tw.reshape(-1, 3)
     ok = (probes.valid & (n > 8.0)).reshape(-1)
     out = cache
@@ -385,14 +385,15 @@ def _inject_cascade(cache, c, pos, flat, ok, gi_cfg):
     w = use.astype(jnp.float32)
     payload = jnp.concatenate(
         [jnp.where(use[:, None], flat, 0.0), w[:, None]], axis=1)
-    upd = jnp.zeros((gi_cfg.probe_dim ** 3 + 1, 13)).at[idx].add(
+    nfl, row = gi_ops.NFL, gi_ops.ROW
+    upd = jnp.zeros((gi_cfg.probe_dim ** 3 + 1, row)).at[idx].add(
         payload, mode="drop")[:-1]
-    cnt = jnp.maximum(upd[:, 12:13], 1e-6)
-    mean = upd[:, :12] / cnt
-    has = (upd[:, 12:13] > 0.0).astype(jnp.float32)
+    cnt = jnp.maximum(upd[:, nfl:row], 1e-6)
+    mean = upd[:, :nfl] / cnt
+    has = (upd[:, nfl:row] > 0.0).astype(jnp.float32)
     a = gi_cfg.temporal_alpha * 2.0 * has      # probes converge faster
-    new_sh = cache[c, :, :12] * (1.0 - a) + mean * a
-    new_w = jnp.minimum(cache[c, :, 12:13] + has, 64.0)
+    new_sh = cache[c, :, :nfl] * (1.0 - a) + mean * a
+    new_w = jnp.minimum(cache[c, :, nfl:row] + has, 64.0)
     return cache.at[c].set(jnp.concatenate([new_sh, new_w], axis=1))
 
 
@@ -581,6 +582,55 @@ def _edge_weight(pos_c, nrm_c, pos_s, nrm_s, sharp: float = 8.0):
     df = jnp.clip(1.0 - jnp.linalg.norm(pos_s - pos_c, axis=-1) / scale,
                   0.0, 1.0)
     return (nf * df) ** sharp
+
+
+def ggx_sample_normal(
+    nrm: jnp.ndarray,         # (...,3) shading normal
+    view: jnp.ndarray,        # (...,3) unit dir surface -> eye
+    rough: jnp.ndarray,       # (...)
+    u1: jnp.ndarray,          # (...) uniform [0,1)
+    u2: jnp.ndarray,          # (...) uniform [0,1)
+) -> jnp.ndarray:
+    """GGX-importance-sampled microfacet normal (half-vector) for the
+    specular trace (reference: the specular GI trace importance-samples
+    rays by material roughness, renderer/gi/screen_probe_gather.cpp:
+    164-179 + gi_specular_trace.hlsl — vs the repo's previous
+    mirror-only rays).
+
+    Samples the GGX NDF: theta_h = atan(a*sqrt(u1/(1-u1))), a = rough^2
+    (Walter07). Reflecting the view dir about the returned normal gives
+    one lobe sample per frame; the per-frame IGN rotation + the existing
+    temporal_specular accumulation integrate the lobe over time exactly
+    like the reference's stochastic trace + temporal chain. roughness=0
+    returns the shading normal (mirror) unchanged.
+
+    The returned vector doubles as a "virtual normal": passing it to
+    SSR (which reflects about whatever normal it is given) makes the
+    screen march GGX-aware with zero changes to the march itself."""
+    a = jnp.maximum(rough * rough, 1e-4)[..., None]
+    u1c = jnp.clip(u1, 0.0, 0.999)[..., None]
+    u2e = u2[..., None]
+    # tan^2(theta) = a^2 u / (1-u)
+    t2 = (a * a) * u1c / (1.0 - u1c)
+    cos_t = 1.0 / jnp.sqrt(1.0 + t2)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = (2.0 * np.pi) * u2e
+    # branchless orthonormal basis (Duff et al.)
+    s = jnp.where(nrm[..., 2:3] >= 0.0, 1.0, -1.0)
+    c_ = -1.0 / (s + nrm[..., 2:3])
+    b_ = nrm[..., 0:1] * nrm[..., 1:2] * c_
+    t1v = jnp.concatenate([1.0 + s * nrm[..., 0:1] ** 2 * c_, s * b_,
+                           -s * nrm[..., 0:1]], -1)
+    t2v = jnp.concatenate([b_, s + nrm[..., 1:2] ** 2 * c_,
+                           -nrm[..., 1:2]], -1)
+    h = (t1v * (jnp.cos(phi) * sin_t) + t2v * (jnp.sin(phi) * sin_t) +
+         nrm * cos_t)
+    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-8)
+    # keep the reflected ray above the surface: if reflect(view, h)
+    # dives below the shading plane, fall back to the shading normal
+    d = 2.0 * jnp.sum(view * h, -1, keepdims=True) * h - view
+    ok = jnp.sum(d * nrm, -1, keepdims=True) > 1e-3
+    return jnp.where(ok, h, nrm)
 
 
 def specular_firefly_clamp(

@@ -53,7 +53,12 @@ from .shadow import _POISSON, ShadowConfig
 
 TH = 32            # tile edge (eval-res pixels); 32*32 = one (8,128) block
 WIN_H = 128        # window rows (v, level texels)
-WIN_W = 256        # window cols (u, level texels)
+WIN_W = 384        # window cols (u, level texels)
+# DMA origins must stay (8,128)-tile-aligned, so only part of the window
+# is GUARANTEED coverage (origin may sit up to one alignment quantum
+# below the requested start):
+COV_H = WIN_H - 8
+COV_W = WIN_W - 128
 N_LEVELS = 4       # strides 1, 2, 4, 8
 _PCF_RMAX = 16.0   # matches evaluate_shadow's jnp.clip(pcf_r, 1, 16)
 
@@ -130,8 +135,10 @@ def _pcss_kernel(tab_ref, u_ref, v_ref, zc_ref, zr_ref, ca_ref, sa_ref,
     t = pl.program_id(0)
     casc = tab_ref[t, 0]
     li = tab_ref[t, 1]
-    oy = tab_ref[t, 2]
-    ox = tab_ref[t, 3]
+    # origins are (8,128)-aligned by the prepass; tell Mosaic so the
+    # window DMA slice provably starts on a tile boundary
+    oy = pl.multiple_of(tab_ref[t, 2], 8)
+    ox = pl.multiple_of(tab_ref[t, 3], 128)
 
     # --- stage the cascade window (one predicated DMA per level) ---
     for l_s, lref in enumerate((l0_ref, l1_ref, l2_ref, l3_ref)):
@@ -167,8 +174,10 @@ def _pcss_kernel(tab_ref, u_ref, v_ref, zc_ref, zr_ref, ca_ref, sa_ref,
     ca = ca_ref[...]
     sa = sa_ref[...]
 
-    lane_h = jax.lax.broadcasted_iota(jnp.float32, (128, WIN_H), 1)
-    lane_w = jax.lax.broadcasted_iota(jnp.float32, (128, WIN_W), 1)
+    lane_h = jax.lax.broadcasted_iota(
+        jnp.int32, (128, WIN_H), 1).astype(jnp.float32)
+    lane_w = jax.lax.broadcasted_iota(
+        jnp.int32, (128, WIN_W), 1).astype(jnp.float32)
 
     def tap(du, dv):
         """Sample the window at full-res texel (u+du, v+dv) for every
@@ -315,26 +324,28 @@ def evaluate_shadow_pallas(
     lvl = jnp.full((nt,), N_LEVELS - 1, jnp.int32)
     for l_s in reversed(range(N_LEVELS - 1)):
         s = float(1 << l_s)
-        fits = ((umax - umin + 2 * mg) <= (WIN_W - 2) * s) & \
-               ((vmax - vmin + 2 * mg) <= (WIN_H - 2) * s)
+        fits = ((umax - umin + 2 * mg) <= (COV_W - 2) * s) & \
+               ((vmax - vmin + 2 * mg) <= (COV_H - 2) * s)
         lvl = jnp.where(fits, l_s, lvl)
 
-    # window origin in level texels, clamped inside the level
+    # window origin in level texels, (8,128)-aligned (DMA slices of a
+    # tiled HBM memref must start on tile boundaries), clamped inside
     s_f = jnp.exp2(lvl.astype(jnp.float32))
-    lw_v = jnp.zeros((nt,), jnp.int32)   # level width (incl. l3 pad)
+    lw_v = jnp.zeros((nt,), jnp.int32)   # padded level extents
     lh_v = jnp.zeros((nt,), jnp.int32)
     for l_s in range(N_LEVELS):
-        # levels are edge-padded to at least the window size
         lw_v = jnp.where(lvl == l_s, max(r >> l_s, WIN_W), lw_v)
         lh_v = jnp.where(lvl == l_s, max(r >> l_s, WIN_H), lh_v)
-    ox = jnp.clip((0.5 * (umin + umax) / s_f).astype(jnp.int32) -
-                  WIN_W // 2, 0, lw_v - WIN_W)
-    oy = jnp.clip((0.5 * (vmin + vmax) / s_f).astype(jnp.int32) -
-                  WIN_H // 2, 0, lh_v - WIN_H)
+    ox = ((jnp.floor((umin - mg) / s_f).astype(jnp.int32) // 128) * 128)
+    oy = ((jnp.floor((vmin - mg) / s_f).astype(jnp.int32) // 8) * 8)
+    ox = jnp.clip(ox, 0, lw_v - WIN_W)
+    oy = jnp.clip(oy, 0, lh_v - WIN_H)
     tab = jnp.stack([tile_c, lvl, oy, ox], 1).astype(jnp.int32)  # (nT,4)
 
-    fp = jnp.zeros((nt, 128), jnp.float32)
-    fp = fp.at[:, 0].set(k_pen_t)
+    # per-tile f32 params as an (8,128) block per tile (Mosaic requires
+    # sublane-divisible blocks): row 0 lane 0 = k_pen
+    fp = jnp.zeros((nt * 8, 128), jnp.float32)
+    fp = fp.at[::8, 0].set(k_pen_t)
 
     if noise is not None:
         theta = noise * (2.0 * np.pi)
@@ -353,8 +364,8 @@ def evaluate_shadow_pallas(
         in_specs=[
             *[pl.BlockSpec((8, 128), lambda i, tab: (i, 0))
               for _ in range(6)],
-            pl.BlockSpec((1, 128), lambda i, tab: (i, 0)),  # fp
-            *[pl.BlockSpec(memory_space=pltpu.ANY)
+            pl.BlockSpec((8, 128), lambda i, tab: (i, 0)),  # fp
+            *[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
               for _ in range(N_LEVELS)],                    # pyramid
         ],
         out_specs=pl.BlockSpec((8, 128), lambda i, tab: (i, 0)),

@@ -130,6 +130,15 @@ class MeshletFrameConfig(NamedTuple):
     # probe rays + specular misses see OFFSCREEN geometry
     gi_rt: bool = False
     rt_rays: int = 4               # probe rays BVH-traced per frame
+    rt_dynamic: bool = False       # rebuild the scene BVH EVERY frame
+                                   # from the live instance transforms
+                                   # (the reference rebuilds its TLAS per
+                                   # frame on an async compute queue,
+                                   # renderer/renderer.cpp:292-304).
+                                   # Leaf/node counts stay constant for a
+                                   # fixed scene topology, so the jitted
+                                   # frame never retraces — only the BVH
+                                   # arrays' values change.
     rt_granularity: str = "meshlet"   # BVH leaf fidelity: "object" |
                                    # "meshlet" (proxy spheres, fast) |
                                    # "triangle" (exact geometry at the
@@ -324,7 +333,17 @@ def render_frame_meshlet(
     axis_name: Optional[str] = None,
     bvh=None,                       # ops.rt.SceneBVH for gi_rt/ssr misses
 ) -> Tuple[jnp.ndarray, FrameHistory, dict]:
-    """The GPU-driven frame (BASELINE configs #2/#3 + full post chain)."""
+    """The GPU-driven frame (BASELINE configs #2/#3 + full post chain).
+
+    Pipelined-shadow contract (ADVICE r3): when shadow_pipelined(...) is
+    True the frame computes NO shadows itself — it exports the eval
+    inputs via stats["shadow_split"] and consumes history.shadow_mask
+    as-is. A caller that invokes this function directly MUST resolve
+    the split by running shadow_service_step on those stats and folding
+    its outputs into history (MeshletRenderer._resolve_split /
+    render_sequence_split do this); otherwise every frame renders with
+    the initial all-lit mask. Use the runner classes unless you are
+    building one."""
     rc = config.raster_config()
     rc_a = rc._replace(with_attrs=True)
     # capacity never needs to exceed the scene's total pair count (static)
@@ -569,7 +588,6 @@ def render_frame_meshlet(
     new_shadow_mask = history.shadow_mask
     new_shadow_maps = history.shadow_maps
     new_shadow_mats = history.shadow_mats
-    new_shadow_eval = history.shadow_eval
     if mcfg.shadows:
         pipe = shadow_pipelined(mcfg.shadow_cfg)
         if not pipe:
@@ -621,7 +639,7 @@ def render_frame_meshlet(
             # the eval INPUTS via stats; the host wrapper runs cascade
             # fit + raster + PCSS eval as their own dispatch
             # (shadow_service_step) whose outputs re-enter through
-            # history.{shadow_maps,shadow_mats,shadow_eval}; the mask
+            # history.{shadow_maps,shadow_mats}; the mask
             # below consumes the eval one frame late at the phase it was
             # computed for.
             if pipe:
@@ -817,8 +835,20 @@ def render_frame_meshlet(
             nrm_q = gbuf.normal[::k, ::k]
             v_q = -pos_q / jnp.maximum(
                 jnp.linalg.norm(pos_q, axis=-1, keepdims=True), 1e-6)
-            refl_q = 2.0 * jnp.sum(v_q * nrm_q, -1, keepdims=True) * \
-                nrm_q - v_q
+            # roughness-aware trace direction: GGX-importance-sample the
+            # microfacet normal per frame (IGN random pair) and reflect
+            # about it — glossy lobes get real traced energy instead of
+            # only the SH-ambient fallback (reference
+            # screen_probe_gather.cpp:164-179, gi_specular_trace.hlsl);
+            # temporal_specular below integrates the lobe over frames
+            rough_q = gbuf.roughness[::k, ::k]
+            from ..ops.bluenoise import interleaved_gradient_noise as _ign
+            hq_, wq_ = rough_q.shape
+            u1 = _ign(hq_, wq_, history.frame_count)
+            u2 = _ign(hq_, wq_, history.frame_count + 31)
+            h_ggx = sp.ggx_sample_normal(nrm_q, v_q, rough_q, u1, u2)
+            refl_q = 2.0 * jnp.sum(v_q * h_ggx, -1, keepdims=True) * \
+                h_ggx - v_q
             spec_rad_q, spec_conf_q = gi_ops.sample_radiance(
                 history.gi_cache, pos_q, refl_q, cam_anchor, gcfg)
             spec_rad_q = spec_rad_q * spec_conf_q[..., None]
@@ -828,8 +858,10 @@ def render_frame_meshlet(
                 from ..ops import ssr as ssr_ops
 
                 depth_q = depth[::k, ::k]
+                # h_ggx as the march's "virtual normal" -> the screen
+                # trace follows the same GGX-sampled direction as the ray
                 ssr_col, ssr_conf = ssr_ops.trace(
-                    depth_q, history.tsr_color, pos_q, nrm_q,
+                    depth_q, history.tsr_color, pos_q, h_ggx,
                     view.tw_to_clip_nj, ssr_ops.SSRConfig(res_div=k))
                 ssr_conf = ssr_conf * history.valid
                 spec_rad_q = (spec_rad_q * (1 - ssr_conf[..., None]) +
@@ -853,7 +885,6 @@ def render_frame_meshlet(
             # firefly clamp, roughness-scaled edge-aware blur, and a
             # motion-reprojected history blend on the composite — without
             # these the SSR/BVH-ray mirror noise sparkles under TSR.
-            rough_q = gbuf.roughness[::k, ::k]
             with jax.named_scope("gi.specular.filter"):
                 spec_rad_q = sp.specular_firefly_clamp(
                     spec_rad_q, pos_q, nrm_q, rough_q)
@@ -1009,7 +1040,6 @@ def render_frame_meshlet(
         shadow_mask=new_shadow_mask,
         shadow_maps=new_shadow_maps,
         shadow_mats=new_shadow_mats,
-        shadow_eval=new_shadow_eval,
         probe_sh=new_probe_sh,
         probe_depth=new_probe_depth,
         gi_diffuse=new_gi_diffuse,
@@ -1021,16 +1051,22 @@ def render_frame_meshlet(
 
 
 def shadow_pipelined(scfg: shadow_ops.ShadowConfig) -> bool:
-    """Resolve ShadowConfig.pipelined (None = auto: any non-CPU backend).
+    """Resolve ShadowConfig.pipelined (None = auto).
 
-    Round-3 postmortem: the auto-detect used to test `== "axon"`, but the
-    tunneled device reports `jax.default_backend() == "tpu"` (the axon
-    platform registers as a tpu backend), so the bench ran the inline
-    (worker-faulting) path. Default to the split dispatch on every real
-    accelerator; CPU (tests/oracles) keeps the single-program frame."""
+    History: the r2/r3 TPU worker faults were XLA fusions of the PCSS
+    eval's gather chain; the split dispatch quarantined them at the cost
+    of one-frame-late shadows + an extra dispatch per frame. With the
+    eval now a Pallas kernel (ops/shadow_kernel.py, nothing to mis-fuse
+    — device-verified: the inline all-features 8-frame scan runs clean
+    at 110.8 ms/frame vs 121.9 pipelined), the auto default is INLINE.
+    The split only auto-engages when someone forces the gather eval
+    (eval_kernel=False) on an accelerator."""
     pipe = scfg.pipelined
     if pipe is None:
-        pipe = jax.default_backend() != "cpu"
+        ek = scfg.eval_kernel
+        if ek is None:
+            ek = jax.default_backend() != "cpu"
+        pipe = (not ek) and jax.default_backend() != "cpu"
     return bool(pipe)
 
 
@@ -1105,7 +1141,7 @@ def shadow_service_step(pools, instances, view, history, sp, *,
     program. Runs after the frame that exported `sp` (the stats
     "shadow_split" dict: pos_e/nrm_e/pos_q/valid_q/disocc_q/fc); its
     outputs re-enter the NEXT frame through history.{shadow_maps,
-    shadow_mats, shadow_eval, shadow_mask} — the frame consumes the
+    shadow_mats, shadow_mask} — the frame consumes the
     READY eval-res mask and keeps zero shadow compute beyond the final
     upsample.
 
@@ -1203,7 +1239,7 @@ def render_sequence_split(
             maps, mats, q, mask = svc_fn(pools, instances, view, history,
                                          sp)
             history = history.replace(shadow_maps=maps, shadow_mats=mats,
-                                      shadow_eval=q, shadow_mask=mask)
+                                      shadow_mask=mask)
         images.append(image)
     return jnp.stack(images), history
 
@@ -1251,7 +1287,6 @@ class MeshletRenderer:
                                            self.history, sp)
         self.history = self.history.replace(shadow_maps=maps,
                                             shadow_mats=mats,
-                                            shadow_eval=q,
                                             shadow_mask=mask)
 
     def reset_history(self) -> None:
@@ -1338,9 +1373,11 @@ class MeshletRenderer:
             view = view.replace(brdf_lut=self._brdf_lut())
         if self.mcfg.gi and (self.mcfg.gi_rt or
                              self.mcfg.gi_mode == "ddgi") and \
-                self._bvh is None:
-            # host-side BVH build over the static scene (the reference's
-            # TLAS build; rebuild here if instances move)
+                (self._bvh is None or self.mcfg.rt_dynamic):
+            # host-side BVH build over the scene (the reference's TLAS
+            # build); rt_dynamic refreshes it every frame so GI/RTAO/
+            # specular rays follow moving instances (renderer.cpp:292-304
+            # async per-frame TLAS rebuild)
             from ..ops.rt import build_scene_bvh
             self._bvh = build_scene_bvh(
                 pools, instances, granularity=self.mcfg.rt_granularity)

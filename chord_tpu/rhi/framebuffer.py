@@ -85,13 +85,6 @@ class FrameHistory:
     # each map's OWN fit matrix rides along so stale cascades stay valid
     shadow_maps: jnp.ndarray     # (N,R,R) f32 reverse-Z (or (1,1,1) off)
     shadow_mats: jnp.ndarray     # (N,4,4) f32 tw->light of each cached map
-    # raw phase-res PCSS eval result, consumed one frame LATE when the
-    # shadow path is pipelined (ShadowConfig.pipelined): the axon TPU
-    # worker faults when evaluate_shadow's output fuses into any
-    # consumer in the same program, so the eval leaves the frame as a
-    # root output and re-enters as a parameter — both device-verified
-    # safe configurations (tools/repro_eval_kernel.py tm_hist).
-    shadow_eval: jnp.ndarray     # (He/ph,We/ph) f32 (1 = lit), (1,1) off
     # Screen-probe GI state (reference: GIContext — screen probe SH
     # buffer, probe spawn info, half-res diffuse history): (1,1,*) when
     # the screen-probe stage is off.
@@ -115,7 +108,9 @@ class FrameHistory:
               gi_cfg=None, shadow_div: int = 2,
               shadow_cascades: int = 0,
               shadow_res: int = 1,
-              shadow_phase: int = 1,
+              shadow_phase: int = 1,    # unused (kept so older callers
+                                        # keep working; the raw phase-res
+                                        # eval no longer rides in history)
               probe_tile: int = 0,
               ddgi_cfg=None) -> "FrameHistory":
         from ..ops.hzb import hzb_layout
@@ -154,12 +149,6 @@ class FrameHistory:
                                    shadow_res, shadow_res), jnp.float32),
             shadow_mats=jnp.zeros((max(shadow_cascades, 1), 4, 4),
                                   jnp.float32),
-            shadow_eval=(jnp.ones((ceil_div(ceil_div(h, shadow_div),
-                                            shadow_phase),
-                                   ceil_div(ceil_div(w, shadow_div),
-                                            shadow_phase)), jnp.float32)
-                         if shadow_cascades else
-                         jnp.ones((1, 1), jnp.float32)),
             probe_sh=jnp.zeros((pr_h, pr_w, 28), jnp.float32),
             probe_depth=jnp.zeros((pr_h, pr_w), jnp.float32),
             gi_diffuse=jnp.zeros((gh, gw, 3), jnp.float32),

@@ -297,3 +297,44 @@ def test_specular_temporal_reduces_flicker():
     raw_delta = 0.1 * np.sqrt(2)   # independent noise frame-to-frame
     acc_delta = np.abs(outs[-1] - outs[-2]).mean()
     assert acc_delta < raw_delta * 0.55, acc_delta
+
+
+def test_ggx_sample_normal_statistics():
+    """GGX importance sampling (reference gi_specular_trace.hlsl):
+    roughness 0 returns the shading normal exactly; the half-vector
+    spread must grow monotonically with roughness; every reflected
+    direction stays above the surface."""
+    import jax.numpy as jnp
+
+    from chord_tpu.ops.screen_probe import ggx_sample_normal
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    nrm = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (n, 3))
+    view = jnp.broadcast_to(
+        jnp.asarray([0.6, 0.8, 0.0]) / np.linalg.norm([0.6, 0.8, 0.0]),
+        (n, 3))
+    u1 = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    u2 = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+
+    h0 = np.asarray(ggx_sample_normal(nrm, view,
+                                      jnp.zeros(n), u1, u2))
+    # the 1e-4 alpha floor allows ~sqrt(1e-8*u/(1-u)) ~ 3e-3 deviation
+    np.testing.assert_allclose(h0, np.asarray(nrm), atol=5e-3)
+
+    spreads = []
+    for rough in (0.1, 0.3, 0.6):
+        h = np.asarray(ggx_sample_normal(
+            nrm, view, jnp.full((n,), rough), u1, u2))
+        # unit vectors
+        np.testing.assert_allclose(np.linalg.norm(h, axis=1), 1.0,
+                                   atol=1e-4)
+        cos_t = h[:, 1]
+        spreads.append(1.0 - cos_t.mean())
+        # reflected rays above the surface (the sampler's fallback rule)
+        v = np.asarray(view)
+        d = 2.0 * np.sum(v * h, 1, keepdims=True) * h - v
+        assert (d[:, 1] > 0.0).all()
+    assert spreads[0] < spreads[1] < spreads[2], spreads
+    # mid roughness really is a cone, not a delta and not a hemisphere
+    assert 0.005 < spreads[1] < 0.4, spreads

@@ -53,3 +53,70 @@ def test_strips_match_single_chip():
     for k in range(n_dev):
         strip = img_n[k * h // n_dev:(k + 1) * h // n_dev]
         assert strip.std() > 1.0, f"strip {k} empty"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs virtual devices")
+@pytest.mark.slow
+def test_sharded_full_feature_frame():
+    """The FULL feature set (textures + masked + blend + shadows + atmo +
+    probe GI + BVH rays + SSR + bloom/TSR) through shard_map on 4 strips
+    — the dryrun's coverage as a repeatable test (VERDICT r3 weak #7),
+    with output checks instead of just 'it ran'."""
+    from chord_tpu.asset.procedural import build_bistro_like
+    from chord_tpu.ops import atmosphere as atm
+    from chord_tpu.ops import brdf_lut as brdf
+    from chord_tpu.ops.rt import build_scene_bvh
+    from chord_tpu.ops.screen_probe import ScreenProbeConfig
+    from chord_tpu.ops.shadow import ShadowConfig
+
+    import jax.numpy as jnp
+
+    n_dev = 4
+    b = build_bistro_like(detail=1, target_tris=12_000, textures=True)
+    pools = build_meshlet_pools(b, texture_pool=getattr(b, "texture_pool",
+                                                        None))
+    h, w = 16 * n_dev, 128
+    cam = Camera(width=w, height=h)
+    cam.position = np.array([-20.0, 5.0, 4.0])
+    cam.look_at(np.array([25.0, 3.0, -4.0]))
+    inst = b.frame_instances(cam)
+
+    scfg = ShadowConfig(cascade_count=2, resolution=64, temporal=False,
+                        jitter=False)
+    mcfg = MeshletFrameConfig(
+        draw_capacity=128, occlusion=True, shadows=True, shadow_cfg=scfg,
+        atmosphere=True, gi=True, gi_mode="probe", gi_rt=True, rt_rays=2,
+        ssr=True, textured=True, alpha_masked=True, alpha_blend=True,
+        probe_cfg=ScreenProbeConfig(rays=16, steps=4))
+    config = RendererConfig(width=w, height=h, pair_capacity=2048,
+                            big_capacity=128, enable_bloom=True,
+                            enable_tsr=True, tsr_mode="global",
+                            interpret=True)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), (AXIS,))
+    r = ShardedRenderer(config, mesh, path="meshlet", mcfg=mcfg)
+    bvh = build_scene_bvh(pools, inst, granularity="object")
+
+    p_atm = atm.AtmosphereParams()
+    t_lut = atm.build_transmittance_lut(p_atm, 16)
+    ms_lut = atm.build_multiscatter_lut(p_atm, t_lut, dir_samples=4,
+                                        steps=4)
+    sun_d = np.asarray([0.3, 0.8, 0.5], np.float32)
+    sun_d /= np.linalg.norm(sun_d)
+    sky_lut = atm.build_sky_view_lut(p_atm, t_lut, ms_lut,
+                                     jnp.asarray(sun_d))
+    luts = dict(atmo_t_lut=t_lut, atmo_ms_lut=ms_lut,
+                atmo_sky_lut=sky_lut,
+                brdf_lut=brdf.build_env_brdf_lut(16))
+
+    img = None
+    for i in range(2):   # two frames: temporal state crosses shard_map
+        img, stats = r.render(pools, inst, cam.view_uniform(i), bvh=bvh,
+                              luts=luts, shadow_cfg=scfg)
+    img = np.asarray(img)
+    assert img.shape == (h, w, 3)
+    assert np.isfinite(img.astype(np.float64)).all()
+    assert img.std() > 8.0, "full-feature sharded frame is blank"
+    assert int(np.asarray(stats["bin_overflow"])) == 0
+    for k in range(n_dev):
+        strip = img[k * h // n_dev:(k + 1) * h // n_dev]
+        assert strip.std() > 1.0, f"strip {k} empty"

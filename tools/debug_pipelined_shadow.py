@@ -44,7 +44,7 @@ def main():
         m_d = np.asarray(r_dir.history.shadow_mask)
         m_p = np.asarray(r_pipe.history.shadow_mask)
         q_d = None
-        q_p = np.asarray(r_pipe.history.shadow_eval)
+        q_p = np.asarray(r_pipe.history.shadow_mask)
         print(f"frame {i}: mask|d|={np.abs(m_p - m_d).mean():.4f} "
               f"mask_dir[mean={m_d.mean():.3f}] mask_pipe[mean={m_p.mean():.3f}] "
               f"q_pipe[mean={q_p.mean():.3f} min={q_p.min():.3f}]",

@@ -44,7 +44,7 @@ def main():
                     choices=["both", "frame_only", "service_only"],
                     help="both = frame + shadow service dispatches; "
                     "frame_only = frame program only (service skipped, "
-                    "history.shadow_eval stays at its initial value); "
+                    "the split mask stays at its initial value); "
                     "service_only = ONE warmup frame to get real eval "
                     "inputs, then loop the shadow-service dispatch alone")
     args = ap.parse_args()
@@ -105,7 +105,7 @@ def main():
                 maps, mats, q, mask = svc_fn(pools, inst, view, history,
                                              sp_i)
                 history = history.replace(shadow_maps=maps,
-                                          shadow_mats=mats, shadow_eval=q,
+                                          shadow_mats=mats,
                                           shadow_mask=mask)
                 if args.sync in ("frame", "eval"):
                     _ = jax.device_get(q[:1, :1])
@@ -135,7 +135,7 @@ def main():
                 maps, mats, q, mask = svc_fn(pools, inst, view, history,
                                              sp)
                 history = history.replace(shadow_maps=maps,
-                                          shadow_mats=mats, shadow_eval=q,
+                                          shadow_mats=mats,
                                           shadow_mask=mask)
                 if args.sync in ("frame", "eval"):
                     _ = jax.device_get(q[:1, :1])
