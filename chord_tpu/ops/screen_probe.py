@@ -52,6 +52,10 @@ class ScreenProbeConfig(NamedTuple):
     max_samples: float = 64.0    # SH numSample cap (gi.h kGIMaxSampleCount)
     temporal_depth_tol: float = 0.06   # probe reprojection depth gate
     history_alpha: float = 0.9   # per-pixel half-res history weight
+    history_mode: str = "global"   # "global" = mean-motion roll
+                                   # reprojection (zero gathers; see
+                                   # history_reproject_half) | "gather"
+                                   # = exact per-pixel resample
     sky_leak: float = 0.25       # r.gi.skylightleaking default 0.25
     filter_taps: int = 2         # spatial filter radius (half-res pixels)
     intensity: float = 1.0
@@ -449,16 +453,48 @@ def history_reproject_half(
     """Per-pixel temporal accumulation at half res
     (gi_history_reprojection.hlsl): motion-reprojected history blended
     with a 3x3 neighborhood clamp (suppresses ghosting on disocclusion,
-    same rectify idea as TSR)."""
+    same rectify idea as TSR).
+
+    cfg.history_mode "global" (default) reprojects by the MEAN screen
+    motion via static rolls — zero gathers, the same compromise as
+    tsr_mode="global" (ops/post.py temporal_resolve_global): camera
+    motion is screen-coherent, and pixels whose own motion deviates get
+    a residual-raised fresh weight so they re-converge instead of
+    ghosting. Indirect diffuse is low-frequency + spatially filtered
+    right after, which hides the residual error far better than on the
+    final color. "gather" keeps the exact per-pixel resample — this was
+    the largest GI gather left in the frame (half res = 4x9 the probe
+    passes' element count)."""
     hh, wh = diffuse.shape[:2]
-    xs = jnp.arange(wh, dtype=jnp.float32)[None, :] + 0.5
-    ys = jnp.arange(hh, dtype=jnp.float32)[:, None] + 0.5
-    px = xs - motion_half[..., 0] * wh * 0.5
-    py = ys + motion_half[..., 1] * hh * 0.5
-    on = (px >= 0) & (px < wh) & (py >= 0) & (py < hh)
-    xi = jnp.clip(px.astype(jnp.int32), 0, wh - 1)
-    yi = jnp.clip(py.astype(jnp.int32), 0, hh - 1)
-    hist = prev_diffuse[yi, xi]
+    if cfg.history_mode == "global":
+        mx = jnp.mean(motion_half[..., 0]) * (wh * 0.5)
+        my = -jnp.mean(motion_half[..., 1]) * (hh * 0.5)
+        ix = jnp.floor(mx).astype(jnp.int32)
+        iy = jnp.floor(my).astype(jnp.int32)
+        fx = mx - ix.astype(jnp.float32)
+        fy = my - iy.astype(jnp.float32)
+
+        def sh(dy, dx):
+            return jnp.roll(jnp.roll(prev_diffuse, dy, 0), dx, 1)
+
+        hist = (sh(-iy, -ix) * (1 - fx) * (1 - fy) +
+                sh(-iy, -ix - 1) * fx * (1 - fy) +
+                sh(-iy - 1, -ix) * (1 - fx) * fy +
+                sh(-iy - 1, -ix - 1) * fx * fy)
+        rx = motion_half[..., 0] * (wh * 0.5) - mx
+        ry = -motion_half[..., 1] * (hh * 0.5) - my
+        resid = jnp.sqrt(rx * rx + ry * ry)
+        on = jnp.clip(1.0 - resid * 0.25, 0.0, 1.0)
+    else:
+        xs = jnp.arange(wh, dtype=jnp.float32)[None, :] + 0.5
+        ys = jnp.arange(hh, dtype=jnp.float32)[:, None] + 0.5
+        px = xs - motion_half[..., 0] * wh * 0.5
+        py = ys + motion_half[..., 1] * hh * 0.5
+        on = ((px >= 0) & (px < wh) & (py >= 0) &
+              (py < hh)).astype(jnp.float32)
+        xi = jnp.clip(px.astype(jnp.int32), 0, wh - 1)
+        yi = jnp.clip(py.astype(jnp.int32), 0, hh - 1)
+        hist = prev_diffuse[yi, xi]
 
     lo = diffuse
     hi = diffuse
@@ -469,7 +505,7 @@ def history_reproject_half(
     pad = (hi - lo) * 0.5 + 1e-3
     hist = jnp.clip(hist, lo - pad, hi + pad)
 
-    a = cfg.history_alpha * history_valid * on.astype(jnp.float32)
+    a = cfg.history_alpha * history_valid * on
     if disocclusion is not None:
         a = a * (1.0 - disocclusion)
     return diffuse + (hist - diffuse) * a[..., None]

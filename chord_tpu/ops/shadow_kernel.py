@@ -74,9 +74,13 @@ def build_levels(shadow_maps: jnp.ndarray):
     edge-padded to >= WIN_W cols so a (WIN_H, WIN_W) DMA window always
     exists. Nearest decimation keeps exact depth values (no filtering
     across occluder edges)."""
+    n_c, r, _ = shadow_maps.shape
     lvls = []
     for s in (1, 2, 4, 8):
-        lv = shadow_maps[:, ::s, ::s]
+        # reshape+unit-index decimation (a [::s] strided slice lowers to
+        # an index-array gather on the axon TPU — measured 2-4x slower)
+        lv = (shadow_maps if s == 1 else
+              shadow_maps.reshape(n_c, r // s, s, r // s, s)[:, :, 0, :, 0])
         if lv.shape[2] < WIN_W:
             lv = jnp.pad(lv, ((0, 0), (0, 0), (0, WIN_W - lv.shape[2])),
                          mode="edge")

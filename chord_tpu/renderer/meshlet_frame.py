@@ -532,8 +532,9 @@ def render_frame_meshlet(
         # are ~100 ns/elem on this device — 2M full-res gathers would
         # cost more than every temporal pass it protects combined
         dq = post.disocclusion_mask(
-            gbuf.position_tw[::4, ::4], gbuf.valid[::4, ::4],
-            history.depth[::4, ::4], view.prev_tw_to_clip_nj,
+            post.decimate(gbuf.position_tw, 4),
+            post.decimate(gbuf.valid, 4),
+            post.decimate(history.depth, 4), view.prev_tw_to_clip_nj,
             history.valid)
         disocc = post.upsample_nearest(dq, 4, h, w)
 
@@ -567,7 +568,7 @@ def render_frame_meshlet(
             # gathers are the cost) + bilinear resize; the sun disk stays
             # full-res (analytic, gather-free)
             import jax.image as jimage
-            sky_q = atm.sample_sky(sky_lut, dirs[::4, ::4])
+            sky_q = atm.sample_sky(sky_lut, post.decimate(dirs, 4))
             sky_base = jimage.resize(sky_q, (h, w, 3), "linear")
             sky_srgb = sky_base + \
                 atm.sun_disk_radiance(p_atm, t_lut, dirs, view.sun_direction)
@@ -609,7 +610,7 @@ def render_frame_meshlet(
         with jax.named_scope("shadow.evaluate"):
             scfg_ = mcfg.shadow_cfg
             kdiv = scfg_.eval_res_div
-            pos_qv = gbuf.position_tw[::kdiv, ::kdiv]
+            pos_qv = post.decimate(gbuf.position_tw, kdiv)
             he, we = pos_qv.shape[:2]
             # phase-amortized PCSS: evaluate 1/ph^2 of the eval grid per
             # frame (rotating phase); the temporal mask cache carries the
@@ -621,11 +622,12 @@ def render_frame_meshlet(
                 pidx = jnp.remainder(history.frame_count, ph * ph)
                 py_, px_ = pidx // ph, pidx % ph
                 shift = lambda a: jnp.roll(a, (-py_, -px_), axis=(0, 1))
-                pos_e = shift(pos_qv)[::ph, ::ph]
-                nrm_e = shift(gbuf.normal[::kdiv, ::kdiv])[::ph, ::ph]
+                pos_e = post.decimate(shift(pos_qv), ph)
+                nrm_e = post.decimate(
+                    shift(post.decimate(gbuf.normal, kdiv)), ph)
             else:
                 pos_e = pos_qv
-                nrm_e = gbuf.normal[::kdiv, ::kdiv]
+                nrm_e = post.decimate(gbuf.normal, kdiv)
             # Pipelined shadows (axon worker-fault workaround, see
             # ShadowConfig.pipelined): NEITHER the cascade raster NOR
             # evaluate_shadow runs in this program — the with-attrs
@@ -650,8 +652,8 @@ def render_frame_meshlet(
                 # of the frame is itself a fault suspect).
                 stats["shadow_split"] = {
                     "pos_e": pos_e, "nrm_e": nrm_e, "pos_q": pos_qv,
-                    "valid_q": gbuf.valid[::kdiv, ::kdiv],
-                    "disocc_q": disocc[::kdiv, ::kdiv],
+                    "valid_q": post.decimate(gbuf.valid, kdiv),
+                    "disocc_q": post.decimate(disocc, kdiv),
                     "fc": history.frame_count}
                 sun_shadow_q = history.shadow_mask
             else:
@@ -675,9 +677,10 @@ def render_frame_meshlet(
             with jax.named_scope("shadow.temporal"):
                 sun_shadow_q = _blend_shadow_mask(
                     sun_shadow_q, phase_mask,
-                    gbuf.position_tw[::kdiv, ::kdiv],
+                    post.decimate(gbuf.position_tw, kdiv),
                     history.shadow_mask, history.valid,
-                    gbuf.valid[::kdiv, ::kdiv], disocc[::kdiv, ::kdiv],
+                    post.decimate(gbuf.valid, kdiv),
+                    post.decimate(disocc, kdiv),
                     view.prev_tw_to_clip_nj,
                     mcfg.shadow_cfg.temporal_alpha)
         new_shadow_mask = sun_shadow_q
@@ -705,13 +708,14 @@ def render_frame_meshlet(
             # cvar-selected in screen_probe_gather.cpp:97-120)
             kd = gcfg.ao_res_div
             if gcfg.ao_mode == "rtao" and bvh is not None:
-                ao_h = gi_ops.rtao(gbuf.position_tw[::kd, ::kd],
-                                   gbuf.normal[::kd, ::kd], bvh, gcfg,
+                ao_h = gi_ops.rtao(post.decimate(gbuf.position_tw, kd),
+                                   post.decimate(gbuf.normal, kd),
+                                   bvh, gcfg,
                                    frame_index=history.frame_count)
             else:
-                ao_h = gi_ops.ssao(depth[::kd, ::kd],
-                                   gbuf.position_tw[::kd, ::kd],
-                                   gbuf.normal[::kd, ::kd], gcfg)
+                ao_h = gi_ops.ssao(post.decimate(depth, kd),
+                                   post.decimate(gbuf.position_tw, kd),
+                                   post.decimate(gbuf.normal, kd), gcfg)
             ao = post.upsample_nearest(ao_h, kd, h, w)
         cam_anchor = jnp.zeros(3)       # camera at the TW origin
         if mcfg.gi_mode == "probe":
@@ -759,7 +763,7 @@ def render_frame_meshlet(
                     tc = history.tsr_color
                     sy = max(tc.shape[0] // ph_n, 1)
                     sx = max(tc.shape[1] // pw_n, 1)
-                    scene_rad = tc[::sy, ::sx][:ph_n, :pw_n]
+                    scene_rad = post.decimate(tc, (sy, sx))[:ph_n, :pw_n]
                     rad, ray_dirs, sample_w = sp.gather_probe_taps(
                         probes, scene_rad, sky_amb, spcfg)
             else:
@@ -768,7 +772,7 @@ def render_frame_meshlet(
                 with jax.named_scope("gi.probe.trace"):
                     dd = spcfg.depth_div
                     rad, ray_dirs = sp.trace_probes(
-                        probes, depth[::dd, ::dd], history.tsr_color,
+                        probes, post.decimate(depth, dd), history.tsr_color,
                         view.tw_to_clip_nj, history.frame_count, spcfg,
                         world_cache=history.gi_cache, gi_cfg=gcfg,
                         sky_ambient=sky_amb, dirs=ray_dirs)
@@ -788,17 +792,17 @@ def render_frame_meshlet(
                 new_gi_cache = sp.inject_world_cache(
                     history.gi_cache, new_probe_sh, probes, gcfg,
                     frame_count=history.frame_count)
-            depth_half = depth[::2, ::2]
-            normal_half = gbuf.normal[::2, ::2]
+            depth_half = post.decimate(depth, 2)
+            normal_half = post.decimate(gbuf.normal, 2)
             with jax.named_scope("gi.probe.interpolate"):
                 diff_half = sp.interpolate_half(
                     new_probe_sh, probes, normal_half,
-                    gbuf.valid[::2, ::2], spcfg)
+                    post.decimate(gbuf.valid, 2), spcfg)
             with jax.named_scope("gi.probe.history_reproject"):
                 diff_half = sp.history_reproject_half(
-                    diff_half, motion_dilated[::2, ::2],
+                    diff_half, post.decimate(motion_dilated, 2),
                     history.gi_diffuse, history.valid, spcfg,
-                    disocclusion=disocc[::2, ::2])
+                    disocclusion=post.decimate(disocc, 2))
             with jax.named_scope("gi.probe.spatial_filter"):
                 diff_half = sp.spatial_filter_half(diff_half, depth_half,
                                                    normal_half, spcfg)
@@ -831,8 +835,8 @@ def render_frame_meshlet(
             from ..ops import brdf_lut as brdf
             from ..ops import screen_probe as sp
             k = gcfg.sample_res_div
-            pos_q = gbuf.position_tw[::k, ::k]
-            nrm_q = gbuf.normal[::k, ::k]
+            pos_q = post.decimate(gbuf.position_tw, k)
+            nrm_q = post.decimate(gbuf.normal, k)
             v_q = -pos_q / jnp.maximum(
                 jnp.linalg.norm(pos_q, axis=-1, keepdims=True), 1e-6)
             # roughness-aware trace direction: GGX-importance-sample the
@@ -841,7 +845,7 @@ def render_frame_meshlet(
             # only the SH-ambient fallback (reference
             # screen_probe_gather.cpp:164-179, gi_specular_trace.hlsl);
             # temporal_specular below integrates the lobe over frames
-            rough_q = gbuf.roughness[::k, ::k]
+            rough_q = post.decimate(gbuf.roughness, k)
             from ..ops.bluenoise import interleaved_gradient_noise as _ign
             hq_, wq_ = rough_q.shape
             u1 = _ign(hq_, wq_, history.frame_count)
@@ -857,7 +861,7 @@ def render_frame_meshlet(
                 # SH-cache fallback (the reference's specular trace role)
                 from ..ops import ssr as ssr_ops
 
-                depth_q = depth[::k, ::k]
+                depth_q = post.decimate(depth, k)
                 # h_ggx as the march's "virtual normal" -> the screen
                 # trace follows the same GGX-sampled direction as the ray
                 ssr_col, ssr_conf = ssr_ops.trace(
@@ -891,21 +895,21 @@ def render_frame_meshlet(
                 spec_rad_q = sp.spatial_filter_specular(
                     spec_rad_q, pos_q, nrm_q, rough_q)
                 spec_rad_q = sp.temporal_specular(
-                    spec_rad_q, motion_dilated[::k, ::k],
+                    spec_rad_q, post.decimate(motion_dilated, k),
                     history.gi_specular, history.valid, rough_q,
-                    disocclusion=disocc[::k, ::k])
+                    disocclusion=post.decimate(disocc, k))
             new_gi_specular = spec_rad_q
             hh, ww = gbuf.valid.shape
             spec_rad = post.upsample_nearest(spec_rad_q, k, hh, ww)
-            lut = (view.brdf_lut if view.brdf_lut is not None
-                   else brdf.build_env_brdf_lut(64))
             nov = jnp.clip(jnp.sum(
                 -gbuf.position_tw / jnp.maximum(jnp.linalg.norm(
                     gbuf.position_tw, axis=-1, keepdims=True), 1e-6) *
                 gbuf.normal, -1), 1e-3, 1.0)
             f0 = 0.04 * (1.0 - gbuf.metallic[..., None]) + \
                 gbuf.base_color * gbuf.metallic[..., None]
-            env = brdf.env_specular(lut, f0, gbuf.roughness, nov)
+            # analytic split-sum fit instead of the per-pixel LUT gather
+            # (5.9 ms/frame on device; parity test gates the fit error)
+            env = brdf.env_specular_analytic(f0, gbuf.roughness, nov)
             specular_gi = spec_rad * env * ao[..., None]
         base_amb = ambient if ambient is not None else \
             view.sky_ambient[None, None, :] * \

@@ -223,6 +223,7 @@ def test_demo_glb_import_structure(demo_glb):
     np.testing.assert_allclose(n, 1.0, atol=1e-5)
 
 
+@pytest.mark.slow   # 51s: interpret-mode frame over the disk GLB
 def test_demo_glb_full_frame(demo_glb):
     """Textured + masked + nanite full frame over the disk asset."""
     from chord_tpu.renderer.deferred import RendererConfig

@@ -361,6 +361,7 @@ def test_overflow_exact_at_capacity_boundary():
     assert n + ov == total_true
 
 
+@pytest.mark.slow   # 197s on the 1-core runner (interpret-mode frames)
 def test_sub_loop_bit_identical():
     """config.sub_loop (dynamic fori over subwindows) is the SAME math in
     a different control structure — outputs must be bit-identical to the

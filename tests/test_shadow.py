@@ -406,6 +406,7 @@ def test_fit_cascades_device_tight_range_shrinks_texels():
         assert abs(clip[0]) < 1 and abs(clip[1]) < 1 and 0 < clip[2] <= 1
 
 
+@pytest.mark.slow   # 63s: two interpret-mode frames
 def test_frame_depth_range_history():
     """The frame must record the valid-depth view range of its geometry
     in history.depth_range (reference hzb.hlsl reduce), and the second

@@ -51,6 +51,16 @@ def main():
         # subS=16 / bricks need tileH % (4*subS) == 0 — pin compatible
         # tile heights rather than inheriting the 216 default
         "off_s16": (base, {"r.raster.subS": 16, "r.raster.tileH": 192}),
+        # dynamic-fori subwindow loop (r.raster.subLoop): the compile
+        # workaround for subS=16 (unrolled Mosaic program crashes the
+        # remote compile helper) — A/B loop overhead at s8 too
+        "off_s8_loop": (base, {"r.raster.subLoop": True}),
+        "off_s16_loop": (base, {"r.raster.subS": 16,
+                                "r.raster.tileH": 192,
+                                "r.raster.subLoop": True}),
+        "off_s32_loop": (base, {"r.raster.subS": 32,
+                                "r.raster.tileH": 256,
+                                "r.raster.subLoop": True}),
         "off_t192": (base, {"r.raster.tileH": 192}),
         "off_s16_bricks": (base, {"r.raster.subS": 16,
                                   "r.raster.tileH": 192,
