@@ -362,8 +362,15 @@ class WorkQueue(NamedTuple):
     overflow: jnp.ndarray     # () i32 dropped pairs (capacity exceeded)
 
 
-def bin_windows(setup: TriangleSetup, config: RasterConfig) -> WorkQueue:
-    """Stage 2: windows -> sorted (tile, window) work queue."""
+def bin_windows(setup: TriangleSetup, config: RasterConfig,
+                tile_keep: Optional[jnp.ndarray] = None) -> WorkQueue:
+    """Stage 2: windows -> sorted (tile, window) work queue.
+
+    `tile_keep` ((n_tiles,) bool, optional) drops every pair whose tile
+    is masked off — partial re-raster of a seeded target (the scrolled
+    shadow-cascade cache rasters only the newly exposed edge tile
+    strips). The raster kernel's cost is proportional to queued pairs,
+    so the filter converts a region restriction directly into time."""
     c = config
     d = setup.num_windows
     bx0, by0, bx1, by1 = (setup.window_bbox[i] for i in range(4))
@@ -430,6 +437,9 @@ def bin_windows(setup: TriangleSetup, config: RasterConfig) -> WorkQueue:
 
     keys = jnp.concatenate(keys_l)
     vals = jnp.concatenate(vals_l)
+    if tile_keep is not None:
+        keep = tile_keep[jnp.minimum(keys, c.n_tiles - 1)]
+        keys = jnp.where(keep, keys, invalid_key)
     keys_s, vals_s = jax.lax.sort_key_val(keys, vals)
 
     total = jnp.sum((keys_s < c.n_tiles).astype(jnp.int32))

@@ -83,6 +83,27 @@ class ShadowConfig(NamedTuple):
                                      # None = auto: on for any non-CPU
                                      # backend, gather path on CPU
                                      # (tests/oracle parity).
+    scroll: bool = True              # scrolled cascade cache: when a
+                                     # refresh's fit differs from the
+                                     # cached map's ONLY by an integer-
+                                     # texel light-space translation
+                                     # (static sun + stable fit), seed
+                                     # the raster with the cached map
+                                     # ROLLED by that translation and
+                                     # raster only the newly-exposed
+                                     # edge tile strips (the work queue
+                                     # is tile-filtered). The software
+                                     # raster is iteration-bound, so
+                                     # this cuts the steady-state
+                                     # cascade cost to the exposed
+                                     # fraction. Requires the stable
+                                     # (non-depth-range) fit: splits
+                                     # use the static [near, max]
+                                     # range and the light eye z is
+                                     # quantized at radius/2 so the
+                                     # depth mapping survives rotation
+                                     # (a z step forces one full
+                                     # re-raster of that cascade).
 
 
 # Poisson disk (unit radius) — fixed pattern like the reference's
@@ -371,6 +392,13 @@ def fit_cascades_device(
     # texel snapping in light space keeps maps stable under motion
     tx_ = jnp.floor(tx_ / texel) * texel
     ty_ = jnp.floor(ty_ / texel) * texel
+    if cfg.scroll:
+        # scrolled-cache mode: the cached map's depths stay valid only
+        # while the z mapping is BIT-stable, so quantize the light eye
+        # z coarsely (radius/2 steps — the extended z range below
+        # absorbs the slack); between steps a refresh differs from the
+        # cache by a pure texel translation and can scroll
+        tz_ = jnp.floor(tz_ / (0.5 * radius)) * (0.5 * radius)
     zero = jnp.zeros((n,))
     one = jnp.ones((n,))
     view = jnp.stack([
@@ -379,14 +407,16 @@ def fit_cascades_device(
         jnp.stack([s[:, 2], u[:, 2], -fl[:, 2], zero], -1),
         jnp.stack([tx_, ty_, tz_, one], -1)], 1)                 # (N,4,4)
 
-    # ortho_reverse_z(-r, r, -r, r, 0, 4r) rows
+    # ortho_reverse_z(-r, r, -r, r, 0, 4r) rows (6r under scroll: the
+    # quantized eye z sits up to r/2 further out)
     inv_r = 1.0 / jnp.maximum(radius, 1e-6)
-    zr = 1.0 / (4.0 * radius)
+    zr = 1.0 / ((6.0 if cfg.scroll else 4.0) * radius)
     proj = jnp.zeros((n, 4, 4))
     proj = proj.at[:, 0, 0].set(inv_r)
     proj = proj.at[:, 1, 1].set(inv_r)
     proj = proj.at[:, 2, 2].set(zr)
-    proj = proj.at[:, 3, 2].set(4.0 * radius * zr)   # = 1.0
+    proj = proj.at[:, 3, 2].set((6.0 if cfg.scroll else 4.0)
+                                * radius * zr)       # = 1.0
     proj = proj.at[:, 3, 3].set(1.0)
     mats = jnp.einsum("nij,njk->nik", view, proj).astype(jnp.float32)
 

@@ -137,11 +137,13 @@ class ShardedRenderer:
                 return (image, jax.tree.map(lambda x: x[None], new_hist),
                         stats)
 
+            # check_vma=False: the body mixes replicated pools with
+            # per-strip views/history (jax.shard_map's renamed check_rep)
             return shard_map(
                 body, mesh=self.mesh,
                 in_specs=(P(), P(), P(AXIS), P(AXIS), P()),
                 out_specs=(P(AXIS), P(AXIS), P()),
-                check_rep=False,
+                check_vma=False,
             )(pools, instances, views, history, bvh)
 
         self._step = jax.jit(sharded_step)

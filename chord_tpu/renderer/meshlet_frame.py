@@ -160,6 +160,22 @@ class MeshletFrameConfig(NamedTuple):
     # Separable from alpha_masked so the bench degradation ladder can
     # drop ONLY the masked-caster shadow path.
     shadow_masked: bool = True
+    # cascades whose index >= this render masked casters as OPAQUE into
+    # the depth pass instead of the alpha-tested with-attrs raster —
+    # leaf-level shadow cutouts are sub-texel at far-cascade density, so
+    # the second raster + alpha sampling buys nothing there (the
+    # reference analogously distance-fades caster detail via its
+    # cascade-scaled LOD error, cascade_setup.hlsl). The lax.switch
+    # branches are compiled per cascade, so far branches contain NO
+    # masked raster program at all.
+    shadow_masked_cascades: int = 2
+    # per-cascade Nanite-error coarsening: cascade i's LOD threshold is
+    # lod_threshold_px * shadow_lod_scale * factor**i. A far cascade
+    # covers ~2-3x the world span per texel of its predecessor, so the
+    # same screen-space error needs proportionally fewer triangles
+    # (reference: projectErrorToPixels against each cascade's own
+    # viewport, nanite cull path).
+    shadow_lod_cascade_factor: float = 2.0
     masked_draw_capacity: int = 1024
     masked_layers: int = 1         # 2 = depth-peel a second masked layer
                                    # (raster z_clip; masked-behind-masked
@@ -197,6 +213,7 @@ def render_shadow_cascade(
     pools, instances, view: DeviceView, rc_main: RasterConfig,
     mcfg: "MeshletFrameConfig", k: jnp.ndarray,
     mats=None, planes_all=None,
+    prev_map=None, prev_mat=None, prev_valid=None,
 ) -> jnp.ndarray:
     """Depth-only raster of ONE cascade through the same software
     rasterizer (reference: renderShadow renderer.cpp:350 — cascade setup
@@ -205,6 +222,20 @@ def render_shadow_cascade(
     frame (the reference's cascade history caching) — k selects which.
     `mats`/`planes_all` override the host-fit view.shadow_* arrays (the
     device depth-range cascade fit passes its own).
+
+    Scrolled cache (ShadowConfig.scroll): pass the cascade's CACHED map
+    and the matrix it was rendered with (`prev_map` (R,R), `prev_mat`
+    (4,4), `prev_valid` () 0/1). When the new fit differs from the
+    cached one by a pure integer-texel light-space translation (stable
+    fit + static sun — rotation-only camera motion always qualifies),
+    the raster is seeded with the cached map rolled by that translation
+    (exposed texels zeroed) and the work queue is tile-filtered to the
+    newly exposed edge strips — steady-state cascade cost drops to the
+    exposed fraction. Any fit change beyond translation (sun moved,
+    radius changed, z quantum stepped, history invalid) degrades to the
+    full raster in the same compiled program (seed=0, all tiles kept).
+    Assumes static casters between refreshes, like every cached-shadow
+    scheme; dynamic scenes should disable scroll.
     -> (R,R) reverse-Z depth map."""
     scfg = mcfg.shadow_cfg
     if mats is None:
@@ -233,7 +264,7 @@ def render_shadow_cascade(
                       interpret=rc_main.interpret)
     rc_a = rc._replace(with_attrs=True)
 
-    def depth_raster(res, m, cap, with_attrs):
+    def depth_raster(res, m, cap, with_attrs, tile_keep=None, seed=None):
         # fused mesh-shader setup with the light matrix (expand_draws'
         # XLA path gathers cap*128*3 vertices — capacity-proportional;
         # the kernel is count-proportional). The 40-row coef block's
@@ -243,28 +274,75 @@ def render_shadow_cascade(
             res.draws, pools, instances, m, cap, r, r,
             backface_cull=False, sub_s=rc.sub_s, interpret=rc.interpret)
         if with_attrs:
-            q = bin_windows(setup, rc_a)
+            q = bin_windows(setup, rc_a, tile_keep=tile_keep)
             return raster_queue(q, setup, rc_a)
         setup16 = setup.replace(coefT=setup.coefT[:16])
-        q = bin_windows(setup16, rc)
-        return raster_queue(q, setup16, rc)
+        q = bin_windows(setup16, rc, tile_keep=tile_keep)
+        seeds = None if seed is None else (seed,)
+        return raster_queue(q, setup16, rc, seeds=seeds)
+
+    def scroll_plan(m):
+        """-> (seed (R,R) | None, tile_keep (n_tiles,) | None) for the
+        scrolled-cache refresh of this cascade against prev_map/mat."""
+        if not scfg.scroll or prev_map is None or prev_mat is None:
+            return None, None
+        pm_ = prev_mat
+        # NDC->texel: x_px=(x+1)R/2 (y flipped) — mesh_shader.py:86-87
+        dx_f = (m[3, 0] - pm_[3, 0]) * (r * 0.5)
+        dy_f = (pm_[3, 1] - m[3, 1]) * (r * 0.5)
+        dxi = jnp.round(dx_f).astype(jnp.int32)
+        dyi = jnp.round(dy_f).astype(jnp.int32)
+        # tolerances: basis/scale rows reproduce to f32 rounding under
+        # rotation (~1e-8); the z offset inherits the radius's last-ulp
+        # wobble through the quantizer (~1e-6 of depth range) — well
+        # under the 2e-4 depth bias either way
+        same_basis = (jnp.max(jnp.abs(m[:3, :] - pm_[:3, :])) < 1e-6) & \
+                     (jnp.abs(m[3, 2] - pm_[3, 2]) < 1e-5)
+        texel_exact = (jnp.abs(dx_f - dxi) < 2e-2) & \
+                      (jnp.abs(dy_f - dyi) < 2e-2)
+        can = ((prev_valid > 0) if prev_valid is not None else
+               jnp.bool_(True))
+        can = can & same_basis & texel_exact & \
+            (jnp.abs(dxi) < r) & (jnp.abs(dyi) < r)
+        # new[y,x] = old[y-dy, x-dx]; wrap-around texels are exactly the
+        # exposed strips, zeroed below so raster starts fresh there
+        rolled = jnp.roll(jnp.roll(prev_map, dyi, 0), dxi, 1)
+        xs = jnp.arange(r, dtype=jnp.int32)
+        exp_x = jnp.where(dxi > 0, xs < dxi, xs >= r + dxi)    # (r,)
+        exp_y = jnp.where(dyi > 0, xs < dyi, xs >= r + dyi)
+        exposed = exp_y[:, None] | exp_x[None, :]
+        seed = jnp.where(can & ~exposed, rolled, 0.0)
+        # tile strips covering the exposed region
+        ncx = -(-jnp.abs(dxi) // rc.tile_w)
+        ncy = -(-jnp.abs(dyi) // rc.tile_h)
+        ti = jnp.arange(rc.n_tiles, dtype=jnp.int32)
+        tx = ti % rc.tiles_x
+        ty = ti // rc.tiles_x
+        keep_c = jnp.where(dxi > 0, tx < ncx, tx >= rc.tiles_x - ncx)
+        keep_r = jnp.where(dyi > 0, ty < ncy, ty >= rc.tiles_y - ncy)
+        tile_keep = jnp.where(can, keep_c | keep_r, True)
+        return seed, tile_keep
 
     def one(i):
         def f():
             m = mats[i]
             planes = planes_all[i]
-            sh_masked = mcfg.alpha_masked and mcfg.shadow_masked
+            sh_masked = (mcfg.alpha_masked and mcfg.shadow_masked
+                         and i < mcfg.shadow_masked_cascades)
             opq = False if sh_masked else None
+            lod_thr = (mcfg.lod_threshold_px * mcfg.shadow_lod_scale *
+                       mcfg.shadow_lod_cascade_factor ** i)
             cap_s = min(mcfg.shadow_draw_capacity,
                         -(-pools.num_pairs // 128) * 128)
             res = cull_pairs(pools, instances, planes,
                              jnp.float32(0.5 * r * m[1, 1]),
                              cap_s,
-                             lod_threshold=mcfg.lod_threshold_px *
-                             mcfg.shadow_lod_scale,
+                             lod_threshold=lod_thr,
                              enable_cone=False,   # depth pass: no backface
                              masked=opq)
-            depth_i = depth_raster(res, m, cap_s, with_attrs=False)[0]
+            seed, tile_keep = scroll_plan(m)
+            depth_i = depth_raster(res, m, cap_s, with_attrs=False,
+                                   tile_keep=tile_keep, seed=seed)[0]
             if sh_masked:
                 # alpha-tested masked casters (the reference's Masked
                 # depth permutation discards in the PS; here: raster the
@@ -274,10 +352,10 @@ def render_shadow_cascade(
                 res_m = cull_pairs(pools, instances, planes,
                                    jnp.float32(0.5 * r * m[1, 1]),
                                    cap_m,
-                                   lod_threshold=mcfg.lod_threshold_px *
-                                   mcfg.shadow_lod_scale,
+                                   lod_threshold=lod_thr,
                                    enable_cone=False, masked=True)
-                rts_m = depth_raster(res_m, m, cap_m, with_attrs=True)
+                rts_m = depth_raster(res_m, m, cap_m, with_attrs=True,
+                                     tile_keep=tile_keep)
                 depth_m, vis_m = rts_m[0], rts_m[1]
                 hit_m, keep_m = shading.masked_alpha_keep(
                     vis_m, rts_m[5], rts_m[6], res_m.draws.object_id, 0,
@@ -597,9 +675,21 @@ def render_frame_meshlet(
             fit_mats, fit_planes = _shadow_cascade_fit(view, history,
                                                        mcfg.shadow_cfg)
             with jax.named_scope("shadow.render"):
+                pv_map = pv_mat = pv_ok = None
+                if (mcfg.shadow_cfg.scroll and history.shadow_maps.shape[-1]
+                        == mcfg.shadow_cfg.resolution):
+                    rr = mcfg.shadow_cfg.resolution
+                    pv_map = jax.lax.dynamic_slice(
+                        history.shadow_maps, (k, 0, 0), (1, rr, rr))[0]
+                    pv_mat = jax.lax.dynamic_slice(
+                        history.shadow_mats, (k, 0, 0), (1, 4, 4))[0]
+                    pv_ok = history.valid
                 new_map = render_shadow_cascade(pools, instances, view, rc,
                                                 mcfg, k, mats=fit_mats,
-                                                planes_all=fit_planes)
+                                                planes_all=fit_planes,
+                                                prev_map=pv_map,
+                                                prev_mat=pv_mat,
+                                                prev_valid=pv_ok)
                 new_shadow_maps = jax.lax.dynamic_update_slice(
                     history.shadow_maps, new_map[None], (k, 0, 0))
                 new_shadow_mats = jax.lax.dynamic_update_slice(
@@ -1123,13 +1213,23 @@ def _shadow_cascade_fit(view, history, scfg: shadow_ops.ShadowConfig):
     """Cascade fit matrices/planes: device-side refit to LAST frame's
     valid-depth range (reference cascade_setup.hlsl reads the hzb min/max
     reduce) with a host frustum-only fallback on the first frame (history
-    invalid) or when the view lacks camera geometry."""
+    invalid) or when the view lacks camera geometry.
+
+    Under ShadowConfig.scroll the depth range is pinned to the static
+    [near, max_distance] span instead: scrolling needs frame-stable
+    cascade radii (a depth-range refit rescales the light ortho every
+    frame, which would invalidate the cached maps and force a full
+    raster per refresh)."""
     fit_mats = view.shadow_tw_to_light
     fit_planes = view.shadow_frustum_planes
-    if scfg.depth_range_fit and view.view_forward is not None:
+    if ((scfg.depth_range_fit or scfg.scroll)
+            and view.view_forward is not None):
         with jax.named_scope("shadow.cascade_fit"):
-            zr = jnp.where(history.valid > 0, history.depth_range,
-                           jnp.asarray([0.0, 1e9], jnp.float32))
+            if scfg.scroll:
+                zr = jnp.asarray([0.0, 1e9], jnp.float32)
+            else:
+                zr = jnp.where(history.valid > 0, history.depth_range,
+                               jnp.asarray([0.0, 1e9], jnp.float32))
             fit_mats, fit_planes = shadow_ops.fit_cascades_device(
                 view.view_forward, view.sun_direction,
                 view.tan_half_fov[0], view.tan_half_fov[1], zr, scfg)
@@ -1168,9 +1268,20 @@ def shadow_service_step(pools, instances, view, history, sp, *,
     k = jnp.mod(fc, n_casc).astype(jnp.int32)
     fit_mats, fit_planes = _shadow_cascade_fit(view, history, scfg)
     with jax.named_scope("shadow.render"):
+        pv_map = pv_mat = pv_ok = None
+        if (scfg.scroll
+                and history.shadow_maps.shape[-1] == scfg.resolution):
+            rr = scfg.resolution
+            pv_map = jax.lax.dynamic_slice(
+                history.shadow_maps, (k, 0, 0), (1, rr, rr))[0]
+            pv_mat = jax.lax.dynamic_slice(
+                history.shadow_mats, (k, 0, 0), (1, 4, 4))[0]
+            pv_ok = history.valid
         new_map = render_shadow_cascade(pools, instances, view, rc,
                                         mcfg, k, mats=fit_mats,
-                                        planes_all=fit_planes)
+                                        planes_all=fit_planes,
+                                        prev_map=pv_map, prev_mat=pv_mat,
+                                        prev_valid=pv_ok)
         new_maps = jax.lax.dynamic_update_slice(
             history.shadow_maps, new_map[None], (k, 0, 0))
         new_mats = jax.lax.dynamic_update_slice(

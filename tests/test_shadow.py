@@ -104,11 +104,16 @@ def test_meshlet_frame_with_shadows():
 @pytest.mark.slow
 def test_pipelined_shadow_converges_to_direct():
     """ShadowConfig.pipelined consumes the PCSS eval one frame late (the
-    axon worker-fault workaround). On a STATIC scene the pipelined
-    pipeline is EXACTLY the direct pipeline delayed one frame (the eval
-    inputs/maps are frame-invariant, so q(i-1)==direct's q at the same
-    phase): after the initial transient decays, pipe's mask at frame i
-    must match direct's at frame i-1."""
+    axon worker-fault workaround), but the MASK RECURSION itself is
+    synchronized: service i blends q(fc=i) into the mask exactly like
+    the direct frame i does, so history.shadow_mask after N frames must
+    match the direct run after the SAME N frames (what lags one frame
+    is only the mask the image consumes). The phase-amortized PCSS
+    (ShadowConfig.temporal_phase) makes the mask phase-CYCLIC — masks
+    from different frame counts sit at different points of the ph^2
+    cycle and differ at penumbra texels by design, which is why this
+    compares equal counts (an earlier revision compared N vs N+1 and
+    went stale when the phased eval landed)."""
     b = build_sponza_like(detail=1)
     pools = build_meshlet_pools(b)
     cam = Camera(width=96, height=48)
@@ -136,7 +141,7 @@ def test_pipelined_shadow_converges_to_direct():
         return r
 
     r_dir = run(False, n_frames=11)
-    r_pipe = run(True, n_frames=12)   # one extra: pipe(i) == dir(i-1)
+    r_pipe = run(True, n_frames=11)   # same count: same phase-cycle point
     m_dir = np.asarray(r_dir.history.shadow_mask)
     m_pipe = np.asarray(r_pipe.history.shadow_mask)
     # the one-frame-delayed pipeline reproduces the direct mask
@@ -346,10 +351,12 @@ def test_pcss_jitter_rotates_disk():
 def test_fit_cascades_device_matches_host_at_full_range():
     """The device fit at the full (0.1, max_distance) range must agree
     with the host frustum-only fit (same split scheme / bounding sphere /
-    texel snap) to within a texel."""
+    texel snap) to within a texel. scroll=False: the scrolled-cache mode
+    intentionally changes the z convention (6r range + quantized eye z)
+    — its own contract is test_fit_scroll_rotation_is_texel_translation."""
     from chord_tpu.ops.shadow import fit_cascades_device
 
-    cfg = ShadowConfig(cascade_count=4, resolution=256)
+    cfg = ShadowConfig(cascade_count=4, resolution=256, scroll=False)
     fwd = np.array([0.2, -0.1, -1.0])
     fwd = fwd / np.linalg.norm(fwd)
     sun = np.array([0.3, 0.8, 0.5])
@@ -435,3 +442,50 @@ def test_frame_depth_range_history():
     assert int(np.asarray(stats2["bin_overflow"])) == 0
     near2, far2 = np.asarray(r.history.depth_range)
     assert 0.1 < near2 < far2 < 200.0
+
+
+def test_fit_scroll_rotation_is_texel_translation():
+    """The scrolled-cache contract (ShadowConfig.scroll,
+    meshlet_frame.render_shadow_cascade scroll_plan): under camera
+    ROTATION with a static sun, consecutive stable fits must differ by
+    a pure integer-texel light-space translation — identical basis and
+    scale rows, identical z row (the radius/2-quantized eye z), and x/y
+    NDC deltas that land on the texel grid. This is what lets a refresh
+    roll the cached map and raster only the exposed edge strips."""
+    import jax.numpy as jnp
+
+    from chord_tpu.ops.shadow import fit_cascades_device
+
+    cfg = ShadowConfig(cascade_count=4, resolution=512, scroll=True)
+    sun = np.array([0.3, 0.8, 0.5])
+    sun = sun / np.linalg.norm(sun)
+    tan_y = np.tan(np.radians(60.0) / 2)
+    zr = jnp.asarray([0.0, 1e9], jnp.float32)
+
+    def fit(yaw_deg):
+        fwd = np.array([np.cos(np.radians(yaw_deg)), -0.15,
+                        np.sin(np.radians(yaw_deg))])
+        fwd = fwd / np.linalg.norm(fwd)
+        m, _ = fit_cascades_device(
+            jnp.asarray(fwd, jnp.float32), jnp.asarray(sun, jnp.float32),
+            jnp.float32(tan_y * 16 / 9), jnp.float32(tan_y), zr, cfg)
+        return np.asarray(m)
+
+    m0 = fit(30.0)
+    m1 = fit(32.5)     # a ~bench-sized per-frame rotation
+    r = cfg.resolution
+    scrolled = 0
+    for i in range(4):
+        # basis + scale rows bit-stable to f32 rounding
+        assert np.abs(m1[i][:3, :] - m0[i][:3, :]).max() < 1e-6, i
+        dz = abs(m1[i][3, 2] - m0[i][3, 2])
+        dx = (m1[i][3, 0] - m0[i][3, 0]) * (r * 0.5)
+        dy = (m0[i][3, 1] - m1[i][3, 1]) * (r * 0.5)
+        if dz < 1e-5:
+            # z quantum did not step -> x/y must be integer texels
+            assert abs(dx - round(dx)) < 2e-2, (i, dx)
+            assert abs(dy - round(dy)) < 2e-2, (i, dy)
+            scrolled += 1
+    # the quantizer must not step on every cascade at once for a small
+    # rotation — most cascades scroll
+    assert scrolled >= 3, scrolled
