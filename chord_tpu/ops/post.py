@@ -123,12 +123,27 @@ def decimate(x: jnp.ndarray, k: int) -> jnp.ndarray:
     """Nearest k-fold downsample of (h,w,...) over the leading two axes
     — the drop-in for `x[::k, ::k]`, which the axon TPU lowers to an
     index-array GATHER (~2-4 ms per 1080p plane, measured; the frame had
-    ~10 ms/frame of these). reshape + unit-index is a dense relayout +
-    slice instead. Matches `[::k]` output shape (ceil) via edge-pad."""
+    ~10 ms/frame of these). Matches `[::k]` output shape (ceil).
+
+    f32 rank-2/3 inputs route through one-hot selection dot_generals
+    (MXU relayout, exact: every output row/col has exactly one unit
+    weight, so products and sums are exact f32); everything else uses
+    the dense reshape + unit-index form."""
     ky, kx = (k, k) if isinstance(k, int) else k
     if ky == 1 and kx == 1:
         return x
     h, w = x.shape[0], x.shape[1]
+    if x.dtype == jnp.float32 and x.ndim in (2, 3):
+        hh, ww = -(-h // ky), -(-w // kx)
+        sh = jnp.zeros((hh, h), jnp.float32).at[
+            jnp.arange(hh), jnp.arange(hh) * ky].set(1.0)
+        sw = jnp.zeros((w, ww), jnp.float32).at[
+            jnp.arange(ww) * kx, jnp.arange(ww)].set(1.0)
+        hi = jax.lax.Precision.HIGHEST
+        if x.ndim == 2:
+            return jnp.einsum("Hh,hw,wW->HW", sh, x, sw, precision=hi)
+        y = jnp.einsum("Hh,hwc->Hwc", sh, x, precision=hi)
+        return jnp.einsum("Hwc,wW->HWc", y, sw, precision=hi)
     ph = -(-h // ky) * ky
     pw = -(-w // kx) * kx
     if ph != h or pw != w:

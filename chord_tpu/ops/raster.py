@@ -95,6 +95,15 @@ class RasterConfig(NamedTuple):
                                   # from per-pixel raster order). Static:
                                   # costs one compare per row-group only
                                   # in specializations that use it.
+    rp: int = 0                   # rows packed per inner iteration
+                                  # (0 = auto: sub_s, keeping packs at
+                                  # full (128, TW) width). Decoupling rp
+                                  # from sub_s lets sub_s=16 run with
+                                  # the rp=8 vreg shapes the compiler
+                                  # already survives (the cs=8 full-pack
+                                  # program ICEs the remote helper at
+                                  # every tile height tried) at the cost
+                                  # of half-width (64, TW) packs.
     sub_loop: bool = False        # iterate subwindows with a dynamic
                                   # fori_loop instead of Python-unrolling
                                   # S gated bodies: at sub_s=16 the
@@ -544,8 +553,8 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,
         jnp.float32) + jnp.float32(tile_px0)                      # (1, TW)
 
     # rows packed per inner iteration: RP*cs == WINDOW keeps packed ops
-    # at full (128, TW) width
-    RP = s_cnt
+    # at full (128, TW) width (see RasterConfig.rp for the override)
+    RP = c.rp or s_cnt
     # sublane-group row offset column: group g handles row base+g
     yoff_col = (jax.lax.broadcasted_iota(
         jnp.int32, (RP * cs, 1), 0) // cs).astype(jnp.float32)
@@ -925,6 +934,10 @@ def raster_queue(
         raise ValueError(
             f"tile_h={c.tile_h} must be a multiple of 8 and of "
             f"sub_s={c.sub_s} (set via r.raster.tileH)")
+    if c.rp and (c.tile_h % c.rp != 0 or c.rp % 8 != 0):
+        raise ValueError(
+            f"rp={c.rp} must divide tile_h={c.tile_h} and be a "
+            f"multiple of 8 (set via r.raster.rp)")
     if c.bricks and (c.tile_w % BRICK_W != 0 or
                      c.tile_h % (BRICK_H * c.sub_s) != 0):
         raise ValueError(

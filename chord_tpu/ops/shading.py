@@ -153,6 +153,14 @@ def resolve_gbuffer_raster_rt(
     normal_mapped: bool = False,  # perturb normals from normal-map layers
     pbr_textures: bool = False,   # sample metal-rough + emissive maps
     mip_dither_frame=None,       # i32 scalar -> stochastic trilinear
+    motion_div: int = 1,         # reconstruct per-object motion at 1/d
+                                 # res + nearest upsample: the rigid-
+                                 # delta row gather is the resolve's
+                                 # biggest gather (2.4 ms/frame full-res
+                                 # on device) and motion's consumers are
+                                 # the half-res GI temporal passes + the
+                                 # TSR global-mode residual — both
+                                 # tolerant of half-res vectors
 ) -> GBuffer:
     """Zero-big-gather gbuffer resolve: normals/uv come straight from the
     rasterizer's attribute-plane render targets, position from depth
@@ -191,17 +199,27 @@ def resolve_gbuffer_raster_rt(
     minv = jnp.linalg.inv(instances.object_to_tw)
     delta = jnp.einsum("oij,ojk->oik", minv, instances.object_prev_to_tw)
     delta_d = delta[draw_object].reshape(-1, 16)          # (cap,16)
+    if motion_div > 1:
+        from . import post as _post
+        slot_m = _post.decimate(slot, motion_div)
+        valid_m = _post.decimate(valid, motion_div)
+        pos_m = _post.decimate(pos_tw, motion_div)
+        hm, wm = slot_m.shape
+    else:
+        slot_m, valid_m, pos_m, hm, wm = slot, valid, pos_tw, h, w
     # miss/sky pixels take the identity delta (pure camera reprojection);
     # clamping to draw 0 would leak that object's rigid motion into the
     # background fed to TSR
-    dmat = delta_d[jnp.maximum(slot, 0)].reshape(h, w, 4, 4)
-    dmat = jnp.where(valid[..., None, None], dmat,
+    dmat = delta_d[jnp.maximum(slot_m, 0)].reshape(hm, wm, 4, 4)
+    dmat = jnp.where(valid_m[..., None, None], dmat,
                      jnp.eye(4, dtype=dmat.dtype))
-    prev_pos = (pos_tw[..., 0:1] * dmat[..., 0, :3] +
-                pos_tw[..., 1:2] * dmat[..., 1, :3] +
-                pos_tw[..., 2:3] * dmat[..., 2, :3] + dmat[..., 3, :3])
-    motion = project_xy(pos_tw, tw_to_clip) - \
+    prev_pos = (pos_m[..., 0:1] * dmat[..., 0, :3] +
+                pos_m[..., 1:2] * dmat[..., 1, :3] +
+                pos_m[..., 2:3] * dmat[..., 2, :3] + dmat[..., 3, :3])
+    motion = project_xy(pos_m, tw_to_clip) - \
         project_xy(prev_pos, prev_tw_to_clip)
+    if motion_div > 1:
+        motion = _post.upsample_nearest(motion, motion_div, h, w)
 
     # ONE per-pixel row gather from a per-draw material table (chaining
     # draw->object->material->per-channel gathers at (H,W) costs ~6 full

@@ -180,6 +180,7 @@ class RendererConfig(NamedTuple):
             pair_capacity=self.pair_capacity,
             big_capacity=self.big_capacity, subtiles=self.subtiles,
             bricks=bricks,
+            rp=int(cvars.get("r.raster.rp")),
             sub_loop=bool(cvars.get("r.raster.subLoop")),
             interpret=self.interpret)
 

@@ -185,6 +185,12 @@ class MeshletFrameConfig(NamedTuple):
     # loops stop at alphaMode 1 — mesh_raster.cpp:178,224)
     alpha_blend: bool = False
     blend_draw_capacity: int = 512
+    # per-object motion reconstruction resolution divisor (see
+    # shading.resolve_gbuffer_raster_rt motion_div): 2 halves the
+    # frame's largest remaining resolve gather; consumers (half-res GI
+    # temporal, TSR global residual) are half-res-tolerant. Set 1 for
+    # exact per-pixel motion (per-pixel TSR resample mode).
+    motion_res_div: int = 2
     # debug visualization (reference: renderer/mesh/nanite_visualize.cpp):
     # none | meshlet | lod | normal | depth | disocclusion | motion | gi
     debug_mode: str = "none"
@@ -598,7 +604,8 @@ def render_frame_meshlet(
             pbr_textures=mcfg.pbr_textures,
             mip_dither_frame=(history.frame_count
                               if mcfg.trilinear and mcfg.textured
-                              else None))
+                              else None),
+            motion_div=mcfg.motion_res_div)
 
     with jax.named_scope("tsr.prepare"):
         # closest-depth 3x3 motion dilation (reference tsr_prepare.hlsl)
@@ -643,11 +650,11 @@ def render_frame_meshlet(
         with jax.named_scope("atmosphere.sky"):
             dirs = pixel_view_dirs(h, w, view.clip_to_tw)
             # sky is angularly smooth: sample the LUT at 1/4 res (the
-            # gathers are the cost) + bilinear resize; the sun disk stays
-            # full-res (analytic, gather-free)
-            import jax.image as jimage
+            # gathers are the cost) + cascaded 2x bilinear upsample (the
+            # jax.image.resize conv lowering measured ~1ms slower); the
+            # sun disk stays full-res (analytic, gather-free)
             sky_q = atm.sample_sky(sky_lut, post.decimate(dirs, 4))
-            sky_base = jimage.resize(sky_q, (h, w, 3), "linear")
+            sky_base = post.upsample_linear(sky_q, 4, h, w)
             sky_srgb = sky_base + \
                 atm.sun_disk_radiance(p_atm, t_lut, dirs, view.sun_direction)
             sky_radiance = colorspace.srgb_to_acescg(sky_srgb)

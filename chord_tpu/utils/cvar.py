@@ -135,6 +135,10 @@ cvars.register("r.raster.subS", 8,
                "tris, each with its own bbox row loop). Workload model: "
                "row iterations 59972/40555/32709 at S=4/8/16 on the "
                "bench heavy camera.", vtype=int)
+cvars.register("r.raster.rp", 0,
+               "Rows packed per raster inner iteration (0 = auto: subS). "
+               "rp=8 with subS=16 works around the compile-helper ICE on "
+               "full-width cs=8 packs.", vtype=int)
 cvars.register("r.raster.subLoop", False,
                "Iterate raster subwindows with a dynamic fori_loop "
                "instead of unrolling S gated bodies (needed to compile "

@@ -382,3 +382,26 @@ def test_sub_loop_bit_identical():
                                base._replace(sub_loop=True), **kw)
             for u, l in zip(outs_u[:-1], outs_l[:-1]):
                 np.testing.assert_array_equal(np.asarray(u), np.asarray(l))
+
+
+@pytest.mark.slow   # ~340s: interpret-mode rasters at 3 configs x2
+def test_rp_override_bit_identical():
+    """RasterConfig.rp (rows packed per inner iteration, decoupled from
+    sub_s — the compile-helper workaround for sub_s=16) is the same math
+    in narrower packs: outputs must be bit-identical to rp=auto."""
+    rng = np.random.default_rng(23)
+    clip, indices, valid, payload = make_random_tris(120, rng)
+    attrs = rng.normal(size=(clip.shape[0], 5)).astype(np.float32)
+    for sub_s, rp, tile_h in ((16, 8, 16), (8, 8, 8), (16, 8, 32)):
+        for with_attrs in (False, True):
+            base = CFG._replace(sub_s=sub_s, tile_h=tile_h,
+                                with_attrs=with_attrs)
+            kw = dict(attrs=jnp.asarray(attrs)) if with_attrs else {}
+            outs_a = rasterize(jnp.asarray(clip), jnp.asarray(indices),
+                               jnp.asarray(valid), jnp.asarray(payload),
+                               base, **kw)
+            outs_r = rasterize(jnp.asarray(clip), jnp.asarray(indices),
+                               jnp.asarray(valid), jnp.asarray(payload),
+                               base._replace(rp=rp), **kw)
+            for a, r in zip(outs_a[:-1], outs_r[:-1]):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(r))

@@ -58,6 +58,30 @@ def main():
         "off_s16_loop": (base, {"r.raster.subS": 16,
                                 "r.raster.tileH": 192,
                                 "r.raster.subLoop": True}),
+        # shape variants hunting for one the remote compile helper
+        # survives (s16 at tileH=192 ICEs it, loop or unrolled)
+        "off_s16_t128": (base, {"r.raster.subS": 16,
+                                "r.raster.tileH": 128,
+                                "r.raster.subLoop": True}),
+        "off_s16_t160": (base, {"r.raster.subS": 16,
+                                "r.raster.tileH": 160,
+                                "r.raster.subLoop": True}),
+        "off_s16_t96": (base, {"r.raster.subS": 16,
+                               "r.raster.tileH": 96,
+                               "r.raster.subLoop": True}),
+        # rp decoupled from subS: s16 bounds with the s8-surviving
+        # (64,TW) pack shapes (kernel RP override)
+        "off_s16_rp8": (base, {"r.raster.subS": 16,
+                               "r.raster.tileH": 192,
+                               "r.raster.rp": 8}),
+        "off_s16_rp8_loop": (base, {"r.raster.subS": 16,
+                                    "r.raster.tileH": 192,
+                                    "r.raster.rp": 8,
+                                    "r.raster.subLoop": True}),
+        "off_s32_rp8_loop": (base, {"r.raster.subS": 32,
+                                    "r.raster.tileH": 256,
+                                    "r.raster.rp": 8,
+                                    "r.raster.subLoop": True}),
         "off_s32_loop": (base, {"r.raster.subS": 32,
                                 "r.raster.tileH": 256,
                                 "r.raster.subLoop": True}),
