@@ -153,6 +153,7 @@ def resolve_gbuffer_raster_rt(
     normal_mapped: bool = False,  # perturb normals from normal-map layers
     pbr_textures: bool = False,   # sample metal-rough + emissive maps
     mip_dither_frame=None,       # i32 scalar -> stochastic trilinear
+    interpret: bool = False,     # pallas interpret (CPU tests)
     motion_div: int = 1,         # reconstruct per-object motion at 1/d
                                  # res + nearest upsample: the rigid-
                                  # delta row gather is the resolve's
@@ -221,33 +222,37 @@ def resolve_gbuffer_raster_rt(
     if motion_div > 1:
         motion = _post.upsample_nearest(motion, motion_div, h, w)
 
-    # ONE per-pixel row gather from a per-draw material table (chaining
+    # ONE per-pixel row fetch from a per-draw material table (chaining
     # draw->object->material->per-channel gathers at (H,W) costs ~6 full
-    # screen gathers; building the (cap,16) table first is ~free since cap
-    # is tiny, then a single row gather serves every material channel)
+    # screen gathers; building the channel-major table first is ~free
+    # since cap is tiny, then the row_gather bank-sweep Pallas kernel
+    # serves every material channel — ~2x the XLA row gather, exact)
+    from .row_gather import gather_rows, pack_table
     mat_id_d = instances.object_material[draw_object]          # (cap,)
     base_d = colorspace.srgb_to_acescg(
         pools.mat_base_color[mat_id_d][..., :3])
     mr_d = pools.mat_metal_rough[mat_id_d]
     em_d = colorspace.srgb_to_acescg(pools.mat_emissive[mat_id_d])
-    mat_table = jnp.concatenate(
-        [base_d, mr_d, em_d,
-         pools.mat_base_tex[mat_id_d][:, None].astype(jnp.float32),
-         pools.mat_normal_tex[mat_id_d][:, None].astype(jnp.float32),
-         pools.mat_mr_tex[mat_id_d][:, None].astype(jnp.float32),
-         pools.mat_emissive_tex[mat_id_d][:, None].astype(jnp.float32),
-         pools.mat_normal_scale[mat_id_d][:, None],
-         jnp.zeros((draw_object.shape[0], 3), jnp.float32)], axis=1)
-    mrow = mat_table[jnp.maximum(slot, 0)]                     # (H,W,16)
-    base = mrow[..., 0:3]
-    metal_rough = mrow[..., 3:5]
-    emissive = mrow[..., 5:8]
+    cm = pack_table([
+        base_d[:, 0], base_d[:, 1], base_d[:, 2],
+        mr_d[:, 0], mr_d[:, 1],
+        em_d[:, 0], em_d[:, 1], em_d[:, 2],
+        pools.mat_base_tex[mat_id_d].astype(jnp.int32),
+        pools.mat_normal_tex[mat_id_d].astype(jnp.int32),
+        pools.mat_mr_tex[mat_id_d].astype(jnp.int32),
+        pools.mat_emissive_tex[mat_id_d].astype(jnp.int32),
+        pools.mat_normal_scale[mat_id_d]])
+    mplanes = gather_rows(cm, slot, interpret=interpret)       # (16,H,W)
+    _f = lambda c: jax.lax.bitcast_convert_type(mplanes[c], jnp.float32)
+    base = jnp.stack([_f(0), _f(1), _f(2)], -1)
+    metal_rough = jnp.stack([_f(3), _f(4)], -1)
+    emissive = jnp.stack([_f(5), _f(6), _f(7)], -1)
 
     if textured:
         from . import texture as texture_ops
 
         size = pools.tex_size
-        layer = mrow[..., 8].astype(jnp.int32)
+        layer = mplanes[8]
         if mip_dither_frame is not None:
             # stochastic trilinear (ops/texture.py mip_dithered): IGN-
             # dithered mip pick, resolved temporally by TSR
@@ -259,10 +264,10 @@ def resolve_gbuffer_raster_rt(
         # channels — ops/paged_texture.py)
         layer_list = [layer]
         if pbr_textures:
-            layer_list.append(mrow[..., 10].astype(jnp.int32))
-            layer_list.append(mrow[..., 11].astype(jnp.int32))
+            layer_list.append(mplanes[10])
+            layer_list.append(mplanes[11])
         if normal_mapped:
-            layer_list.append(mrow[..., 9].astype(jnp.int32))
+            layer_list.append(mplanes[9])
         texels = texture_ops.sample_material_maps(
             pools, jnp.stack(layer_list), uv, mip)
         texel = texels[0]
@@ -288,7 +293,7 @@ def resolve_gbuffer_raster_rt(
         if normal_mapped:   # static: traced only when normal maps exist
             n_layer = layer_list[-1]
             n_texel = texels[len(layer_list) - 1]
-            n_scale = mrow[..., 12:13]
+            n_scale = _f(12)[..., None]
             n_ts = n_texel[..., :3] * 2.0 - 1.0   # linear-stored, [-1,1]
 
             def ddx(a):
@@ -342,6 +347,7 @@ def alpha_mask_accept(
     draw_object_m: jnp.ndarray,  # (cap_m,) i32 masked draw table
     payload_base: int,           # slot offset of the masked pass
     pools, instances,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Per-pixel alpha test for the masked material bucket (the
     reference's Masked raster permutation does this with `discard` in the
@@ -351,7 +357,8 @@ def alpha_mask_accept(
     gbuffer resolve). Single masked layer: a masked surface directly
     behind a FAILING masked texel falls back to the opaque layer."""
     hit, keep = masked_alpha_keep(vis_m, u_m, v_m, draw_object_m,
-                                  payload_base, pools, instances)
+                                  payload_base, pools, instances,
+                                  interpret=interpret)
     return hit & (depth_m > depth_o) & keep
 
 
@@ -361,6 +368,7 @@ def masked_alpha_keep(
     draw_object_m: jnp.ndarray,
     payload_base: int,
     pools, instances,
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-pixel masked alpha test -> (hit, alpha >= cutoff). Shared by
     the main masked bucket and the alpha-tested shadow raster (the
@@ -376,16 +384,15 @@ def masked_alpha_keep(
     # per-pixel scalar gathers draw->material->cutoff/factor/layer
     # measured ~30-43 ms/frame at 1080p; same pattern as
     # resolve_gbuffer_raster_rt's mat_table)
+    from .row_gather import gather_rows, pack_table
     mat_d = instances.object_material[draw_object_m]          # (cap_m,)
-    row_d = jnp.concatenate(
-        [pools.mat_alpha_cutoff[mat_d][:, None],
-         pools.mat_base_color[mat_d][:, 3:4],
-         pools.mat_base_tex[mat_d][:, None].astype(jnp.float32),
-         jnp.zeros((draw_object_m.shape[0], 13), jnp.float32)], axis=1)
-    rows = row_d[slot_safe]                                   # (H,W,16)
-    cutoff = rows[..., 0]
-    factor = rows[..., 1]
-    layer = rows[..., 2].astype(jnp.int32)
+    cm = pack_table([pools.mat_alpha_cutoff[mat_d],
+                     pools.mat_base_color[mat_d][:, 3],
+                     pools.mat_base_tex[mat_d].astype(jnp.int32)])
+    rows = gather_rows(cm, slot_safe, interpret=interpret)    # (16,H,W)
+    cutoff = jax.lax.bitcast_convert_type(rows[0], jnp.float32)
+    factor = jax.lax.bitcast_convert_type(rows[1], jnp.float32)
+    layer = rows[2]
 
     uv = jnp.stack([u_m, v_m], axis=-1)
     mip = texture_ops.mip_from_uv_density(uv, pools.tex_size)
@@ -408,6 +415,7 @@ def shade_blend_layer(
     sun: "SunLight",
     sun_shadow: jnp.ndarray = None,       # (H,W) 1 = lit
     ambient: jnp.ndarray = None,          # (H,W,3) or (1,1,3) AP1
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward-shade ONE depth-peeled translucent layer (the glTF Blend
     bucket, asset_gltf.h:55-59 / pipeline_filter.hlsl; NOTE the
@@ -423,19 +431,20 @@ def shade_blend_layer(
     slot_safe = jnp.maximum(slot, 0)
     # per-draw row table + ONE (H,W) 16-wide row gather (chained
     # per-pixel scalar gathers are ~10x the cost — see masked_alpha_keep)
+    from .row_gather import gather_rows, pack_table
     mat_d = instances.object_material[draw_object_b]          # (cap_b,)
-    row_d = jnp.concatenate(
-        [colorspace.srgb_to_acescg(
-            pools.mat_base_color[mat_d][:, :3]),              # 0:3 AP1
-         pools.mat_base_color[mat_d][:, 3:4],                 # 3
-         colorspace.srgb_to_acescg(pools.mat_emissive[mat_d]),  # 4:7 AP1
-         pools.mat_base_tex[mat_d][:, None].astype(jnp.float32),  # 7
-         jnp.zeros((draw_object_b.shape[0], 8), jnp.float32)], axis=1)
-    rows = row_d[slot_safe]                                   # (H,W,16)
-    alpha = rows[..., 3]
-    albedo = rows[..., 0:3]
-    emissive = rows[..., 4:7]
-    layer = rows[..., 7].astype(jnp.int32)
+    base_b = colorspace.srgb_to_acescg(pools.mat_base_color[mat_d][:, :3])
+    em_b = colorspace.srgb_to_acescg(pools.mat_emissive[mat_d])
+    cm = pack_table([base_b[:, 0], base_b[:, 1], base_b[:, 2],
+                     pools.mat_base_color[mat_d][:, 3],
+                     em_b[:, 0], em_b[:, 1], em_b[:, 2],
+                     pools.mat_base_tex[mat_d].astype(jnp.int32)])
+    rows = gather_rows(cm, slot_safe, interpret=interpret)    # (16,H,W)
+    _fb = lambda c: jax.lax.bitcast_convert_type(rows[c], jnp.float32)
+    alpha = _fb(3)
+    albedo = jnp.stack([_fb(0), _fb(1), _fb(2)], -1)
+    emissive = jnp.stack([_fb(4), _fb(5), _fb(6)], -1)
+    layer = rows[7]
     uv = jnp.stack([u_b, v_b], axis=-1)
     mip = texture_ops.mip_from_uv_density(uv, pools.tex_size)
     texel = texture_ops.sample_material_maps(

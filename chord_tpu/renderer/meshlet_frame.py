@@ -365,7 +365,7 @@ def render_shadow_cascade(
                 depth_m, vis_m = rts_m[0], rts_m[1]
                 hit_m, keep_m = shading.masked_alpha_keep(
                     vis_m, rts_m[5], rts_m[6], res_m.draws.object_id, 0,
-                    pools, instances)
+                    pools, instances, interpret=rc.interpret)
                 depth_m = jnp.where(hit_m & keep_m, depth_m, 0.0)
                 depth_i = jnp.maximum(depth_i, depth_m)
             return depth_i
@@ -568,7 +568,8 @@ def render_frame_meshlet(
             depth_opaque = depth
             accept = shading.alpha_mask_accept(
                 rt_m[1], rt_m[0], depth, rt_m[5], rt_m[6],
-                res_m.draws.object_id, base_m, pools, instances)
+                res_m.draws.object_id, base_m, pools, instances,
+                interpret=rc.interpret)
             rt = [jnp.where(accept, m_, o_) for m_, o_ in zip(rt_m, rt)]
             depth, vis = rt[0], rt[1]
         if mcfg.masked_layers >= 2:
@@ -583,7 +584,8 @@ def render_frame_meshlet(
                                          zclip=rt_m[0]))
                 accept_p = shading.alpha_mask_accept(
                     rt_p[1], rt_p[0], depth_opaque, rt_p[5], rt_p[6],
-                    res_m.draws.object_id, base_m, pools, instances)
+                    res_m.draws.object_id, base_m, pools, instances,
+                    interpret=rc.interpret)
                 accept_p = accept_p & ~accept
                 rt = [jnp.where(accept_p, m_, o_)
                       for m_, o_ in zip(rt_p, rt)]
@@ -605,6 +607,7 @@ def render_frame_meshlet(
             mip_dither_frame=(history.frame_count
                               if mcfg.trilinear and mcfg.textured
                               else None),
+            interpret=config.interpret,
             motion_div=mcfg.motion_res_div)
 
     with jax.named_scope("tsr.prepare"):
@@ -1046,7 +1049,7 @@ def render_frame_meshlet(
                 rt_b[1], rt_b[0], depth, rt_b[2], rt_b[3], rt_b[4],
                 rt_b[5], rt_b[6], res_b.draws.object_id, pools, instances,
                 sun_b, sun_shadow=sun_shadow,
-                ambient=ambient)
+                ambient=ambient, interpret=rc.interpret)
             hdr = hdr * (1.0 - b_alpha[..., None]) + \
                 b_col * b_alpha[..., None]
         stats["draws_blend"] = res_b.draws.count

@@ -86,6 +86,8 @@ def main():
                                 "r.raster.tileH": 256,
                                 "r.raster.subLoop": True}),
         "off_t192": (base, {"r.raster.tileH": 192}),
+        "off_t712": (base, {"r.raster.tileH": 712}),
+        "off_t360": (base, {"r.raster.tileH": 360}),
         "off_s16_bricks": (base, {"r.raster.subS": 16,
                                   "r.raster.tileH": 192,
                                   "r.raster.bricks": True}),
@@ -122,13 +124,14 @@ def main():
     real_accept = shading_ops.alpha_mask_accept
 
     def accept_depth_only(vis_m, depth_m, depth_o, u_m, v_m,
-                          draw_object_m, payload_base, pools, instances):
+                          draw_object_m, payload_base, pools, instances,
+                          **kw):
         from chord_tpu.ops.shading import unpack_visibility
         slot_g, _ = unpack_visibility(vis_m)
         return (slot_g - payload_base >= 0) & (depth_m > depth_o)
 
     def accept_none(vis_m, depth_m, depth_o, u_m, v_m, draw_object_m,
-                    payload_base, pools, instances):
+                    payload_base, pools, instances, **kw):
         return jnp.zeros(vis_m.shape, bool)
 
     patches = {
@@ -147,7 +150,7 @@ def main():
         return jnp.ones(layers.shape + (4,), jnp.float32)
 
     def keep_nogather(vis_m, u_m, v_m, draw_object_m, payload_base,
-                      pools, instances):
+                      pools, instances, **kw):
         # sampler with CONSTANT layer/factor — isolates the per-pixel
         # object->material->layer gather chain from the sampler itself
         from chord_tpu.ops.shading import unpack_visibility

@@ -39,10 +39,10 @@ def main():
         real_keep = shading_ops.masked_alpha_keep
 
         def keep_depth_only(vis_m, u_m, v_m, draw_object_m, payload_base,
-                            pools, instances):
+                            pools, instances, **kw):
             if payload_base != 0:
                 return real_keep(vis_m, u_m, v_m, draw_object_m,
-                                 payload_base, pools, instances)
+                                 payload_base, pools, instances, **kw)
             from chord_tpu.ops.shading import unpack_visibility
             slot_g, _ = unpack_visibility(vis_m)
             hit = slot_g - payload_base >= 0
