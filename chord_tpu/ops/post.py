@@ -155,14 +155,29 @@ def decimate(x: jnp.ndarray, k: int) -> jnp.ndarray:
 
 def upsample_nearest(x: jnp.ndarray, k, out_h: int, out_w: int
                      ) -> jnp.ndarray:
-    """k-x nearest upsample of (h,w[,c]) via stack+reshape (jnp.repeat
-    lowers to a multi-ms relayout on TPU; this is free). k may be an int
-    or an (kh, kw) pair."""
+    """k-x nearest upsample of (h,w[,c]) cropped to (out_h, out_w). k may
+    be an int or an (kh, kw) pair.
+
+    f32 routes through one-hot replication dot_generals (exact — each
+    output row/col has exactly one unit weight; the MXU relayout beats
+    the stack+reshape form the same way decimate's does). Other dtypes
+    use stack+reshape (jnp.repeat lowers to a multi-ms relayout on TPU)."""
     kh, kw = (k, k) if isinstance(k, int) else k
     squeeze = x.ndim == 2
     if squeeze:
         x = x[..., None]
     h, w, c = x.shape
+    if x.dtype == jnp.float32:
+        uh = jnp.zeros((out_h, h), jnp.float32).at[
+            jnp.arange(out_h), jnp.minimum(jnp.arange(out_h) // kh,
+                                           h - 1)].set(1.0)
+        uw = jnp.zeros((w, out_w), jnp.float32).at[
+            jnp.minimum(jnp.arange(out_w) // kw, w - 1),
+            jnp.arange(out_w)].set(1.0)
+        hi = jax.lax.Precision.HIGHEST
+        y = jnp.einsum("Hh,hwc->Hwc", uh, x, precision=hi)
+        y = jnp.einsum("Hwc,wW->HWc", y, uw, precision=hi)
+        return y[..., 0] if squeeze else y
     x = jnp.stack([x] * kh, 1).reshape(h * kh, w, c)
     x = jnp.stack([x] * kw, 2).reshape(h * kh, w * kw, c)
     x = x[:out_h, :out_w]

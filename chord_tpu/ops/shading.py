@@ -210,13 +210,19 @@ def resolve_gbuffer_raster_rt(
         slot_m, valid_m, pos_m, hm, wm = slot, valid, pos_tw, h, w
     # miss/sky pixels take the identity delta (pure camera reprojection);
     # clamping to draw 0 would leak that object's rigid motion into the
-    # background fed to TSR
-    dmat = delta_d[jnp.maximum(slot_m, 0)].reshape(hm, wm, 4, 4)
-    dmat = jnp.where(valid_m[..., None, None], dmat,
-                     jnp.eye(4, dtype=dmat.dtype))
-    prev_pos = (pos_m[..., 0:1] * dmat[..., 0, :3] +
-                pos_m[..., 1:2] * dmat[..., 1, :3] +
-                pos_m[..., 2:3] * dmat[..., 2, :3] + dmat[..., 3, :3])
+    # background fed to TSR. Row fetch via the row_gather bank-sweep
+    # kernel (the (H,W)x16 XLA gather was the resolve's biggest).
+    from .row_gather import gather_rows as _grows, pack_table as _ptab
+    dcm = _ptab([delta_d[:, i] for i in range(16)])
+    dpl = _grows(dcm, slot_m, interpret=interpret)
+    _d = lambda i: jax.lax.bitcast_convert_type(dpl[i], jnp.float32)
+    px_, py_, pz_ = pos_m[..., 0], pos_m[..., 1], pos_m[..., 2]
+    prev_pos = jnp.stack(
+        [px_ * _d(0) + py_ * _d(4) + pz_ * _d(8) + _d(12),
+         px_ * _d(1) + py_ * _d(5) + pz_ * _d(9) + _d(13),
+         px_ * _d(2) + py_ * _d(6) + pz_ * _d(10) + _d(14)], -1)
+    # identity delta for misses == pure camera reprojection
+    prev_pos = jnp.where(valid_m[..., None], prev_pos, pos_m)
     motion = project_xy(pos_m, tw_to_clip) - \
         project_xy(prev_pos, prev_tw_to_clip)
     if motion_div > 1:
