@@ -26,22 +26,27 @@ import numpy as np
 
 NORTH_STAR_MS = 16.6   # BASELINE.json
 
-# Feature levels for the measurement ladder (see bench_frame).
+# Feature levels for the measurement ladder (see bench_frame). "pbr"
+# turns on per-pixel normal-map + metallic-roughness-map sampling — the
+# reference's lighting pass pays this for essentially every material
+# (reference material.hlsli:93-117), so every textured rung does too
+# (VERDICT r4 "make all mean all").
 FEATURE_LEVELS = {
     "all": dict(shadows=True, atmosphere=True, gi=True, textured=True,
-                shadow_masked=True, trilinear=True),
+                shadow_masked=True, trilinear=True, pbr=True),
     "no_tril": dict(shadows=True, atmosphere=True, gi=True, textured=True,
-                    shadow_masked=True, trilinear=False),
+                    shadow_masked=True, trilinear=False, pbr=True),
     "no_masked_shadow": dict(shadows=True, atmosphere=True, gi=True,
                              textured=True, shadow_masked=False,
-                             trilinear=False),
+                             trilinear=False, pbr=True),
     "geo_shadow_atmo": dict(shadows=True, atmosphere=True, gi=False,
                             textured=True, shadow_masked=True,
-                            trilinear=False),
+                            trilinear=False, pbr=True),
     "geo_tex": dict(shadows=False, atmosphere=False, gi=False,
-                    textured=True, shadow_masked=False, trilinear=False),
+                    textured=True, shadow_masked=False, trilinear=False,
+                    pbr=True),
     "off": dict(shadows=False, atmosphere=False, gi=False, textured=False,
-                shadow_masked=False, trilinear=False),
+                shadow_masked=False, trilinear=False, pbr=False),
 }
 # Climb SAFEST FIRST (r3 postmortem: richest-first burned the whole driver
 # window on crashing rungs and recorded nothing). A floor number lands
@@ -52,8 +57,8 @@ FALLBACKS = ["no_tril", "no_masked_shadow"]
 LADDER = list(FEATURE_LEVELS)
 
 
-_SCENE_CACHE_V = 2   # bump when builder/pool layout changes (v2: compressed
-                     # texture pool became the default)
+_SCENE_CACHE_V = 3   # bump when builder/pool layout changes (v3: normal +
+                     # metallic-roughness maps joined the bench pool)
 
 
 def _make_scene(scene, detail, target_tris):
@@ -171,6 +176,7 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
         ssr=lvl["gi"],
         textured=lvl["textured"], alpha_masked=lvl["textured"],
         alpha_blend=lvl["textured"],
+        normal_mapped=lvl["pbr"], pbr_textures=lvl["pbr"],
         shadow_masked=lvl["shadow_masked"],
         trilinear=lvl["trilinear"],
         probe_cfg=ScreenProbeConfig(rays=16, steps=6))

