@@ -160,7 +160,17 @@ def main() -> int:
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="write a jax.profiler trace (the Tracy/GPU-"
                          "timestamp analog: every pass is a named_scope)")
+    ap.add_argument("--stats", action="store_true",
+                    help="print a per-pass device-ms table + draw stats "
+                         "after rendering (the reference's System-widget "
+                         "GPU timer readout, application/flower/widget/"
+                         "viewport.cpp:159 + graphics/query.cpp). Implies "
+                         "a profiler trace to a temp dir if --trace is "
+                         "not given.")
     args = ap.parse_args()
+    if args.stats and not args.trace:
+        import tempfile
+        args.trace = tempfile.mkdtemp(prefix="chord_viewer_trace_")
 
     if args.cpu:
         import jax
@@ -218,9 +228,33 @@ def main() -> int:
     with trace_cm:
         _render_loop(args, b, cam, cam_pos, target, r, pools, images,
                      out_dir, log)
+    if args.stats:
+        _print_stats(args, log)
     if args.gif and len(images) > 1:
         _write_gif(images, out_dir, log)
     return 0
+
+
+def _print_stats(args, log):
+    """Per-pass device-ms table from the captured trace (the flower
+    System widget's job: labeled per-pass GPU timings every frame)."""
+    import os
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    try:
+        from profile_trace import aggregate
+        by_scope, _bl, _c, total = aggregate(args.trace)
+    except Exception as e:  # noqa: BLE001 — stats are best-effort
+        log.warning("stats: no usable trace (%s)", e)
+        return
+    div = max(args.frames, 1) * 1000.0
+    print(f"== per-pass device ms/frame (total {total / div:.2f}) ==")
+    for scope, us in by_scope.most_common(25):
+        if scope in ("?", ""):
+            continue
+        print(f"{us / div:8.3f}  {scope}")
 
 
 def _render_loop(args, b, cam, cam_pos, target, r, pools, images, out_dir,

@@ -131,9 +131,29 @@ def _camera_path(scene, cam, frames):
     return views
 
 
+def _ssim_gray(a: np.ndarray, b: np.ndarray) -> float:
+    """Global grayscale SSIM on display-scale [0,255] RGB frames (the
+    bench-level quality gate; tests/test_golden.py has the windowed
+    variant)."""
+    ga = a.astype(np.float64).mean(-1) / 255.0
+    gb = b.astype(np.float64).mean(-1) / 255.0
+    mu_a, mu_b = ga.mean(), gb.mean()
+    cov = ((ga - mu_a) * (gb - mu_b)).mean()
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    return float(((2 * mu_a * mu_b + c1) * (2 * cov + c2)) /
+                 ((mu_a ** 2 + mu_b ** 2 + c1) *
+                  (ga.var() + gb.var() + c2)))
+
+
 def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
                 render_scale=1.0, features="all",
-                target_tris=2_600_000, draw_capacity=6144):
+                target_tris=2_600_000, draw_capacity=2048,
+                quality=False, trace=False):
+    # Capacities are right-sized to the measured fly-through maxima + ~2x
+    # headroom (r5 device audit: draws_phase0 <= 1029, masked <= 53,
+    # phase1 <= 36 across all 16 frames) — the mesh-shader setup, draw
+    # expansion and bin scans are CAPACITY-proportional, so slack is pure
+    # cost. Overflow stays a recorded hard failure (rung_log shows it).
     import functools
 
     import jax
@@ -150,11 +170,15 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
 
     rw = int(width * render_scale) // 8 * 8
     rh = int(height * render_scale) // 8 * 8
+    if rw > 1280:
+        # 4K: the 1px-error Nanite cut draws ~2-4x the meshlets
+        draw_capacity = max(draw_capacity, 4096)
     cam = Camera(width=rw, height=rh)
     config = RendererConfig(width=rw, height=rh,
                             post_width=width if render_scale != 1.0 else 0,
                             post_height=height if render_scale != 1.0 else 0,
-                            pair_capacity=16384, big_capacity=64,
+                            pair_capacity=8192 if rw <= 1280 else 16384,
+                            big_capacity=64,
                             enable_bloom=True, enable_tsr=True,
                             tsr_mode="global")
     # Feature degradation ladder (richest first; the orchestrator walks
@@ -170,7 +194,8 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
     #   off              geometry + post only
     lvl = FEATURE_LEVELS[features]
     mcfg = MeshletFrameConfig(
-        draw_capacity=draw_capacity, occlusion=True,
+        draw_capacity=draw_capacity, masked_draw_capacity=256,
+        occlusion=True,
         shadows=lvl["shadows"], atmosphere=lvl["atmosphere"],
         gi=lvl["gi"], gi_mode="probe", gi_rt=lvl["gi"], rt_rays=2,
         ssr=lvl["gi"],
@@ -258,7 +283,79 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
     overflow = {k: int(np.asarray(v)) for k, v in stats.items()
                 if "overflow" in k}
 
+    extra = {}
+    if quality:
+        # Quality gate (VERDICT r4 next #3): re-render the SAME sequence
+        # with every mid-path approximation off — per-pixel (gather) TSR
+        # + GI-history reprojection, no scrolled cascades — and record
+        # SSIM of the final frames + both mean luminances. A black,
+        # ghosted or smeared frame can no longer record a great number
+        # silently.
+        config_x = config._replace(tsr_mode="gather")
+        mcfg_x = mcfg._replace(
+            shadow_cfg=mcfg.shadow_cfg._replace(scroll=False))
+        if mcfg.probe_cfg is not None and lvl["gi"]:
+            mcfg_x = mcfg_x._replace(
+                probe_cfg=mcfg.probe_cfg._replace(history_mode="gather"))
+        fn_x = jax.jit(functools.partial(
+            render_sequence_meshlet, config=config_x, mcfg=mcfg_x,
+            bvh=bvh))
+        imgs_x, _ = fn_x(pools, inst, views_stacked, history)
+        a = np.asarray(images[-1])
+        bx = np.asarray(imgs_x[-1])
+        extra["quality"] = {
+            "ssim_vs_exact": round(_ssim_gray(a, bx), 4),
+            "mean_luma": round(float(a.mean()), 4),
+            "mean_luma_exact": round(float(bx.mean()), 4),
+        }
+    if trace:
+        # per-pass device-time table (VERDICT r4 missing #1 / next #5):
+        # the reference surfaces labeled per-pass GPU ms every frame
+        # (graphics/query.cpp:5-124); here a jax.profiler trace of the
+        # timed sequence aggregated by named_scope label lands in the
+        # artifact so a pass-level regression is localizable from
+        # BENCH_r*.json alone.
+        import os
+        import tempfile
+        td = tempfile.mkdtemp(prefix="chord_trace_")
+        try:
+            with jax.profiler.trace(td):
+                imgs_t, _ = fn(pools, inst, views_stacked, history)
+                _ = jax.device_get(imgs_t[-1, :1, :1])
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tools"))
+            from profile_trace import aggregate
+            by_scope, _bl, _c, _tot = aggregate(td)
+            pass_ms = {k: round(v / frames / 1000.0, 3)
+                       for k, v in by_scope.most_common(30)
+                       if k not in ("?", "")}
+            extra["pass_ms"] = pass_ms
+            # coarse roofline: bytes-touched estimates for the screen-
+            # space passes (planes x H x W x 4B at the res they run at),
+            # achieved GB/s vs the chip's ~819 GB/s HBM peak -> is the
+            # pass bandwidth-bound or leaving the memory system idle
+            pw = width if render_scale != 1.0 else rw
+            ph = height if render_scale != 1.0 else rh
+            est_bytes = {
+                # 7 raster RT planes read + written + pair DMA
+                "raster.phase0": 14 * rw * rh * 4,
+                "gbuffer_resolve": 17 * rw * rh * 4,
+                "tsr": 10 * pw * ph * 4,
+                "shadow.evaluate": 3 * rw * rh * 4,
+                "hzb.final": 3 * rw * rh * 4,
+            }
+            roof = {}
+            for k, nbytes in est_bytes.items():
+                if k in pass_ms and pass_ms[k] > 0:
+                    gbs = nbytes / (pass_ms[k] / 1e3) / 1e9
+                    roof[k] = {"est_gb_per_s": round(gbs, 1),
+                               "pct_hbm_peak": round(gbs / 819 * 100, 1)}
+            extra["pass_roofline"] = roof
+        except Exception as e:  # noqa: BLE001 — trace is best-effort
+            extra["pass_ms_error"] = str(e)[:200]
+
     return {
+        **extra,
         "ms_per_frame": ms,
         # drawn-tri rate through the raster (post-LOD: what the kernel
         # actually shaded) AND the source-geometry rate (what a fixed-
@@ -278,7 +375,7 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
     }
 
 
-def _run_rung(args, feat, timeout_s):
+def _run_rung(args, feat, timeout_s, extra_flags=()):
     """Run one ladder rung in a fresh child process (a worker fault
     poisons the in-process jax client). -> (record dict or None, note)."""
     import subprocess
@@ -288,7 +385,7 @@ def _run_rung(args, feat, timeout_s):
            "--detail", str(args.detail), "--frames", str(args.frames),
            "--scene", args.scene, "--target-tris", str(args.target_tris),
            "--render-scale", str(args.render_scale),
-           "--features", feat, "--skip-secondary"]
+           "--features", feat, "--skip-secondary", *extra_flags]
     try:
         p = subprocess.run(cmd, capture_output=True, text=True,
                            timeout=timeout_s)
@@ -328,8 +425,23 @@ def _orchestrate(args) -> int:
             if best is not None and left < 120:
                 rung_log[feat] = "skipped: budget"
                 continue
+            # quality gate on the floor + headline rungs; per-pass trace
+            # on the headline (both budget-gated: they add a compile +
+            # run each)
+            flags = []
+            if feat in ("off", "all") and left > 600:
+                flags.append("--quality")
+            if feat == "all" and left > 600:
+                flags.append("--trace")
             rec, note = _run_rung(args, feat,
-                                  min(args.child_timeout, max(left, 180)))
+                                  min(args.child_timeout, max(left, 180)),
+                                  extra_flags=flags)
+            if rec is None and flags:
+                # never lose a rung to the instrumentation: one retry bare
+                rec, note = _run_rung(
+                    args, feat,
+                    min(args.child_timeout,
+                        max(args.budget_s - (time.time() - t_start), 180)))
             if rec is None:
                 rung_log[feat] = note
                 print(f"[ladder] {feat}: {note}", file=sys.stderr)
@@ -386,6 +498,31 @@ def _orchestrate(args) -> int:
                 best["detail"]["ms_4k"] = rec4["value"]
                 best["detail"]["mtris_per_s_4k"] = \
                     rec4["detail"].get("mtris_per_s")
+        # raster CAPABILITY record (BASELINE asks for "Mtris/s through
+        # visbuffer raster"; the frame's drawn rate is a workload
+        # statement — this is the saturation number, VERDICT r4 next #7)
+        left = args.budget_s - (time.time() - t_start)
+        if left > 240:
+            import os
+            import subprocess
+            try:
+                p = subprocess.run(
+                    [sys.executable,
+                     os.path.join(os.path.dirname(os.path.abspath(
+                         __file__)), "tools", "bench_raster_peak.py"),
+                     "--width", "1280", "--height", "720"],
+                    capture_output=True, text=True,
+                    timeout=min(left - 60, 600),
+                    cwd=os.path.dirname(os.path.abspath(__file__)))
+                lines = [ln for ln in p.stdout.splitlines()
+                         if ln.startswith('{"raster_peak"')]
+                if lines:
+                    best["detail"]["raster_peak"] = \
+                        json.loads(lines[-1])["raster_peak"]
+                else:
+                    rung_log["raster_peak"] = "no output"
+            except Exception as e:   # noqa: BLE001 — capability record
+                rung_log["raster_peak"] = str(e)[:120]
         emit(best)
         return 0
     print(json.dumps({
@@ -416,6 +553,13 @@ def main():
                          "headline runs upscaled too). 1.0 = native.")
     ap.add_argument("--skip-secondary", action="store_true",
                     help="skip the feature-off secondary measurement")
+    ap.add_argument("--quality", action="store_true",
+                    help="record SSIM vs the exact-path render (gather "
+                         "TSR/GI reprojection, no scrolled cascades)")
+    ap.add_argument("--trace", action="store_true",
+                    help="record a per-pass device-time table via "
+                         "jax.profiler (the reference's GPU timestamp "
+                         "table, graphics/query.cpp)")
     ap.add_argument("--child-timeout", type=int, default=1000,
                     help="per-rung child process timeout (s)")
     ap.add_argument("--budget-s", type=int, default=3300,
@@ -431,7 +575,8 @@ def main():
         r = bench_frame(args.width, args.height, args.detail, args.frames,
                         scene=args.scene, render_scale=args.render_scale,
                         features=args.features,
-                        target_tris=args.target_tris)
+                        target_tris=args.target_tris,
+                        quality=args.quality, trace=args.trace)
         detail = {k: (round(v, 3) if isinstance(v, float) else v)
                   for k, v in r.items()}
         # secondary: feature-off geometry-path number (skipped if the

@@ -215,6 +215,30 @@ def load_gltf(path: str | Path, texture_pool=None) -> GLTFScene:
             if "TEXCOORD_0" in attrs:
                 uv = _read_accessor(doc, buffers, attrs["TEXCOORD_0"]).astype(
                     np.float32)
+            # stream parity with the reference importer
+            # (asset/gltf/asset_gltf.h:260-287): TANGENT / TEXCOORD_1 /
+            # COLOR_0 were previously dropped silently on import
+            tan = None
+            if "TANGENT" in attrs:
+                tan = _read_accessor(doc, buffers,
+                                     attrs["TANGENT"]).astype(np.float32)
+            uv1 = None
+            if "TEXCOORD_1" in attrs:
+                uv1 = _read_accessor(doc, buffers,
+                                     attrs["TEXCOORD_1"]).astype(np.float32)
+            col0 = None
+            if "COLOR_0" in attrs:
+                col0 = _read_accessor(doc, buffers, attrs["COLOR_0"])
+                # u8/u16 colors are normalized per spec; VEC3 pads alpha
+                if col0.dtype == np.uint8:
+                    col0 = col0.astype(np.float32) / 255.0
+                elif col0.dtype == np.uint16:
+                    col0 = col0.astype(np.float32) / 65535.0
+                else:
+                    col0 = col0.astype(np.float32)
+                if col0.shape[-1] == 3:
+                    col0 = np.concatenate(
+                        [col0, np.ones((len(col0), 1), np.float32)], -1)
             if "indices" in prim:
                 idx = _read_accessor(doc, buffers, prim["indices"])
                 idx = idx.astype(np.int64).reshape(-1, 3).astype(np.int32)
@@ -222,6 +246,7 @@ def load_gltf(path: str | Path, texture_pool=None) -> GLTFScene:
                 idx = np.arange(len(pos), dtype=np.int32).reshape(-1, 3)
             scene.meshes.append(MeshData(
                 positions=pos, indices=idx, normals=nrm, uv0=uv,
+                tangents=tan, uv1=uv1, color0=col0,
                 name=mesh.get("name", f"mesh{len(scene.meshes)}")))
             scene.mesh_material.append(prim.get("material", 0))
             prim_ids.append(len(scene.meshes) - 1)

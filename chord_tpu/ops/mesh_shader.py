@@ -12,23 +12,28 @@ One grid step = one visible draw (instance, meshlet):
 - run the full homogeneous triangle setup (Olano-Greer cofactors, culls,
   depth planes, attribute planes, pixel bbox — the same math as
   ops/raster.py setup_triangles) on (1,128) lanes,
-- write one (40,128) coefficient block consumed directly by the raster
-  kernel.
+- write one (128, 32) triangle-major coefficient block consumed directly
+  by the raster kernel (transposed ONCE here, per window — the r4 layout
+  made the raster kernel transpose per PAIR at ~2.6us each) plus an
+  (8, 128) metadata block (valid + pixel bbox) for the host-side
+  window-bbox / sub-bounds reductions.
 
 Work is proportional to the ACTUAL draw count: slack grid steps skip the
 math and emit poison blocks. This replaces the XLA expand_draws +
 setup_triangles pair whose cost scaled with draw CAPACITY (gathers +
 full-size elementwise chains).
 
-Coefficient row layout (R = 40):
+Coefficient lane layout (R = 32, one row per triangle):
     0-4    λ0a λ1a λ2a Na Da        (x coefficients of the 5 raster planes)
     5-9    *b                        (y coefficients)
     10-14  *c                        (constants, pixel-center folded)
     15     payload u32 (slot+1):25 | tri:7
     16-30  attribute numerator planes: 5 attrs x (a,b,c)
-    31     valid flag (f32 0/1)
-    32-35  pixel bbox ix0, iy0, ix1, iy1 (f32, clamped to screen)
-    36-39  pad
+    31     pad
+Meta row layout (8 rows, lanes = triangles):
+    0      valid flag (f32 0/1)
+    1-4    pixel bbox ix0, iy0, ix1, iy1 (f32, clamped to screen)
+    5-7    pad
 """
 
 from __future__ import annotations
@@ -41,13 +46,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .raster import TriangleSetup, WINDOW, _sub_bounds
+from .raster import COEF_LANES, TriangleSetup, WINDOW, _sub_bounds
 
-COEF_ROWS = 40
+COEF_ROWS = 32
+META_ROWS = 8
+
+_POISON_COEF = np.zeros(COEF_LANES, np.uint32)
+_POISON_COEF[10:13] = np.float32(-1.0).view(np.uint32)
 
 
 def _mesh_shader_kernel(dm_ref, tcnt_ref, count_ref,
-                        mat_ref, pos_ref, attr_ref, coef_ref,
+                        mat_ref, pos_ref, attr_ref, coef_ref, meta_ref,
                         *, width: int, height: int, payload_base: int,
                         backface_cull: bool, sort_tris: bool):
     i = pl.program_id(0)
@@ -55,12 +64,17 @@ def _mesh_shader_kernel(dm_ref, tcnt_ref, count_ref,
     eps_w = 1e-6
     f32 = jnp.float32
     bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)
-    neg1 = np.float32(-1.0).view(np.uint32).item()
 
     @pl.when(i >= count)
     def _poison():
-        coef_ref[:] = jnp.zeros((COEF_ROWS, WINDOW), jnp.uint32)
-        coef_ref[10:13, :] = jnp.full((3, WINDOW), neg1, jnp.uint32)
+        # poison block without a captured array constant (Mosaic kernels
+        # cannot close over device arrays): λc lanes 10..12 = -1.0f
+        neg1 = np.float32(-1.0).view(np.uint32).item()
+        lane_c = jax.lax.broadcasted_iota(jnp.int32,
+                                          (WINDOW, COEF_LANES), 1)
+        coef_ref[:] = jnp.where((lane_c >= 10) & (lane_c < 13),
+                                jnp.uint32(neg1), jnp.uint32(0))
+        meta_ref[:] = jnp.zeros((META_ROWS, WINDOW), jnp.uint32)
 
     @pl.when(i < count)
     def _work():
@@ -199,19 +213,17 @@ def _mesh_shader_kernel(dm_ref, tcnt_ref, count_ref,
                 plane = (attr_k[0] * l0[comp] + attr_k[1] * l1[comp] +
                          attr_k[2] * l2[comp])
                 out_rows.append(bc(plane * validf))
-            elif r == 31:
-                out_rows.append(bc(validf))
-            elif r == 32:
-                out_rows.append(bc(jnp.where(valid, ix0, 1e9)))
-            elif r == 33:
-                out_rows.append(bc(jnp.where(valid, iy0, 1e9)))
-            elif r == 34:
-                out_rows.append(bc(jnp.where(valid, ix1, -1.0)))
-            elif r == 35:
-                out_rows.append(bc(jnp.where(valid, iy1, -1.0)))
             else:
                 out_rows.append(jnp.zeros((1, WINDOW), jnp.uint32))
         blk = jnp.concatenate(out_rows, axis=0)            # (R, 128) u32
+        meta = jnp.concatenate(
+            [bc(validf),
+             bc(jnp.where(valid, ix0, 1e9)),
+             bc(jnp.where(valid, iy0, 1e9)),
+             bc(jnp.where(valid, ix1, -1.0)),
+             bc(jnp.where(valid, iy1, -1.0)),
+             jnp.zeros((META_ROWS - 5, WINDOW), jnp.uint32)],
+            axis=0)                                        # (8, 128) u32
 
         if sort_tris:
             # In-window counting sort by (invalid, y-bucket, x-bucket):
@@ -248,17 +260,25 @@ def _mesh_shader_kernel(dm_ref, tcnt_ref, count_ref,
             lane = jax.lax.broadcasted_iota(
                 jnp.int32, (1, WINDOW), 1).astype(jnp.float32)
             perm = (rank == lane).astype(jnp.float32)        # P[i,r]
-            blk_i = jax.lax.bitcast_convert_type(blk, jnp.int32)
-            hi = jax.lax.shift_right_logical(blk_i, 16).astype(jnp.float32)
-            lo = (blk_i & 0xFFFF).astype(jnp.float32)
+            # coef + meta ride the same permutation (meta rows must stay
+            # aligned with their triangles)
+            both_i = jax.lax.bitcast_convert_type(
+                jnp.concatenate([blk, meta], axis=0), jnp.int32)
+            hi = jax.lax.shift_right_logical(both_i, 16).astype(jnp.float32)
+            lo = (both_i & 0xFFFF).astype(jnp.float32)
             ph = jax.lax.dot(hi, perm,
                              precision=jax.lax.Precision.HIGHEST)
             plo = jax.lax.dot(lo, perm,
                               precision=jax.lax.Precision.HIGHEST)
-            blk = jax.lax.bitcast_convert_type(
+            both = jax.lax.bitcast_convert_type(
                 jax.lax.shift_left(ph.astype(jnp.int32), 16) |
                 plo.astype(jnp.int32), jnp.uint32)
-        coef_ref[:, :] = blk
+            blk = both[:COEF_ROWS]
+            meta = both[COEF_ROWS:]
+        # transposed triangle-major block; lanes COEF_ROWS..127 exist only
+        # for DMA alignment and are never read — left unwritten
+        coef_ref[:, 0:COEF_ROWS] = jnp.transpose(blk)      # (128, R)
+        meta_ref[:, :] = meta
 
 
 def mesh_shader_setup(
@@ -276,9 +296,11 @@ def mesh_shader_setup(
 ) -> TriangleSetup:
     """Run the mesh-shader kernel -> TriangleSetup for bin_windows/raster.
 
-    The returned coefT already contains attribute planes (R=40), so
-    RasterConfig must have with_attrs=True. sort_tris compacts + spatially
-    sorts each window in-kernel (see _mesh_shader_kernel)."""
+    The returned coefT is triangle-major ((cap+1)*128, 32) and already
+    contains attribute planes; a depth-only RasterConfig (with_attrs=
+    False) simply DMAs the first 16 lanes of each block. sort_tris
+    compacts + spatially sorts each window in-kernel
+    (see _mesh_shader_kernel)."""
     cap = capacity
     n_meshlets = pools.meshlet_sphere.shape[0]
     slot = jnp.arange(cap, dtype=jnp.int32)
@@ -309,45 +331,49 @@ def mesh_shader_setup(
             pl.BlockSpec((16, WINDOW), lambda i, dm, tc, ct:
                          (0, dm[i]), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((COEF_ROWS, WINDOW),
-                               lambda i, dm, tc, ct: (0, i),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((WINDOW, COEF_LANES),
+                         lambda i, dm, tc, ct: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((META_ROWS, WINDOW),
+                         lambda i, dm, tc, ct: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
     )
-    coefT = pl.pallas_call(
+    coefT, metaT = pl.pallas_call(
         functools.partial(_mesh_shader_kernel, width=width, height=height,
                           payload_base=payload_base,
                           backface_cull=backface_cull, sort_tris=sort_tris),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((COEF_ROWS, cap * WINDOW),
-                                       jnp.uint32),
+        out_shape=[jax.ShapeDtypeStruct((cap * WINDOW, COEF_LANES),
+                                        jnp.uint32),
+                   jax.ShapeDtypeStruct((META_ROWS, cap * WINDOW),
+                                        jnp.uint32)],
         interpret=interpret or jax.default_backend() == "cpu",
     )(dm, tcnt, jnp.asarray([draws.count], jnp.int32).reshape(1),
       mats, pools.mv_posT, pools.mv_attrT)
 
-    # window bbox / validity from the kernel's bbox rows (+ poison window
+    # window bbox / validity from the kernel's meta rows (+ poison window
     # appended so slack raster pairs have a block to point at)
     f = lambda r: jax.lax.bitcast_convert_type(
-        coefT[r].reshape(cap, WINDOW), jnp.float32)
-    valid = f(31) > 0.5
-    wx0 = jnp.where(valid, f(32), 1e9).min(1).astype(jnp.int32)
-    wy0 = jnp.where(valid, f(33), 1e9).min(1).astype(jnp.int32)
-    wx1 = jnp.where(valid, f(34), -1.0).max(1).astype(jnp.int32)
-    wy1 = jnp.where(valid, f(35), -1.0).max(1).astype(jnp.int32)
+        metaT[r].reshape(cap, WINDOW), jnp.float32)
+    valid = f(0) > 0.5
+    wx0 = jnp.where(valid, f(1), 1e9).min(1).astype(jnp.int32)
+    wy0 = jnp.where(valid, f(2), 1e9).min(1).astype(jnp.int32)
+    wx1 = jnp.where(valid, f(3), -1.0).max(1).astype(jnp.int32)
+    wy1 = jnp.where(valid, f(4), -1.0).max(1).astype(jnp.int32)
     window_valid = valid.any(1)
     window_bbox = jnp.stack([wx0, wy0, wx1, wy1], 0)
     big_i = jnp.int32(1 << 29)
     vflat = valid.reshape(-1)
     iv = lambda r, pois: jnp.where(
         vflat, f(r).reshape(-1).astype(jnp.int32), pois)
-    sub_bounds = _sub_bounds(iv(33, big_i), iv(35, -1),
-                             iv(32, big_i), iv(34, -1), cap, sub_s)
+    sub_bounds = _sub_bounds(iv(2, big_i), iv(4, -1),
+                             iv(1, big_i), iv(3, -1), cap, sub_s)
 
-    neg1 = np.float32(-1.0).view(np.uint32)
-    poison_np = np.zeros(COEF_ROWS, np.uint32)
-    poison_np[10:13] = neg1
     coefT = jnp.concatenate(
-        [coefT, jnp.broadcast_to(jnp.asarray(poison_np)[:, None],
-                                 (COEF_ROWS, WINDOW))], axis=1)
+        [coefT, jnp.broadcast_to(jnp.asarray(_POISON_COEF)[None, :],
+                                 (WINDOW, COEF_LANES))], axis=0)
     return TriangleSetup(coefT=coefT, window_bbox=window_bbox,
                          window_valid=window_valid,
                          valid=valid.reshape(-1), sub_bounds=sub_bounds)

@@ -46,6 +46,11 @@ from jax.experimental.pallas import tpu as pltpu
 WINDOW = 128   # triangles per window == meshlet max tris == kernel block
 BRICK_W = 32   # brick-layout x extent (lanes per brick)
 BRICK_H = 4    # brick-layout y extent (y-rows folded into lanes)
+COEF_LANES = 128   # stored coefficient-lane width of a triangle-major
+                   # block: the HBM layout pads the minor dim to the
+                   # 128 tile anyway, and Mosaic only DMAs full-width
+                   # lane slices — so the pad is explicit (lanes
+                   # coef_rows..127 are never read)
 
 
 class RasterConfig(NamedTuple):
@@ -116,10 +121,12 @@ class RasterConfig(NamedTuple):
 
     @property
     def coef_rows(self) -> int:
-        # 40-row layout shared with the mesh-shader kernel
-        # (ops/mesh_shader.py): 15 raster planes + payload + 15 attr
-        # planes + valid + 4 bbox + pad
-        return 40 if self.with_attrs else 16
+        # coefficient lanes per triangle, shared with the mesh-shader
+        # kernel (ops/mesh_shader.py): 15 raster planes + payload + 15
+        # attr planes + pad (valid/bbox metadata rides a separate meta
+        # array — the raster kernel never read it, so since r5 it is not
+        # DMA'd per pair either)
+        return 32 if self.with_attrs else 16
 
     @property
     def tiles_x(self) -> int:
@@ -148,18 +155,20 @@ class TriangleSetup:
     Coverage: λ0>=0 & λ1>=0 & λ2>=0 & D>0 & 0<N<=D (the near plane becomes
     a pixel test).
 
-    coef16 row layout (one row per triangle):
+    coef16 lane layout (one row per triangle, coefficients on lanes):
     [λ0a,λ1a,λ2a,Na,Da, λ0b,λ1b,λ2b,Nb,Db, λ0c,λ1c,λ2c,Nc,Dc, payload]
     where each linear function evaluates as f(p) = fa*px + fb*py + fc.
-    Rows are uint32 (f32 bit patterns + raw payload bits — payload bits
-    would be denormal-flushed if they ever existed as f32). The kernel
-    consumes the TRANSPOSE (16, T+pad) so one window = one (16,128) block.
+    Entries are uint32 (f32 bit patterns + raw payload bits — payload bits
+    would be denormal-flushed if they ever existed as f32). One window =
+    the contiguous (128, R) row slice [w*128:(w+1)*128, :] — exactly the
+    triangles-on-sublanes shape the raster kernel's inner loop consumes,
+    so the per-pair DMA is contiguous and transpose-free.
 
     Windows: triangle i belongs to window i // 128. window_bbox is the
     union pixel bbox of the window's valid triangles.
     """
 
-    coefT: jnp.ndarray         # (16, (D+1)*128) u32 coefficient-major
+    coefT: jnp.ndarray         # ((D+1)*128, R) u32 triangle-major
     window_bbox: jnp.ndarray   # (4, D) i32 [x0,y0,x1,y1] inclusive
     window_valid: jnp.ndarray  # (D,) bool — any valid triangle
     valid: jnp.ndarray         # (T,) bool per-triangle
@@ -279,10 +288,13 @@ def setup_triangles(
 
     payload = jnp.where(valid, payload, jnp.uint32(0))
     bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)
-    # Coefficient-major (R, T): each row is one coefficient over all
-    # triangles — a window is the ALIGNED (R, 128) column slice
-    # [:, w*128:(w+1)*128], DMA-able on TPU (minor dim 128-tiled; a
-    # triangle-major (T,R) layout is not sliceable by window).
+    # Triangle-major (T, R): one row per triangle, coefficients on lanes —
+    # a window is the contiguous (128, R) row slice [w*128:(w+1)*128, :],
+    # which the raster kernel DMAs straight into the (tris-on-sublanes)
+    # shape its inner loop consumes. (r4 layout was coefficient-major
+    # (R, T) + a per-PAIR in-kernel transpose; the r5 device decomposition
+    # put that DMA+transpose at ~2.6us/pair — moving the transpose to the
+    # producer makes it per-WINDOW and the DMA contiguous.)
     rows = [bc(l0[0]), bc(l1[0]), bc(l2[0]), bc(N[0]), bc(D[0]),
             bc(l0[1]), bc(l1[1]), bc(l2[1]), bc(N[1]), bc(D[1]),
             bc(l0[2]), bc(l1[2]), bc(l2[2]), bc(N[2]), bc(D[2]),
@@ -291,7 +303,7 @@ def setup_triangles(
     if config.with_attrs:
         assert attrs is not None and attrs.shape[1] == 5, \
             "with_attrs needs (V,5) attributes (nx,ny,nz,u,v)"
-    if n_rows == 40:
+    if n_rows > 16:
         # Attribute numerator planes: attr(p) = (Σ λ_i a_i)(p) / Σ λ_i(p);
         # each plane = a0*l0 + a1*l1 + a2*l2, componentwise over (a,b,c)
         # (the in-rasterizer analog of the reference's attribute
@@ -307,26 +319,22 @@ def setup_triangles(
                     rows.append(bc(plane))
         else:
             rows.extend([jnp.zeros_like(payload)] * 15)
-        # rows 31-35: valid flag + per-triangle pixel bbox (the tri
-        # kernel's skip test / brick bounds; layout matches
-        # ops/mesh_shader.py rows 31-35)
-        rows.append(bc(valid.astype(jnp.float32)))
-        rows.append(bc(jnp.where(valid, ix0.astype(jnp.float32), 1e9)))
-        rows.append(bc(jnp.where(valid, iy0.astype(jnp.float32), 1e9)))
-        rows.append(bc(jnp.where(valid, ix1.astype(jnp.float32), -1.0)))
-        rows.append(bc(jnp.where(valid, iy1.astype(jnp.float32), -1.0)))
         while len(rows) < n_rows:
             rows.append(jnp.zeros_like(payload))   # pad to coef_rows
-    coefT = jnp.stack(rows, axis=0)                              # (R,T) u32
+    coefT = jnp.stack(rows, axis=-1)                             # (T,R) u32
     # Invalid triangles: poison coverage (λ c = -1, a = b = 0 -> λ < 0).
     neg1 = np.float32(-1.0).view(np.uint32)
     poison_np = np.zeros(n_rows, np.uint32)
     poison_np[10:13] = neg1
     poison = jnp.asarray(poison_np)
-    coefT = jnp.where(valid[None, :], coefT, poison[:, None])
-    # Poison window D appended; slack grid steps point at it.
+    coefT = jnp.where(valid[:, None], coefT, poison[None, :])
+    # Poison window D appended; slack raster pairs point at it.
     coefT = jnp.concatenate(
-        [coefT, jnp.broadcast_to(poison[:, None], (n_rows, WINDOW))], axis=1)
+        [coefT, jnp.broadcast_to(poison[None, :], (WINDOW, n_rows))], axis=0)
+    # Pad lanes to the 128 tile width: Mosaic rejects partial-lane HBM
+    # DMA slices, and the HBM layout pads to 128 lanes regardless
+    if coefT.shape[1] < COEF_LANES:
+        coefT = jnp.pad(coefT, ((0, 0), (0, COEF_LANES - coefT.shape[1])))
     # Window bbox = union over valid triangles (invalid -> empty bbox).
     big_i = jnp.int32(1 << 29)
     wx0 = jnp.where(valid, ix0, big_i).reshape(d, WINDOW).min(1)
@@ -479,7 +487,7 @@ def bin_windows(setup: TriangleSetup, config: RasterConfig,
 
 def _raster_tile_kernel(win_ref, start_ref, count_ref,
                         sy0_ref, sy1_ref, sx0_ref, sx1_ref,  # (D+1)*S bounds
-                        coef_hbm,                 # (R,(D+1)*128) ANY
+                        coef_hbm,                 # ((D+1)*128, R) ANY
                         *refs,                    # seeds, outs, scratch
                         config: RasterConfig):
     """One grid step = one screen tile: loop over the tile's binned windows
@@ -506,11 +514,13 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,
     wastes 42x on the K=3 contraction. Full-lane vector math with
     data-dependent LOOP BOUNDS (this kernel) is the shape that fits.
 
-    coef window (R, 128): sublanes = coefficients
-    [λ0a,λ1a,λ2a,Na,Da | *b | *c | payload@15 | 15 attr-plane coeffs...],
-    lanes = triangles; transposed in-kernel to (128,R). All f32 VPU math —
-    edge functions cannot survive the MXU's bf16 decomposition. Pixels are
-    processed one tile row (tile_w lanes) at a time.
+    coef window (128, R): sublanes = triangles, lanes = coefficients
+    [λ0a,λ1a,λ2a,Na,Da | *b | *c | payload@15 | 15 attr-plane coeffs...]
+    — already the shape the inner loop consumes (the producer transposes
+    once per WINDOW; r4 transposed here once per PAIR, ~2.6us/pair with
+    its strided DMA). All f32 VPU math — edge functions cannot survive
+    the MXU's bf16 decomposition. Pixels are processed one tile row
+    (tile_w lanes) at a time.
     """
     c = config
     n_attr = 5 if c.with_attrs else 0
@@ -519,7 +529,7 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,
     seeds = refs[:n_rt]
     zclip_ref = refs[n_rt] if c.z_clip else None
     outs = refs[n_in:n_in + n_rt]
-    coef_scr, blkT_scr, acc, acc_v_scr, sems = refs[n_in + n_rt:]
+    coef_scr, blk_scr, acc, acc_v_scr, sems = refs[n_in + n_rt:]
 
     s_cnt = c.sub_s
     cs = WINDOW // s_cnt
@@ -541,8 +551,10 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,
 
     def dma(j, slot):
         win = win_ref[start + j]
+        # full-lane-width DMA (Mosaic rejects partial-lane HBM slices);
+        # depth-only configs simply never read lanes >= 16
         return pltpu.make_async_copy(
-            coef_hbm.at[:, pl.ds(win * WINDOW, WINDOW)],
+            coef_hbm.at[pl.ds(win * WINDOW, WINDOW), :],
             coef_scr.at[slot], sems.at[slot])
 
     @pl.when(count > 0)
@@ -571,9 +583,12 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,
             dma(j + 1, (j + 1) % 2).start()
 
         dma(j, slot).wait()
-        # materialize the transpose ONCE into scratch — consuming it as a
-        # lazy value would re-run the (expensive) relayout per slice below
-        blkT_scr[:, :] = jnp.transpose(coef_scr[slot])    # (R,128)->(128,R)
+        # stage the live slot's used lanes into a STATICALLY-indexed
+        # working buffer once per pair: the subwindow bodies then slice a
+        # static ref (a dynamic leading-index slice per subwindow made
+        # Mosaic materialize predicated copies). This is a plain (128,R)
+        # VMEM copy — the r4 layout paid a (R,128)->(128,R) RELAYOUT here.
+        blk_scr[:, :] = coef_scr[slot, :, pl.ds(0, c.coef_rows)]
 
         def visit(s, y0, y1):
             # the WHOLE subwindow body (column slicing + the a*px hoist +
@@ -582,9 +597,9 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,
             # (x-skipped subwindows previously still paid the hoist)
             @pl.when(y1 > y0)
             def _subwindow():
-                _raster_subwindow_body(s, y0, y1, blkT_scr, acc, acc_v_scr,
-                                       px, yoff_col, tile_py0, cs, RP,
-                                       n_attr, f32, NEG, zclip_ref)
+                _raster_subwindow_body(s, y0, y1, blk_scr, acc,
+                                       acc_v_scr, px, yoff_col, tile_py0,
+                                       cs, RP, n_attr, f32, NEG, zclip_ref)
 
         def bounds(s):
             base = win * s_cnt + s
@@ -614,7 +629,7 @@ def _raster_tile_kernel(win_ref, start_ref, count_ref,
         outs[2 + k][:] = acc[1 + k, :, :]
 
 
-def _raster_subwindow_body(s, y0, y1, blkT_scr, acc, acc_v_scr, px,
+def _raster_subwindow_body(s, y0, y1, blk_scr, acc, acc_v_scr, px,
                            yoff_col, tile_py0, cs, RP, n_attr, f32, NEG,
                            zclip_ref=None):
     """One subwindow of the flat kernel: coefficient column setup + the
@@ -622,7 +637,7 @@ def _raster_subwindow_body(s, y0, y1, blkT_scr, acc, acc_v_scr, px,
     the entire body)."""
     # pl.ds: s may be a traced loop index (config.sub_loop); offsets are
     # s*cs with cs a multiple of 8, so the sublane slice stays aligned
-    sub = blkT_scr[pl.ds(s * cs, cs), :]          # (cs, R)
+    sub = blk_scr[pl.ds(s * cs, cs), :]           # (cs, R)
     # tile the group's coefficient columns RP times along sublanes:
     # one inner iteration evaluates RP consecutive rows x cs
     # triangles as full (RP*cs, TW) ops — a single per-row chain is
@@ -746,7 +761,7 @@ def _raster_tile_kernel_bricks(win_ref, start_ref, count_ref,
     seeds = refs[:n_rt]
     zclip_ref = refs[n_rt] if c.z_clip else None
     outs = refs[n_in:n_in + n_rt]
-    coef_scr, blkT_scr, acc, acc_v_scr, sems = refs[n_in + n_rt:]
+    coef_scr, blk_scr, acc, acc_v_scr, sems = refs[n_in + n_rt:]
 
     s_cnt = c.sub_s
     cs = WINDOW // s_cnt
@@ -769,7 +784,7 @@ def _raster_tile_kernel_bricks(win_ref, start_ref, count_ref,
     def dma(j, slot):
         win = win_ref[start + j]
         return pltpu.make_async_copy(
-            coef_hbm.at[:, pl.ds(win * WINDOW, WINDOW)],
+            coef_hbm.at[pl.ds(win * WINDOW, WINDOW), :],
             coef_scr.at[slot], sems.at[slot])
 
     @pl.when(count > 0)
@@ -790,7 +805,7 @@ def _raster_tile_kernel_bricks(win_ref, start_ref, count_ref,
     NEG = jnp.float32(-3e38)
 
     def _bricks_subwindow(s, y0, y1, sx0, sx1):
-        sub = blkT_scr[pl.ds(s * cs, cs), :]      # (cs, R)
+        sub = blk_scr[pl.ds(s * cs, cs), :]           # (cs, R)
         rp = RP
         col4 = lambda k: f32(jnp.concatenate(
             [sub[:, k:k + 1]] * rp, axis=0))          # (rp*cs, 1)
@@ -887,7 +902,8 @@ def _raster_tile_kernel_bricks(win_ref, start_ref, count_ref,
             dma(j + 1, (j + 1) % 2).start()
 
         dma(j, slot).wait()
-        blkT_scr[:, :] = jnp.transpose(coef_scr[slot])    # (R,128)->(128,R)
+        # stage the live slot once per pair (see flat kernel)
+        blk_scr[:, :] = coef_scr[slot, :, pl.ds(0, c.coef_rows)]
 
         for s in range(s_cnt):
             base = win * s_cnt + s
@@ -1001,7 +1017,7 @@ def raster_queue(
                  [vmem_tile] * (n_rt + (1 if c.z_clip else 0)),
         out_specs=[vmem_tile] * n_rt,
         scratch_shapes=[
-            pltpu.VMEM((2, c.coef_rows, WINDOW), jnp.uint32),
+            pltpu.VMEM((2, WINDOW, COEF_LANES), jnp.uint32),
             pltpu.VMEM((WINDOW, c.coef_rows), jnp.uint32),
             pltpu.VMEM((1 + n_attr, c.tile_h, c.tile_w), jnp.float32),
             pltpu.VMEM((c.tile_h, c.tile_w), jnp.int32),
@@ -1230,7 +1246,7 @@ def _raster_tile_kernel_st(gwin_ref, start_ref, count_ref,
     n_rt = 2 + n_attr
     seeds = refs[:n_rt]
     outs = refs[n_rt:2 * n_rt]
-    coef_scr, acc, acc_v_scr, sems = refs[2 * n_rt:]
+    coef_scr, blk_scr, acc, acc_v_scr, sems = refs[2 * n_rt:]
 
     tile = pl.program_id(0)
     start = start_ref[tile]
@@ -1247,7 +1263,7 @@ def _raster_tile_kernel_st(gwin_ref, start_ref, count_ref,
     def dma(j, sub, slot):
         win = gwin_ref[(start + j) * 4 + sub]
         return pltpu.make_async_copy(
-            coef_hbm.at[:, pl.ds(win * WINDOW, WINDOW)],
+            coef_hbm.at[pl.ds(win * WINDOW, WINDOW), :],
             coef_scr.at[slot, sub], sems.at[slot, sub])
 
     @pl.when(count > 0)
@@ -1274,7 +1290,8 @@ def _raster_tile_kernel_st(gwin_ref, start_ref, count_ref,
 
         for sub in range(4):
             dma(j, sub, slot).wait()
-        blks = [jnp.transpose(coef_scr[slot, sub]) for sub in range(4)]
+            blk_scr[sub] = coef_scr[slot, sub, :, pl.ds(0, c.coef_rows)]
+        blks = [blk_scr[sub] for sub in range(4)]          # (128, R) each
 
         li = jax.lax.broadcasted_iota(jnp.int32, (1, c.tile_w), 1)
         q = c.tile_w // 4
@@ -1389,7 +1406,8 @@ def raster_queue_subtile(
                  [vmem_tile] * n_rt,
         out_specs=[vmem_tile] * n_rt,
         scratch_shapes=[
-            pltpu.VMEM((2, 4, c.coef_rows, WINDOW), jnp.uint32),
+            pltpu.VMEM((2, 4, WINDOW, COEF_LANES), jnp.uint32),
+            pltpu.VMEM((4, WINDOW, c.coef_rows), jnp.uint32),
             pltpu.VMEM((1 + n_attr, c.tile_h, c.tile_w), jnp.float32),
             pltpu.VMEM((c.tile_h, c.tile_w), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 4)),

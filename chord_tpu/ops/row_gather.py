@@ -110,10 +110,19 @@ def pack_table(columns) -> jnp.ndarray:
     zero-filled) into the (16, N) channel-major table gather_rows
     takes. Shorter lists pad with zero channels."""
     n = columns[0].shape[0]
-    cols = [jax.lax.bitcast_convert_type(
-        c.astype(jnp.float32) if c.dtype not in (jnp.int32, jnp.uint32,
-                                                 jnp.float32) else c,
-        jnp.int32) for c in columns]
+
+    def to32(c):
+        # bit-exact contract (ADVICE r4): integer columns convert to
+        # int32 directly — routing an int64/int16 id column through
+        # f32 would silently lose integer exactness above 2^24
+        if c.dtype in (jnp.int32, jnp.uint32, jnp.float32):
+            return jax.lax.bitcast_convert_type(c, jnp.int32)
+        if jnp.issubdtype(c.dtype, jnp.integer):
+            return c.astype(jnp.int32)
+        return jax.lax.bitcast_convert_type(c.astype(jnp.float32),
+                                            jnp.int32)
+
+    cols = [to32(c) for c in columns]
     cols += [jnp.zeros((n,), jnp.int32)] * (CH - len(cols))
     return jnp.stack(cols, 0)
 

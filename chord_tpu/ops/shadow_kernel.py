@@ -59,8 +59,17 @@ WIN_W = 384        # window cols (u, level texels)
 # below the requested start):
 COV_H = WIN_H - 8
 COV_W = WIN_W - 128
-N_LEVELS = 4       # strides 1, 2, 4, 8
 _PCF_RMAX = 16.0   # matches evaluate_shadow's jnp.clip(pcf_r, 1, 16)
+
+
+def n_levels_for(r: int) -> int:
+    """Level count such that the COARSEST level provably fits the
+    (WIN_H, WIN_W) window for any tile bbox (ADVICE r4: the fixed
+    4-level pyramid could clamp taps at R >= 1024 horizon tiles):
+    need (COV_H - 2) * 2^(levels-1) >= r."""
+    import math
+    lmax = max(3, math.ceil(math.log2(max(r / (COV_H - 2), 1.0))))
+    return lmax + 1
 
 
 def _tap_margin(cfg: ShadowConfig) -> float:
@@ -69,14 +78,14 @@ def _tap_margin(cfg: ShadowConfig) -> float:
     return max(cfg.pcf_radius_px * 3.0, 2.0 * _PCF_RMAX) + 2.0
 
 
-def build_levels(shadow_maps: jnp.ndarray):
-    """(N,R,R) -> 4-level stride pyramid [s=1, 2, 4, 8]; level 3 is
-    edge-padded to >= WIN_W cols so a (WIN_H, WIN_W) DMA window always
-    exists. Nearest decimation keeps exact depth values (no filtering
-    across occluder edges)."""
+def build_levels(shadow_maps: jnp.ndarray, n_levels: int = 4):
+    """(N,R,R) -> stride pyramid [s=1, 2, 4, ...]; small levels are
+    edge-padded to >= (WIN_H, WIN_W) so a DMA window always exists.
+    Nearest decimation keeps exact depth values (no filtering across
+    occluder edges)."""
     n_c, r, _ = shadow_maps.shape
     lvls = []
-    for s in (1, 2, 4, 8):
+    for s in [1 << l for l in range(n_levels)]:
         # one-hot dot decimation (exact: single unit weight per row/col;
         # the reshape+unit-index form measured ~2.3 ms/frame across the
         # pyramid, [::s] strided-slice gathers 2-4x worse still)
@@ -134,16 +143,19 @@ def _rot_offsets(cfg: ShadowConfig):
 
 
 def _pcss_kernel(tab_ref, u_ref, v_ref, zc_ref, zr_ref, ca_ref, sa_ref,
-                 fp_ref, l0_ref, l1_ref, l2_ref, l3_ref, out_ref,
-                 win_ref, sem, *, cfg: ShadowConfig, r: int):
+                 fp_ref, *refs, cfg: ShadowConfig, r: int,
+                 n_levels: int):
     """One grid step = one 32x32 tile.
 
     tab_ref (SMEM, prefetched): per-tile i32 [cascade, level, oy, ox]
     (origins in level texels). u/v: full-res texel coords; zc: biased
     receiver depth (compare value); zr: receiver depth; ca/sa: per-pixel
     Poisson rotation; fp: per-tile f32 params on lane 0.. [k_pen].
-    l0..l3: cascade level pyramid (compiler-placed, DMA'd per tile).
+    refs: n_levels pyramid level arrays (compiler-placed, DMA'd per
+    tile) followed by out_ref and the scratch (win_ref, sem).
     """
+    lrefs = refs[:n_levels]
+    out_ref, win_ref, sem = refs[n_levels:]
     t = pl.program_id(0)
     casc = tab_ref[t, 0]
     li = tab_ref[t, 1]
@@ -153,7 +165,7 @@ def _pcss_kernel(tab_ref, u_ref, v_ref, zc_ref, zr_ref, ca_ref, sa_ref,
     ox = pl.multiple_of(tab_ref[t, 3], 128)
 
     # --- stage the cascade window (one predicated DMA per level) ---
-    for l_s, lref in enumerate((l0_ref, l1_ref, l2_ref, l3_ref)):
+    for l_s, lref in enumerate(lrefs):
         @pl.when(li == l_s)
         def _(lref=lref):
             cp = pltpu.make_async_copy(
@@ -169,7 +181,7 @@ def _pcss_kernel(tab_ref, u_ref, v_ref, zc_ref, zr_ref, ca_ref, sa_ref,
     inv_s = jnp.float32(1.0)
     xcl = jnp.float32(0.0)
     ycl = jnp.float32(0.0)
-    for l_s in range(N_LEVELS):
+    for l_s in range(n_levels):
         sel = li == l_s
         edge = jnp.float32((r >> l_s) - 1)
         inv_s = jnp.where(sel, jnp.float32(1.0 / (1 << l_s)), inv_s)
@@ -290,6 +302,11 @@ def evaluate_shadow_pallas(
 
     # per-pixel u/v/z + metric constants at the TILE cascade
     u, v, z = us[0], vs[0], zs_[0]
+    pix_ok = conts[0]   # pixel contained in ITS TILE's cascade (ADVICE
+                        # r4: when no cascade covers the whole tile, the
+                        # uncovered pixels would tap edge-clamped coords
+                        # of a non-containing map — they fall back to
+                        # lit=1 below instead, like out-of-map pixels)
     m00 = jnp.abs(tw_to_light[:, 0, 0])
     m22 = jnp.abs(tw_to_light[:, 2, 2])
     dr_n = 1.0 / jnp.maximum(m22, 1e-9)       # world z across [0,1]
@@ -305,6 +322,7 @@ def evaluate_shadow_pallas(
         z = jnp.where(sel, zs_[i], z)
         dr = jnp.where(sel, dr_n[i], dr)
         tx = jnp.where(sel, tx_n[i], tx)
+        pix_ok = jnp.where(sel, conts[i], pix_ok)
         k_pen_t = jnp.where(tile_c == i,
                             dr_n[i] * cfg.light_size_world /
                             jnp.maximum(tx_n[i], 1e-6), k_pen_t)
@@ -333,8 +351,9 @@ def evaluate_shadow_pallas(
     vmax = jnp.where(empty, 1.0, vmax)
 
     mg = _tap_margin(cfg)
-    lvl = jnp.full((nt,), N_LEVELS - 1, jnp.int32)
-    for l_s in reversed(range(N_LEVELS - 1)):
+    n_levels = n_levels_for(r)
+    lvl = jnp.full((nt,), n_levels - 1, jnp.int32)
+    for l_s in reversed(range(n_levels - 1)):
         s = float(1 << l_s)
         fits = ((umax - umin + 2 * mg) <= (COV_W - 2) * s) & \
                ((vmax - vmin + 2 * mg) <= (COV_H - 2) * s)
@@ -345,7 +364,7 @@ def evaluate_shadow_pallas(
     s_f = jnp.exp2(lvl.astype(jnp.float32))
     lw_v = jnp.zeros((nt,), jnp.int32)   # padded level extents
     lh_v = jnp.zeros((nt,), jnp.int32)
-    for l_s in range(N_LEVELS):
+    for l_s in range(n_levels):
         lw_v = jnp.where(lvl == l_s, max(r >> l_s, WIN_W), lw_v)
         lh_v = jnp.where(lvl == l_s, max(r >> l_s, WIN_H), lh_v)
     ox = ((jnp.floor((umin - mg) / s_f).astype(jnp.int32) // 128) * 128)
@@ -367,7 +386,7 @@ def evaluate_shadow_pallas(
         ca = jnp.ones((h, w), jnp.float32)
         sa = jnp.zeros((h, w), jnp.float32)
 
-    lvls = build_levels(shadow_maps)
+    lvls = build_levels(shadow_maps, n_levels)
     blocks = [_tileify(x, hp, wp) for x in (u, v, z_cmp, z, ca, sa)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -378,7 +397,7 @@ def evaluate_shadow_pallas(
               for _ in range(6)],
             pl.BlockSpec((8, 128), lambda i, tab: (i, 0)),  # fp
             *[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
-              for _ in range(N_LEVELS)],                    # pyramid
+              for _ in range(n_levels)],                    # pyramid
         ],
         out_specs=pl.BlockSpec((8, 128), lambda i, tab: (i, 0)),
         scratch_shapes=[
@@ -386,7 +405,8 @@ def evaluate_shadow_pallas(
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    kern = functools.partial(_pcss_kernel, cfg=cfg, r=r)
+    kern = functools.partial(_pcss_kernel, cfg=cfg, r=r,
+                             n_levels=n_levels)
     lit = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -395,4 +415,4 @@ def evaluate_shadow_pallas(
     )(tab, *blocks, fp, *lvls)
 
     lit = _untileify(lit, hp, wp, h, w)
-    return jnp.where(in_map, lit, 1.0)
+    return jnp.where(in_map & pix_ok, lit, 1.0)

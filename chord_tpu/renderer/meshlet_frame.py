@@ -283,10 +283,11 @@ def render_shadow_cascade(
         if with_attrs:
             q = bin_windows(setup, rc_a, tile_keep=tile_keep)
             return raster_queue(q, setup, rc_a)
-        setup16 = setup.replace(coefT=setup.coefT[:16])
-        q = bin_windows(setup16, rc, tile_keep=tile_keep)
+        # depth-only: the raster kernel DMAs just the first 16 coefficient
+        # lanes of each triangle-major block — no sliced copy needed
+        q = bin_windows(setup, rc, tile_keep=tile_keep)
         seeds = None if seed is None else (seed,)
-        return raster_queue(q, setup16, rc, seeds=seeds)
+        return raster_queue(q, setup, rc, seeds=seeds)
 
     def scroll_plan(m):
         """-> (seed (R,R) | None, tile_keep (n_tiles,) | None) for the

@@ -58,6 +58,15 @@ class MeshData:
     indices: np.ndarray            # (T,3) i32 local vertex indices
     normals: Optional[np.ndarray] = None   # (V,3) f32
     uv0: Optional[np.ndarray] = None       # (V,2) f32
+    # optional streams at reference parity (asset/gltf/asset_gltf.h:
+    # 260-287 carries tangents + optional uv1/color0). The deferred
+    # shading path derives its tangent frame per pixel (Schüler cotangent
+    # frame, ops/shading.py) so stored tangents are not consumed by the
+    # hot path — they are preserved for tooling/export and validated
+    # against the cotangent frame by tests/test_tangent.py.
+    tangents: Optional[np.ndarray] = None  # (V,4) f32 xyz + handedness w
+    uv1: Optional[np.ndarray] = None       # (V,2) f32 second uv set
+    color0: Optional[np.ndarray] = None    # (V,4) f32 vertex color
     name: str = ""
 
     def __post_init__(self) -> None:
@@ -69,6 +78,10 @@ class MeshData:
         if self.uv0 is None:
             self.uv0 = np.zeros((len(self.positions), 2), np.float32)
         self.uv0 = np.ascontiguousarray(self.uv0, np.float32)
+        for f in ("tangents", "uv1", "color0"):
+            v = getattr(self, f)
+            if v is not None:
+                setattr(self, f, np.ascontiguousarray(v, np.float32))
 
     @property
     def num_vertices(self) -> int:

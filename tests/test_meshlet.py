@@ -150,9 +150,9 @@ def test_mesh_shader_sort_no_phantom_from_invalid_lanes():
         setup = mf.mesh_shader_setup(res.draws, pools, inst, m, 256, r, r,
                                      backface_cull=False, sub_s=rc.sub_s,
                                      interpret=True, sort_tris=sort)
-        s16 = setup.replace(coefT=setup.coefT[:16])
-        q = bin_windows(s16, rc)
-        d, v = raster_queue(q, s16, rc)[:2]
+        # depth-only rc: the kernel reads just the first 16 coef lanes
+        q = bin_windows(setup, rc)
+        d, v = raster_queue(q, setup, rc)[:2]
         outs[sort] = (np.asarray(d), np.asarray(v))
     d_s, v_s = outs[True]
     d_n, v_n = outs[False]

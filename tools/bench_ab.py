@@ -101,6 +101,8 @@ def main():
         "off_s8_t240": (base, {"r.raster.subS": 8,
                                "r.raster.tileH": 240}),
         "off_t240": (base, {"r.raster.tileH": 240}),
+        "off_rp8": (base, {"r.raster.rp": 8}),
+        "off_s8_rp8": (base, {"r.raster.subS": 8, "r.raster.rp": 8}),
         "off_t192": (base, {"r.raster.tileH": 192}),
         "off_t712": (base, {"r.raster.tileH": 712}),
         "off_t360": (base, {"r.raster.tileH": 360}),

@@ -111,12 +111,11 @@ def main():
     # noattr: the same queue through the 16-row depth-only layout —
     # isolates what the 5 attribute planes cost the inner loop
     rc16 = rc._replace(with_attrs=False)
-    setup16 = setup.replace(coefT=setup.coefT[:16])
     fn16 = jax.jit(lambda qq, ss: raster_queue(qq, ss, rc16)[0].sum())
-    _ = jax.device_get(fn16(q, setup16))
+    _ = jax.device_get(fn16(q, setup))
     t0 = time.time()
     for _i in range(5):
-        out = jax.device_get(fn16(q, setup16))
+        out = jax.device_get(fn16(q, setup))
     ms = (time.time() - t0) / 5 * 1000.0
     print(json.dumps({"case": "noattr", "ms": round(ms, 2),
                       "checksum": float(out)}), flush=True)

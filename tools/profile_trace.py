@@ -94,12 +94,14 @@ def capture(trace_dir: str, frames: int = 8) -> None:
     print("trace done", flush=True)
 
 
-def report(trace_dir: str, frames: int = 8, top: int = 45) -> None:
+def aggregate(trace_dir: str):
+    """Parse the newest trace under trace_dir -> (by_scope us Counter,
+    by_line us Counter, per-key event counts, total us). Importable (the
+    bench folds per-pass ms into its artifact through this)."""
     pats = glob.glob(os.path.join(trace_dir,
                                   "plugins/profile/*/*.trace.json.gz"))
     if not pats:
-        print(f"no trace under {trace_dir}", file=sys.stderr)
-        sys.exit(1)
+        raise FileNotFoundError(f"no trace under {trace_dir}")
     path = max(pats, key=os.path.getmtime)
     with gzip.open(path) as f:
         t = json.load(f)
@@ -128,6 +130,15 @@ def report(trace_dir: str, frames: int = 8, top: int = 45) -> None:
         by_scope[first] += e["dur"]
         cnt[key] += 1
         total += e["dur"]
+    return by_scope, by_line, cnt, total
+
+
+def report(trace_dir: str, frames: int = 8, top: int = 45) -> None:
+    try:
+        by_scope, by_line, cnt, total = aggregate(trace_dir)
+    except FileNotFoundError as e:
+        print(str(e), file=sys.stderr)
+        sys.exit(1)
     div = frames * 1000.0
     print(f"== per-pass (named_scope) device ms/frame, total "
           f"{total / div:.2f} ==")
@@ -143,7 +154,11 @@ def report(trace_dir: str, frames: int = 8, top: int = 45) -> None:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--trace-dir", default="/tmp/jax_trace")
+    # fresh dir per run: a silently-failing profiler otherwise leaves the
+    # PREVIOUS trace in place and the report re-reads stale numbers
+    import time as _time
+    ap.add_argument("--trace-dir",
+                    default=f"/tmp/jax_trace_{int(_time.time())}")
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--report", metavar="DIR", default=None,
                     help="skip capture; report an existing trace dir")
