@@ -180,7 +180,11 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
                             pair_capacity=8192 if rw <= 1280 else 16384,
                             big_capacity=64,
                             enable_bloom=True, enable_tsr=True,
-                            tsr_mode="global")
+                            # per-32x128-tile mean-motion reprojection
+                            # (ops/tile_reproject.py): parallax-correct
+                            # where r4's "global" mean shift was not, at
+                            # +0.3 ms/frame (device-measured)
+                            tsr_mode="tile")
     # Feature degradation ladder (richest first; the orchestrator walks
     # down on worker faults so ONE faulty feature can't erase the whole
     # record — VERDICT r2 item 3):
@@ -204,7 +208,8 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
         normal_mapped=lvl["pbr"], pbr_textures=lvl["pbr"],
         shadow_masked=lvl["shadow_masked"],
         trilinear=lvl["trilinear"],
-        probe_cfg=ScreenProbeConfig(rays=16, steps=6))
+        probe_cfg=ScreenProbeConfig(rays=16, steps=6,
+                                    history_mode="tile"))
 
     bvh = None
     if lvl["gi"]:

@@ -349,10 +349,16 @@ class TSRConfig(NamedTuple):
     blend: float = 0.1           # new-frame weight when history valid
     sharpness: float = 0.25
     bilinear_history: bool = True   # False = nearest (1 gather instead of 4)
-    # "gather": per-pixel history resample (exact, gather-heavy);
+    # "gather": per-pixel history resample (exact; ~280 ms/frame at
+    #           1080p on the tunneled TPU — gathers hit the scalar path);
     # "global": one screen-wide shift from the mean motion + adaptive
-    # per-pixel blend on the residual — zero gathers (camera motion is
-    # screen-coherent; residual pixels converge via higher alpha).
+    #           per-pixel blend on the residual — zero gathers, but
+    #           parallax (depth-dependent motion) rides the residual
+    #           fallback everywhere (bench SSIM vs gather: 0.84-0.91);
+    # "tile":   per-32x32-tile mean-motion reprojection (Pallas window
+    #           DMA + one-hot-bilinear MXU select, ops/tile_reproject.py)
+    #           — gather-free like "global", parallax-correct to within
+    #           a tile's motion variance.
     mode: str = "gather"
 
 
@@ -393,6 +399,19 @@ def _neighborhood_minmax(img: jnp.ndarray, cross_only: bool = False
     return lo, hi
 
 
+def _resolve_with_hist(color, hist, resid, history_valid, cfg):
+    """Shared TAA tail: neighborhood clamp, residual-adaptive blend,
+    unsharp sharpen (used by the global and tile reprojection modes)."""
+    lo, hi = _neighborhood_minmax(color, cross_only=True)
+    hist = jnp.clip(hist, lo, hi)
+    alpha = jnp.clip(cfg.blend + resid * 0.5, cfg.blend, 1.0)[..., None]
+    alpha = jnp.maximum(alpha, 1.0 - history_valid)
+    out = color * alpha + hist * (1.0 - alpha)
+    blur = (jnp.roll(out, 1, 0) + jnp.roll(out, -1, 0) +
+            jnp.roll(out, 1, 1) + jnp.roll(out, -1, 1)) * 0.25
+    return jnp.maximum(out + (out - blur) * cfg.sharpness, 0.0)
+
+
 def temporal_resolve_global(
     color: jnp.ndarray,        # (H,W,3)
     motion_ndc: jnp.ndarray,   # (H,W,2)
@@ -423,19 +442,30 @@ def temporal_resolve_global(
     hist = (h00 * (1 - fx) * (1 - fy) + h01 * fx * (1 - fy) +
             h10 * (1 - fx) * fy + h11 * fx * fy)
 
-    lo, hi = _neighborhood_minmax(color, cross_only=True)
-    hist = jnp.clip(hist, lo, hi)
-
     # residual per pixel (in pixels): how wrong the global shift is
     rx = motion_ndc[..., 0] * (w * 0.5) - mx
     ry = -motion_ndc[..., 1] * (h * 0.5) - my
     resid = jnp.sqrt(rx * rx + ry * ry)
-    alpha = jnp.clip(cfg.blend + resid * 0.5, cfg.blend, 1.0)[..., None]
-    alpha = jnp.maximum(alpha, 1.0 - history_valid)
-    out = color * alpha + hist * (1.0 - alpha)
-    blur = (jnp.roll(out, 1, 0) + jnp.roll(out, -1, 0) +
-            jnp.roll(out, 1, 1) + jnp.roll(out, -1, 1)) * 0.25
-    return jnp.maximum(out + (out - blur) * cfg.sharpness, 0.0)
+    return _resolve_with_hist(color, hist, resid, history_valid, cfg)
+
+
+def temporal_resolve_tile(
+    color: jnp.ndarray,        # (H,W,3)
+    motion_ndc: jnp.ndarray,   # (H,W,2)
+    history: jnp.ndarray,      # (H,W,3)
+    history_valid: jnp.ndarray,
+    cfg: TSRConfig,
+) -> jnp.ndarray:
+    """Tile-local TAA: per-32x32-tile mean-motion history reprojection
+    (ops/tile_reproject.py) — parallax-correct to within a tile's own
+    motion variance, still zero gather primitives."""
+    from .tile_reproject import tile_reproject
+
+    h, w = color.shape[:2]
+    mot_px = jnp.stack([motion_ndc[..., 0] * (w * 0.5),
+                        -motion_ndc[..., 1] * (h * 0.5)], -1)
+    hist, resid = tile_reproject(history, mot_px)
+    return _resolve_with_hist(color, hist, resid, history_valid, cfg)
 
 
 def temporal_upscale_global(
@@ -468,7 +498,9 @@ def temporal_upscale_global(
         jnp.asarray([jitter_px[1] * sy, jitter_px[0] * sx]),
         method="linear")
     mot = jimage.resize(motion_ndc, (post_h, post_w, 2), "linear")
-    return temporal_resolve_global(cur, mot, history, history_valid, cfg)
+    f = (temporal_resolve_tile if cfg.mode == "tile"
+         else temporal_resolve_global)
+    return f(cur, mot, history, history_valid, cfg)
 
 
 def temporal_resolve(
@@ -482,9 +514,10 @@ def temporal_resolve(
     """TAA-style temporal accumulation at render res (the TSR upscale path
     adds the render->post resolution change on top; reference tsr_*.hlsl:
     reprojection + rectify + sharpen)."""
-    if cfg.mode == "global":
-        out = temporal_resolve_global(color, motion_ndc, history,
-                                      history_valid, cfg)
+    if cfg.mode in ("global", "tile"):
+        f = (temporal_resolve_tile if cfg.mode == "tile"
+             else temporal_resolve_global)
+        out = f(color, motion_ndc, history, history_valid, cfg)
         if disocclusion is not None:
             out = color + (out - color) * (1.0 - disocclusion[..., None])
         return out
@@ -543,7 +576,7 @@ def temporal_upscale(
     reprojected at post res, rectified against the upsampled
     neighborhood, and blended. Jitter makes the accumulation converge to
     a supersampled image over frames."""
-    if cfg.mode == "global":
+    if cfg.mode in ("global", "tile"):
         out = temporal_upscale_global(color, motion_ndc, history,
                                       history_valid, jitter_px, cfg,
                                       post_h, post_w)

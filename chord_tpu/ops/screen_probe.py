@@ -52,7 +52,10 @@ class ScreenProbeConfig(NamedTuple):
     max_samples: float = 64.0    # SH numSample cap (gi.h kGIMaxSampleCount)
     temporal_depth_tol: float = 0.06   # probe reprojection depth gate
     history_alpha: float = 0.9   # per-pixel half-res history weight
-    history_mode: str = "global"   # "global" = mean-motion roll
+    history_mode: str = "global"   # "global" = mean-motion roll;
+                                   # "tile" = per-32x32-tile mean motion
+                                   # (ops/tile_reproject.py, parallax-
+                                   # correct); "gather" = exact per-pixel
                                    # reprojection (zero gathers; see
                                    # history_reproject_half) | "gather"
                                    # = exact per-pixel resample
@@ -466,7 +469,15 @@ def history_reproject_half(
     the largest GI gather left in the frame (half res = 4x9 the probe
     passes' element count)."""
     hh, wh = diffuse.shape[:2]
-    if cfg.history_mode == "global":
+    if cfg.history_mode == "tile":
+        # per-32x32-tile mean-motion reprojection (ops/tile_reproject.py)
+        # — parallax-correct to within a tile, still gather-free
+        from .tile_reproject import tile_reproject
+        mot_px = jnp.stack([motion_half[..., 0] * (wh * 0.5),
+                            -motion_half[..., 1] * (hh * 0.5)], -1)
+        hist, resid = tile_reproject(prev_diffuse, mot_px)
+        on = jnp.clip(1.0 - resid * 0.25, 0.0, 1.0)
+    elif cfg.history_mode == "global":
         mx = jnp.mean(motion_half[..., 0]) * (wh * 0.5)
         my = -jnp.mean(motion_half[..., 1]) * (hh * 0.5)
         ix = jnp.floor(mx).astype(jnp.int32)

@@ -158,7 +158,10 @@ class RendererConfig(NamedTuple):
     big_capacity: int = 128
     enable_bloom: bool = True
     enable_tsr: bool = True
-    tsr_mode: str = "gather"         # or "global" (gather-free, fast)
+    tsr_mode: str = "gather"         # "gather" (exact, gather-heavy) |
+                                     # "global" (mean-motion, fast) |
+                                     # "tile" (per-32x32-tile motion,
+                                     # parallax-correct + gather-free)
     subtiles: bool = False           # sub-tile raster lane packing
     output: str = "srgb8"            # or "hdr10"
     interpret: bool = False          # pallas interpreter (CPU tests)

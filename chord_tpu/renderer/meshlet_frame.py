@@ -1120,6 +1120,8 @@ def render_frame_meshlet(
             if mcfg.gi:
                 extras["gi"] = indirect * 2.0
                 extras["specular"] = specular_gi * 4.0
+            if mcfg.shadows and sun_shadow is not None:
+                extras["shadow"] = sun_shadow   # PCSS sun visibility
             hdr = debug_visualize(mcfg.debug_mode, hdr, vis, depth, gbuf,
                                   draw_meshlet, pools, extras=extras)
 
