@@ -158,28 +158,24 @@ def upsample_nearest(x: jnp.ndarray, k, out_h: int, out_w: int
     """k-x nearest upsample of (h,w[,c]) cropped to (out_h, out_w). k may
     be an int or an (kh, kw) pair.
 
-    f32 routes through one-hot replication dot_generals (exact — each
-    output row/col has exactly one unit weight; the MXU relayout beats
-    the stack+reshape form the same way decimate's does). Other dtypes
-    use stack+reshape (jnp.repeat lowers to a multi-ms relayout on TPU)."""
+    stack+reshape replication (a sublane/lane broadcast, linear in output
+    pixels) — NOT jnp.repeat (multi-ms relayout) and NOT the r4 one-hot
+    dot_generals: the dot form's cost is H*h*w + H*w*W, which scales
+    CUBICALLY with resolution — at 4K it made the GI upsample chain 7.6x
+    its 1080p cost instead of 4x (r5 pass table: gi.probe.upsample
+    26 ms/frame at 4K)."""
     kh, kw = (k, k) if isinstance(k, int) else k
     squeeze = x.ndim == 2
     if squeeze:
         x = x[..., None]
     h, w, c = x.shape
-    if x.dtype == jnp.float32:
-        uh = jnp.zeros((out_h, h), jnp.float32).at[
-            jnp.arange(out_h), jnp.minimum(jnp.arange(out_h) // kh,
-                                           h - 1)].set(1.0)
-        uw = jnp.zeros((w, out_w), jnp.float32).at[
-            jnp.minimum(jnp.arange(out_w) // kw, w - 1),
-            jnp.arange(out_w)].set(1.0)
-        hi = jax.lax.Precision.HIGHEST
-        y = jnp.einsum("Hh,hwc->Hwc", uh, x, precision=hi)
-        y = jnp.einsum("Hwc,wW->HWc", y, uw, precision=hi)
-        return y[..., 0] if squeeze else y
     x = jnp.stack([x] * kh, 1).reshape(h * kh, w, c)
     x = jnp.stack([x] * kw, 2).reshape(h * kh, w * kw, c)
+    # callers pass out <= in*k (ceil-division decimate counterparts);
+    # edge-extend defensively if a caller ever over-asks
+    if out_h > h * kh or out_w > w * kw:
+        x = jnp.pad(x, ((0, max(0, out_h - h * kh)),
+                        (0, max(0, out_w - w * kw)), (0, 0)), mode="edge")
     x = x[:out_h, :out_w]
     return x[..., 0] if squeeze else x
 
