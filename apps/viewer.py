@@ -216,7 +216,11 @@ def main() -> int:
                            ssr=args.ssr,
                            # masked/blend material buckets when present
                            alpha_masked=has_masked,
-                           alpha_blend=has_blend))
+                           alpha_blend=has_blend,
+                           blend_textured=any(
+                               m.alpha_mode == "blend"
+                               and m.base_color_texture >= 0
+                               for m in b.materials)))
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)

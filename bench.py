@@ -205,6 +205,9 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
         ssr=lvl["gi"],
         textured=lvl["textured"], alpha_masked=lvl["textured"],
         alpha_blend=lvl["textured"],
+        blend_textured=any(m.alpha_mode == "blend"
+                           and m.base_color_texture >= 0
+                           for m in b.materials),
         normal_mapped=lvl["pbr"], pbr_textures=lvl["pbr"],
         shadow_masked=lvl["shadow_masked"],
         trilinear=lvl["trilinear"],

@@ -422,6 +422,11 @@ def shade_blend_layer(
     sun_shadow: jnp.ndarray = None,       # (H,W) 1 = lit
     ambient: jnp.ndarray = None,          # (H,W,3) or (1,1,3) AP1
     interpret: bool = False,
+    textured: bool = True,       # STATIC: any blend material carries a
+                                 # base texture? False compiles the pass
+                                 # WITHOUT the full-screen paged sampler
+                                 # (9.3 ms at 4K for the bench's 10
+                                 # untextured glass draws)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward-shade ONE depth-peeled translucent layer (the glTF Blend
     bucket, asset_gltf.h:55-59 / pipeline_filter.hlsl; NOTE the
@@ -451,15 +456,17 @@ def shade_blend_layer(
     albedo = jnp.stack([_fb(0), _fb(1), _fb(2)], -1)
     emissive = jnp.stack([_fb(4), _fb(5), _fb(6)], -1)
     layer = rows[7]
-    uv = jnp.stack([u_b, v_b], axis=-1)
-    mip = texture_ops.mip_from_uv_density(uv, pools.tex_size)
-    texel = texture_ops.sample_material_maps(
-        pools, layer[None], uv, mip)[0]
-    has_tex = (layer >= 0)[..., None]
-    albedo = jnp.where(has_tex,
-                       albedo * colorspace.srgb_to_acescg(texel[..., :3]),
-                       albedo)
-    alpha = alpha * jnp.where(layer >= 0, texel[..., 3], 1.0)
+    if textured:
+        uv = jnp.stack([u_b, v_b], axis=-1)
+        mip = texture_ops.mip_from_uv_density(uv, pools.tex_size)
+        texel = texture_ops.sample_material_maps(
+            pools, layer[None], uv, mip)[0]
+        has_tex = (layer >= 0)[..., None]
+        albedo = jnp.where(has_tex,
+                           albedo *
+                           colorspace.srgb_to_acescg(texel[..., :3]),
+                           albedo)
+        alpha = alpha * jnp.where(layer >= 0, texel[..., 3], 1.0)
 
     n = jnp.stack([nx, ny, nz], axis=-1)
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-6)

@@ -185,6 +185,11 @@ class MeshletFrameConfig(NamedTuple):
     # loops stop at alphaMode 1 — mesh_raster.cpp:178,224)
     alpha_blend: bool = False
     blend_draw_capacity: int = 512
+    # STATIC: do any Blend-bucket materials carry a base texture? When
+    # False the blend shade compiles WITHOUT its full-screen paged
+    # sampler (9.3 ms at 4K / 2.3 ms at 1080p for the bench's untextured
+    # glass panes). Set from the scene's material list.
+    blend_textured: bool = True
     # per-object motion reconstruction resolution divisor (see
     # shading.resolve_gbuffer_raster_rt motion_div): 2 halves the
     # frame's largest remaining resolve gather; consumers (half-res GI
@@ -1066,7 +1071,8 @@ def render_frame_meshlet(
                 rt_b[1], rt_b[0], depth, rt_b[2], rt_b[3], rt_b[4],
                 rt_b[5], rt_b[6], res_b.draws.object_id, pools, instances,
                 sun_b, sun_shadow=sun_shadow,
-                ambient=ambient, interpret=rc.interpret)
+                ambient=ambient, interpret=rc.interpret,
+                textured=mcfg.blend_textured and mcfg.textured)
             hdr = hdr * (1.0 - b_alpha[..., None]) + \
                 b_col * b_alpha[..., None]
         stats["draws_blend"] = res_b.draws.count

@@ -28,7 +28,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(trace_dir: str, frames: int = 8) -> None:
+def capture(trace_dir: str, frames: int = 8, width: int = 1920,
+            height: int = 1080) -> None:
     import functools
 
     import numpy as np
@@ -47,7 +48,7 @@ def capture(trace_dir: str, frames: int = 8) -> None:
     from chord_tpu.ops.rt import build_scene_bvh
     from chord_tpu.ops import atmosphere as atm
 
-    width, height, rs = 1920, 1080, 0.6667
+    rs = 0.6667
     rw, rh = int(width * rs) // 8 * 8, int(height * rs) // 8 * 8
     b, pools, _ = _make_scene("bistro", 3, 2_600_000)
     cam = Camera(width=rw, height=rh)
@@ -163,11 +164,13 @@ def main():
     ap.add_argument("--report", metavar="DIR", default=None,
                     help="skip capture; report an existing trace dir")
     ap.add_argument("--top", type=int, default=45)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
     args = ap.parse_args()
     if args.report:
         report(args.report, args.frames, args.top)
         return
-    capture(args.trace_dir, args.frames)
+    capture(args.trace_dir, args.frames, args.width, args.height)
     report(args.trace_dir, args.frames, args.top)
 
 
