@@ -270,34 +270,53 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
     # dispatches instead of one scanned program
     from chord_tpu.renderer.meshlet_frame import (render_sequence_split,
                                                   shadow_pipelined)
-    if lvl["shadows"] and shadow_pipelined(mcfg.shadow_cfg):
+    pipelined = lvl["shadows"] and shadow_pipelined(mcfg.shadow_cfg)
+    if pipelined:
         fn = functools.partial(render_sequence_split, config=config,
                                mcfg=mcfg, bvh=bvh)
     else:
+        # with_stats: per-frame draw/overflow scalars ride the scan —
+        # IN-SEQUENCE overflow (a mid-path HZB/history state pushing a
+        # phase past capacity) is invisible to a fresh-history audit
+        # frame (r5: the active-table overflow that erased the road
+        # recorded 0 on the single audit frame)
         fn = jax.jit(functools.partial(
-            render_sequence_meshlet, config=config, mcfg=mcfg, bvh=bvh))
+            render_sequence_meshlet, config=config, mcfg=mcfg, bvh=bvh,
+            with_stats=True))
 
     # sync on a 1-pixel fetch: the scan output depends on every frame, so
     # this forces full completion without paying the axon tunnel's ~160 ms
     # full-frame readback inside the timed region
+    def run(h0):
+        out = fn(pools, inst, views_stacked, h0)
+        return out if len(out) == 3 else (*out, None)
+
     t0 = time.time()
-    images, hist = fn(pools, inst, views_stacked, history)
+    images, hist, seq_stats = run(history)
     _ = jax.device_get(images[-1, :1, :1])
     compile_s = time.time() - t0
 
     t0 = time.time()
-    images, hist = fn(pools, inst, views_stacked, history)
+    images, hist, seq_stats = run(history)
     _ = jax.device_get(images[-1, :1, :1])
     dt = time.time() - t0
     ms = dt / frames * 1000.0
 
-    # drawn triangle count + overflow audit from a single traced frame
-    one = jax.jit(functools.partial(render_frame_meshlet, config=config,
-                                    mcfg=mcfg, bvh=bvh))
-    _img, _h, stats = one(pools, inst, dviews[frames // 2], history)
-    drawn = int(np.asarray(stats["drawn_tris"]))
-    overflow = {k: int(np.asarray(v)) for k, v in stats.items()
-                if "overflow" in k}
+    # drawn tris + overflow audit: WORST frame across the whole timed
+    # sequence (a fresh-history single frame hides in-sequence overflow)
+    if seq_stats is not None:
+        drawn = int(np.asarray(seq_stats["drawn_tris"]).max())
+        overflow = {k: int(np.asarray(v).max())
+                    for k, v in seq_stats.items() if "overflow" in k}
+        overflow["max_draws_phase0"] = int(
+            np.asarray(seq_stats["draws_phase0"]).max())
+    else:   # pipelined path: single-frame audit fallback
+        one = jax.jit(functools.partial(render_frame_meshlet,
+                                        config=config, mcfg=mcfg, bvh=bvh))
+        _img, _h, stats = one(pools, inst, dviews[frames // 2], history)
+        drawn = int(np.asarray(stats["drawn_tris"]))
+        overflow = {k: int(np.asarray(v)) for k, v in stats.items()
+                    if "overflow" in k}
 
     extra = {}
     if quality:
@@ -336,7 +355,7 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
         td = tempfile.mkdtemp(prefix="chord_trace_")
         try:
             with jax.profiler.trace(td):
-                imgs_t, _ = fn(pools, inst, views_stacked, history)
+                imgs_t = fn(pools, inst, views_stacked, history)[0]
                 _ = jax.device_get(imgs_t[-1, :1, :1])
             sys.path.insert(0, os.path.join(os.path.dirname(
                 os.path.abspath(__file__)), "tools"))

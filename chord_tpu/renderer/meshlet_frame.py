@@ -468,8 +468,15 @@ def render_frame_meshlet(
     active = None
     if mcfg.object_precull:
         with jax.named_scope("cull.object_precull"):
+            # the active table must hold every FRUSTUM-VISIBLE pair (it
+            # feeds all later cull phases) — its size tracks the scene's
+            # visible set, NOT the post-LOD draw capacity. Tying it to
+            # 4*draw_capacity silently dropped ~8k of ~15.5k visible
+            # pairs when r5 right-sized draw_capacity to 2048, erasing
+            # the road from the bench frames (active_overflow ~8000
+            # every frame, found via render_sequence with_stats).
             acap = mcfg.active_pair_capacity or \
-                min(pools.num_pairs, max(4096, 4 * cap))
+                min(pools.num_pairs, max(16384, 4 * cap))
             active = build_active_pairs(pools, instances,
                                         view.frustum_planes, acap)
             stats["active_pairs"] = active.count
@@ -1372,12 +1379,18 @@ def shadow_service_step(pools, instances, view, history, sp, *,
 def render_sequence_meshlet(
     pools, instances, views_stacked, history: FrameHistory,
     config: RendererConfig, mcfg: MeshletFrameConfig,
-    bvh=None,
+    bvh=None, with_stats: bool = False,
 ):
     """Render a whole camera path in ONE XLA dispatch via lax.scan — the
     honest throughput shape for benchmarking (amortizes host->device
     dispatch) and for offline/animation rendering. views_stacked is a
-    DeviceView pytree with a leading (N,) axis; returns (N,H,W,3) u8."""
+    DeviceView pytree with a leading (N,) axis; returns (N,H,W,3) u8.
+
+    with_stats=True additionally returns per-frame scalar draw/overflow
+    stats stacked over the sequence — IN-SEQUENCE overflow is invisible
+    to a single fresh-history audit frame (a mid-path HZB/history state
+    can push phase-1 or masked draws past capacity on frames the single
+    audit never sees)."""
 
     if mcfg.shadows and shadow_pipelined(mcfg.shadow_cfg):
         raise ValueError(
@@ -1385,13 +1398,22 @@ def render_sequence_meshlet(
             "frame (the split eval is its own dispatch) — use "
             "render_sequence_split")
 
+    keys = ("drawn_tris", "bin_overflow", "draw_overflow", "active_overflow",
+            "draws_phase0", "draws_phase1", "draws_masked")
+
     def step(hist, view):
-        image, new_hist, _stats = render_frame_meshlet(
+        image, new_hist, stats = render_frame_meshlet(
             pools, instances, view, hist, config, mcfg, bvh=bvh)
+        if with_stats:
+            s = {k: stats[k] for k in keys if k in stats}
+            return new_hist, (image, s)
         return new_hist, image
 
-    new_history, images = jax.lax.scan(step, history, views_stacked)
-    return images, new_history
+    new_history, out = jax.lax.scan(step, history, views_stacked)
+    if with_stats:
+        images, seq_stats = out
+        return images, new_history, seq_stats
+    return out, new_history
 
 
 def render_sequence_split(
