@@ -177,8 +177,12 @@ def bench_frame(width=1920, height=1080, detail=3, frames=16, scene="bistro",
     config = RendererConfig(width=rw, height=rh,
                             post_width=width if render_scale != 1.0 else 0,
                             post_height=height if render_scale != 1.0 else 0,
-                            pair_capacity=8192 if rw <= 1280 else 16384,
-                            big_capacity=64,
+                            pair_capacity=8192 if rw <= 1280 else 24576,
+                            # 4K: window pixel footprints ~2x -> more
+                            # tile-SPANNING windows; the r5 worst-frame
+                            # audit caught 45 big-window pairs dropped at
+                            # 64 that the single audit frame never saw
+                            big_capacity=64 if rw <= 1280 else 128,
                             enable_bloom=True, enable_tsr=True,
                             # per-32x128-tile mean-motion reprojection
                             # (ops/tile_reproject.py): parallax-correct
